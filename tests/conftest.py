@@ -1,0 +1,34 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is unavailable in CI; sharding correctness is
+validated on host CPU devices via ``xla_force_host_platform_device_count``
+(the standard JAX pattern for mesh tests). Pallas kernels are exercised in
+interpreter mode on CPU and compiled on real TPU when present.
+"""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture()
+def tmp_workspace(tmp_path):
+    """A workspace directory with the standard path layout."""
+    for sub in ("keyframes", "map", "index", ".cache", "logs"):
+        (tmp_path / sub).mkdir()
+    return tmp_path

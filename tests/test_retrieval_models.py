@@ -1,0 +1,191 @@
+"""Tests for retrieval data models, translator, temporal analyzer, validator."""
+
+import numpy as np
+import pytest
+
+from intelligent_video_analysis_retrieval_system_tpu.retrieval.results import (
+    KeyframeMetadata,
+    SearchResult,
+)
+from intelligent_video_analysis_retrieval_system_tpu.retrieval.temporal import TemporalAnalyzer
+from intelligent_video_analysis_retrieval_system_tpu.retrieval.translator import (
+    UniversalQueryTranslator,
+)
+from intelligent_video_analysis_retrieval_system_tpu.retrieval.validator import (
+    DataConsistencyValidator,
+)
+
+
+class TestModels:
+    def test_metadata_validation(self):
+        with pytest.raises(ValueError):
+            KeyframeMetadata(folder="", image="1.jpg", frame_id=0)
+        with pytest.raises(ValueError):
+            KeyframeMetadata(folder="v", image="1.jpg", frame_id=-1)
+
+    def test_metadata_roundtrip(self):
+        m = KeyframeMetadata(folder="v", image="1.jpg", frame_id=5, pts_time=1.5)
+        m2 = KeyframeMetadata.from_dict(m.to_dict())
+        assert m2 == m
+
+    def test_from_dict_keeps_unknown_fields(self):
+        m = KeyframeMetadata.from_dict(
+            {"folder": "v", "image": "1.jpg", "frame_id": 0, "custom": 42}
+        )
+        assert m.extra["custom"] == 42
+
+    def test_result_detail_levels(self):
+        m = KeyframeMetadata(folder="v", image="1.jpg", frame_id=5, row_id=3)
+        r = SearchResult(metadata=m, similarity_score=0.91234567, rank=1)
+        assert set(r.to_dict("minimal")) == {"folder", "image", "similarity_score", "rank"}
+        assert "pts_time" in r.to_dict("standard")
+        assert "tags" in r.to_dict("rich")
+        assert r.to_dict("full")["row_id"] == 3
+
+
+class TestTranslator:
+    def test_english_passthrough(self):
+        t = UniversalQueryTranslator()
+        res = t.translate_query("a red car on the street")
+        assert res.detected_language == "en"
+        assert res.confidence >= 0.9
+        assert "red car" in res.clip_prompt
+
+    def test_clip_prompt_prefix(self):
+        t = UniversalQueryTranslator()
+        assert t.translate_query("red car").clip_prompt.startswith("a photo of")
+        assert t.translate_query("a photo of a dog").clip_prompt == "a photo of a dog"
+
+    def test_vietnamese_dictionary_fallback(self):
+        t = UniversalQueryTranslator()
+        res = t.translate_query("người đang chạy trên bãi biển")
+        assert res.detected_language == "vi"
+        assert res.method == "dictionary"
+        assert "person" in res.clip_prompt and "beach" in res.clip_prompt
+        assert res.confidence > 0.3
+
+    def test_llm_hook_preferred(self):
+        t = UniversalQueryTranslator(llm_translate_fn=lambda q: "a dog swimming")
+        res = t.translate_query("con chó đang bơi")
+        assert res.method == "llm"
+        assert "dog swimming" in res.clip_prompt
+
+    def test_llm_failure_falls_back(self):
+        def boom(q):
+            raise RuntimeError("no network")
+
+        t = UniversalQueryTranslator(llm_translate_fn=boom)
+        res = t.translate_query("con chó")
+        assert res.method in ("dictionary", "passthrough")
+
+    def test_cache_hit(self):
+        calls = []
+
+        def llm(q):
+            calls.append(q)
+            return "a cat"
+
+        t = UniversalQueryTranslator(llm_translate_fn=llm)
+        t.translate_query("con mèo đen")
+        t.translate_query("con mèo đen")
+        assert len(calls) == 1
+
+    def test_detect_language_scripts(self):
+        detect = UniversalQueryTranslator.detect_language
+        assert detect("hello world")[0] == "en"
+        assert detect("xin chào các bạn ở đây")[0] == "vi"
+        assert detect("你好世界")[0] == "zh"
+        assert detect("안녕하세요")[0] == "ko"
+
+
+class TestTemporal:
+    def _features(self, scenes, dim=16, seed=0):
+        """Blocks of near-identical vectors per scene."""
+        rng = np.random.default_rng(seed)
+        rows = []
+        for length in scenes:
+            base = rng.normal(size=dim)
+            base /= np.linalg.norm(base)
+            for _ in range(length):
+                v = base + rng.normal(scale=0.01, size=dim)
+                rows.append(v / np.linalg.norm(v))
+        return np.asarray(rows, dtype=np.float32)
+
+    def test_scene_boundaries(self):
+        feats = self._features([8, 8, 8])
+        ta = TemporalAnalyzer(scene_threshold=0.5, min_scene_length=3)
+        scenes = ta.detect_scene_boundaries(feats)
+        assert [s.start for s in scenes] == [0, 8, 16]
+        assert all(s.length == 8 for s in scenes)
+
+    def test_short_scene_merged(self):
+        feats = self._features([8, 2, 8])
+        ta = TemporalAnalyzer(scene_threshold=0.5, min_scene_length=4)
+        scenes = ta.detect_scene_boundaries(feats)
+        # the 2-frame scene merges into its predecessor
+        assert scenes[0].length == 10
+
+    def test_shot_ids(self):
+        feats = self._features([5, 5])
+        ta = TemporalAnalyzer(scene_threshold=0.5, min_scene_length=2)
+        shots = ta.assign_shot_ids(feats)
+        assert shots[0] == 0 and shots[-1] == 1
+
+    def test_similar_sequences_finds_planted_window(self):
+        feats = self._features([10, 10, 10], seed=1)
+        query = feats[12:17]  # window inside scene 2
+        ta = TemporalAnalyzer()
+        hits = ta.find_similar_sequences(feats, query, top_k=1)
+        assert hits and 10 <= hits[0]["start"] < 15
+        assert hits[0]["score"] > 0.9
+
+    def test_transition_frames(self):
+        feats = self._features([6, 6])
+        ta = TemporalAnalyzer(scene_threshold=0.5, min_scene_length=2)
+        assert ta.extract_transition_frames(feats) == [6]
+
+    def test_interval_stats(self):
+        stats = TemporalAnalyzer.frame_interval_stats([0, 10, 20, 30])
+        assert stats["mean_gap"] == 10.0
+        assert stats["regularity"] == 1.0
+
+    def test_empty_and_single(self):
+        ta = TemporalAnalyzer()
+        assert ta.detect_scene_boundaries(np.zeros((0, 4), np.float32)) == []
+        ones = ta.detect_scene_boundaries(np.ones((1, 4), np.float32))
+        assert ones[0].length == 1
+
+
+class TestValidator:
+    def _meta(self, n):
+        return [
+            KeyframeMetadata(folder="v", image=f"{i}.jpg", frame_id=i, row_id=i)
+            for i in range(n)
+        ]
+
+    def test_consistent(self):
+        v = DataConsistencyValidator()
+        report = v.validate_index_metadata_consistency(5, self._meta(5))
+        assert report.ok
+
+    def test_count_mismatch(self):
+        v = DataConsistencyValidator()
+        report = v.validate_index_metadata_consistency(4, self._meta(5))
+        assert not report.ok
+
+    def test_duplicate_keys_warn(self):
+        v = DataConsistencyValidator()
+        meta = self._meta(3)
+        meta[2] = KeyframeMetadata(folder="v", image="0.jpg", frame_id=9, row_id=2)
+        report = v.validate_index_metadata_consistency(3, meta)
+        assert report.ok and report.warnings
+
+    def test_keyframes_folder(self, tmp_workspace):
+        v = DataConsistencyValidator()
+        bad = v.validate_keyframes_folder(tmp_workspace / "nope")
+        assert not bad.ok
+        kf = tmp_workspace / "keyframes"
+        (kf / "v1").mkdir()
+        (kf / "v1" / "1.jpg").write_bytes(b"x")
+        good = v.validate_keyframes_folder(kf)
+        assert good.ok and good.checked["images"] == 1
