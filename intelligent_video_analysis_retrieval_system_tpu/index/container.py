@@ -1,0 +1,402 @@
+"""Single-file index container (HDF5) with streaming append + resume.
+
+Successor of the reference's ``.rvdb`` layout (``unified_index.py:718-731``
+groups ``vectors/ metadata/ thumbnails/ temporal/ index/ system/``). Design
+changes for TPU:
+
+- embeddings are stored as **raw row bits** (bf16 as uint16 / f16 / f32) in
+  a resizable contiguous-chunk dataset — index load is one bulk
+  ``read_direct`` + one host->HBM transfer. No serialized FAISS blob exists
+  (the reference stored one in-file, ``unified_index.py:1795-1829``) because
+  search runs on-device over this matrix.
+- thumbnails/full images are concatenated blobs + offset tables (the
+  reference's repaired-offset design, ``unified_index.py:996-1065``, made
+  append-safe: offsets are written in the same flush as the blob).
+- a hash journal dataset records SHA-processed source files for
+  checkpoint/resume and incremental update (semantics of
+  ``unified_index.py:140-167,1520-1544``).
+
+All writes go through ``flush_checkpoint`` so a crash can lose at most the
+last unflushed chunk; consistency is re-derived on open (counts must agree
+across sections, trailing partial data is truncated).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Iterator
+
+import numpy as np
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover
+    h5py = None
+
+try:
+    import zstandard
+except ImportError:  # pragma: no cover
+    zstandard = None
+
+__all__ = ["IndexContainer", "ContainerStats"]
+
+FORMAT_VERSION = "2.0"
+MAGIC = "IVARS-TPU-RVDB"
+
+_DTYPE_CODES = {"bfloat16": 0, "float16": 1, "float32": 2}
+_STORE_DTYPES = {"bfloat16": np.uint16, "float16": np.float16, "float32": np.float32}
+
+
+def _compress(data: bytes) -> bytes:
+    if zstandard is not None:
+        return zstandard.ZstdCompressor(level=3).compress(data)
+    return data
+
+
+def _decompress(data: bytes, compressed: bool) -> bytes:
+    if not compressed:
+        return data
+    if zstandard is None:
+        raise RuntimeError("container uses zstd but zstandard is unavailable")
+    return zstandard.ZstdDecompressor().decompress(data)
+
+
+@dataclass(slots=True)
+class ContainerStats:
+    path: str
+    num_rows: int
+    dim: int
+    dtype: str
+    num_thumbnails: int
+    num_images: int
+    num_metadata: int
+    file_bytes: int
+    journal_files: int
+
+    def as_dict(self) -> dict[str, Any]:
+        return {k: getattr(self, k) for k in self.__dataclass_fields__}  # type: ignore[attr-defined]
+
+
+class IndexContainer:
+    """Low-level single-file storage. One writer OR many readers."""
+
+    def __init__(
+        self,
+        path: str | Path,
+        mode: str = "r",
+        dim: int = 768,
+        dtype: str = "bfloat16",
+        chunk_rows: int = 4096,
+    ) -> None:
+        if h5py is None:
+            raise RuntimeError("h5py is required for IndexContainer")
+        self.path = Path(path)
+        self.mode = mode
+        if mode not in ("r", "w", "a"):
+            raise ValueError(f"mode must be r/w/a, got {mode}")
+        exists = self.path.is_file()
+        if mode == "r" and not exists:
+            raise FileNotFoundError(self.path)
+        if mode == "a" and not exists:
+            mode = "w"
+        # 100MB chunk cache for bulk reads (reference tunes the same knob,
+        # unified_index.py:365-413)
+        self._f = h5py.File(
+            self.path, mode, rdcc_nbytes=100 * 1024 * 1024, rdcc_nslots=100003
+        )
+        if mode == "w":
+            self._create_layout(dim, dtype, chunk_rows)
+        self._validate_layout()
+        self.dim = int(self._f.attrs["dim"])
+        self.dtype = str(self._f.attrs["dtype"])
+        self._closed = False
+
+    # -- layout -----------------------------------------------------------
+
+    def _create_layout(self, dim: int, dtype: str, chunk_rows: int) -> None:
+        if dtype not in _STORE_DTYPES:
+            raise ValueError(f"unsupported dtype {dtype}")
+        f = self._f
+        f.attrs["magic"] = MAGIC
+        f.attrs["version"] = FORMAT_VERSION
+        f.attrs["dim"] = dim
+        f.attrs["dtype"] = dtype
+        f.attrs["created_at"] = time.time()
+        f.attrs["compressed_meta"] = zstandard is not None
+        store = _STORE_DTYPES[dtype]
+        f.create_dataset(
+            "embeddings", shape=(0, dim), maxshape=(None, dim), dtype=store,
+            chunks=(chunk_rows, dim),
+        )
+        blob = dict(shape=(0,), maxshape=(None,), dtype=np.uint8,
+                    chunks=(1 << 20,))
+        off = dict(shape=(1,), maxshape=(None,), dtype=np.int64, chunks=(4096,))
+        f.create_dataset("thumbnails/data", **blob)
+        thumb_off = f.create_dataset("thumbnails/offsets", **off)
+        thumb_off[0] = 0
+        f.create_dataset("images/data", **blob)
+        img_off = f.create_dataset("images/offsets", **off)
+        img_off[0] = 0
+        f.create_dataset("metadata/data", **blob)
+        meta_off = f.create_dataset("metadata/offsets", **off)
+        meta_off[0] = 0
+        f.create_dataset(
+            "journal/hashes",
+            shape=(0,), maxshape=(None,),
+            dtype=h5py.string_dtype(encoding="utf-8"), chunks=(4096,),
+        )
+        f.create_group("maps")
+        f.create_group("system")
+
+    def _validate_layout(self) -> None:
+        f = self._f
+        if f.attrs.get("magic") != MAGIC:
+            raise ValueError(f"{self.path} is not an {MAGIC} container")
+        required = [
+            "embeddings", "thumbnails/data", "thumbnails/offsets",
+            "metadata/data", "metadata/offsets", "journal/hashes",
+        ]
+        missing = [k for k in required if k not in f]
+        if missing:
+            raise ValueError(f"container missing sections: {missing}")
+
+    # -- embeddings --------------------------------------------------------
+
+    @property
+    def num_rows(self) -> int:
+        return int(self._f["embeddings"].shape[0])
+
+    def append_embeddings(self, rows: np.ndarray) -> tuple[int, int]:
+        """Append (M, dim) rows; returns (start_row, end_row)."""
+        ds = self._f["embeddings"]
+        rows = np.asarray(rows)
+        if rows.ndim != 2 or rows.shape[1] != self.dim:
+            raise ValueError(f"expected (M, {self.dim}), got {rows.shape}")
+        stored = self._to_storage(rows)
+        start = ds.shape[0]
+        ds.resize((start + len(rows), self.dim))
+        ds[start:] = stored
+        return start, start + len(rows)
+
+    def read_embeddings(
+        self, start: int = 0, end: int | None = None, as_float32: bool = False
+    ) -> np.ndarray:
+        """Bulk-read rows. Default returns the raw storage view (bf16 bits as
+        uint16) for zero-conversion device upload; ``as_float32`` converts."""
+        ds = self._f["embeddings"]
+        end = ds.shape[0] if end is None else end
+        out = np.empty((end - start, self.dim), dtype=ds.dtype)
+        if end > start:
+            ds.read_direct(out, np.s_[start:end])
+        if as_float32:
+            return self._to_float32(out)
+        return out
+
+    def _to_storage(self, rows: np.ndarray) -> np.ndarray:
+        if self.dtype == "bfloat16":
+            f32 = np.ascontiguousarray(rows, dtype=np.float32)
+            # bf16 = top 16 bits of f32 with round-to-nearest-even
+            bits = f32.view(np.uint32)
+            rounded = (bits + 0x7FFF + ((bits >> 16) & 1)) >> 16
+            return rounded.astype(np.uint16)
+        return np.asarray(rows, dtype=_STORE_DTYPES[self.dtype])
+
+    def _to_float32(self, stored: np.ndarray) -> np.ndarray:
+        if self.dtype == "bfloat16":
+            return (stored.astype(np.uint32) << 16).view(np.float32)
+        return stored.astype(np.float32)
+
+    # -- blob sections (thumbnails / images / metadata) --------------------
+
+    def _append_blobs(self, section: str, blobs: list[bytes]) -> None:
+        data = self._f[f"{section}/data"]
+        offs = self._f[f"{section}/offsets"]
+        joined = b"".join(blobs)
+        dstart = data.shape[0]
+        data.resize((dstart + len(joined),))
+        if joined:
+            data[dstart:] = np.frombuffer(joined, dtype=np.uint8)
+        ostart = offs.shape[0]
+        offs.resize((ostart + len(blobs),))
+        cursor = dstart
+        new_offsets = []
+        for b in blobs:
+            cursor += len(b)
+            new_offsets.append(cursor)
+        offs[ostart:] = np.asarray(new_offsets, dtype=np.int64)
+
+    def _blob_count(self, section: str) -> int:
+        return int(self._f[f"{section}/offsets"].shape[0]) - 1
+
+    def _read_blob(self, section: str, idx: int) -> bytes:
+        offs = self._f[f"{section}/offsets"]
+        count = offs.shape[0] - 1
+        if not 0 <= idx < count:
+            raise IndexError(f"{section}[{idx}] out of range (count={count})")
+        start, end = int(offs[idx]), int(offs[idx + 1])
+        if end == start:
+            return b""
+        return bytes(self._f[f"{section}/data"][start:end])
+
+    def append_thumbnails(self, jpegs: list[bytes]) -> None:
+        self._append_blobs("thumbnails", jpegs)
+
+    def get_thumbnail(self, row_id: int) -> bytes:
+        return self._read_blob("thumbnails", row_id)
+
+    @property
+    def num_thumbnails(self) -> int:
+        return self._blob_count("thumbnails")
+
+    def append_images(self, jpegs: list[bytes]) -> None:
+        self._append_blobs("images", jpegs)
+
+    def get_image(self, row_id: int) -> bytes:
+        return self._read_blob("images", row_id)
+
+    @property
+    def num_images(self) -> int:
+        return self._blob_count("images")
+
+    def append_metadata(self, records: list[dict[str, Any]]) -> None:
+        compressed = bool(self._f.attrs.get("compressed_meta", False))
+        blobs = []
+        for record in records:
+            raw = json.dumps(record, ensure_ascii=False).encode("utf-8")
+            blobs.append(_compress(raw) if compressed else raw)
+        self._append_blobs("metadata", blobs)
+
+    def get_metadata(self, row_id: int) -> dict[str, Any]:
+        compressed = bool(self._f.attrs.get("compressed_meta", False))
+        raw = _decompress(self._read_blob("metadata", row_id), compressed)
+        return json.loads(raw.decode("utf-8"))
+
+    def iter_metadata(self) -> Iterator[dict[str, Any]]:
+        for i in range(self.num_metadata):
+            yield self.get_metadata(i)
+
+    @property
+    def num_metadata(self) -> int:
+        return self._blob_count("metadata")
+
+    # -- journal (checkpoint/resume) --------------------------------------
+
+    def journal_hashes(self) -> set[str]:
+        ds = self._f["journal/hashes"]
+        return {h.decode("utf-8") if isinstance(h, bytes) else str(h) for h in ds[:]}
+
+    def append_journal(self, hashes: list[str]) -> None:
+        ds = self._f["journal/hashes"]
+        start = ds.shape[0]
+        ds.resize((start + len(hashes),))
+        ds[start:] = hashes
+
+    # -- frame maps --------------------------------------------------------
+
+    def put_map(self, folder: str, csv_text: str) -> None:
+        grp = self._f["maps"]
+        if folder in grp:
+            del grp[folder]
+        grp[folder] = np.frombuffer(csv_text.encode("utf-8"), dtype=np.uint8)
+
+    def get_map(self, folder: str) -> str | None:
+        grp = self._f["maps"]
+        if folder not in grp:
+            return None
+        return bytes(grp[folder][:]).decode("utf-8")
+
+    def map_folders(self) -> list[str]:
+        return list(self._f["maps"].keys())
+
+    # -- system kv ---------------------------------------------------------
+
+    def put_system(self, key: str, value: Any) -> None:
+        grp = self._f["system"]
+        if key in grp:
+            del grp[key]
+        raw = json.dumps(value, ensure_ascii=False).encode("utf-8")
+        grp[key] = np.frombuffer(raw, dtype=np.uint8)
+
+    def get_system(self, key: str, default: Any = None) -> Any:
+        grp = self._f["system"]
+        if key not in grp:
+            return default
+        return json.loads(bytes(grp[key][:]).decode("utf-8"))
+
+    # -- consistency & lifecycle ------------------------------------------
+
+    def flush_checkpoint(self, extra: dict[str, Any] | None = None) -> None:
+        """Durability point: flush HDF5 buffers + record counts."""
+        self.put_system(
+            "checkpoint",
+            {
+                "ts": time.time(),
+                "num_rows": self.num_rows,
+                "num_thumbnails": self.num_thumbnails,
+                "num_metadata": self.num_metadata,
+                **(extra or {}),
+            },
+        )
+        self._f.flush()
+
+    def consistency_report(self) -> dict[str, Any]:
+        rows, thumbs, metas = self.num_rows, self.num_thumbnails, self.num_metadata
+        issues = []
+        if metas != rows:
+            issues.append(f"metadata count {metas} != embedding rows {rows}")
+        if thumbs not in (0, rows):
+            issues.append(f"thumbnail count {thumbs} != rows {rows} (or 0)")
+        return {"ok": not issues, "issues": issues, "rows": rows,
+                "thumbnails": thumbs, "metadata": metas}
+
+    def repair_to_consistent(self) -> int:
+        """Truncate every section to the shortest consistent row count
+        (crash recovery — by design this can drop at most one chunk)."""
+        rows = self.num_rows
+        counts = [rows, self.num_metadata]
+        if self.num_thumbnails:
+            counts.append(self.num_thumbnails)
+        target = min(counts)
+        self._truncate_rows(target)
+        return target
+
+    def _truncate_rows(self, target: int) -> None:
+        self._f["embeddings"].resize((target, self.dim))
+        for section in ("thumbnails", "images", "metadata"):
+            offs = self._f[f"{section}/offsets"]
+            count = offs.shape[0] - 1
+            keep = min(count, target) if section != "images" else count
+            if section == "images" and count not in (0,):
+                keep = min(count, target)
+            if keep < count:
+                end = int(offs[keep])
+                offs.resize((keep + 1,))
+                self._f[f"{section}/data"].resize((end,))
+        self._f.flush()
+
+    def stats(self) -> ContainerStats:
+        return ContainerStats(
+            path=str(self.path),
+            num_rows=self.num_rows,
+            dim=self.dim,
+            dtype=self.dtype,
+            num_thumbnails=self.num_thumbnails,
+            num_images=self.num_images,
+            num_metadata=self.num_metadata,
+            file_bytes=self.path.stat().st_size if self.path.is_file() else 0,
+            journal_files=int(self._f["journal/hashes"].shape[0]),
+        )
+
+    def close(self) -> None:
+        if not self._closed:
+            self._f.close()
+            self._closed = True
+
+    def __enter__(self) -> "IndexContainer":
+        return self
+
+    def __exit__(self, *exc: Any) -> None:
+        self.close()

@@ -1,0 +1,396 @@
+"""UnifiedIndex: the searchable single-file index engine.
+
+API-parity with the reference ``UnifiedIndex`` (``unified_index.py:94-636``):
+``create_unified_index`` / ``load_unified_index`` / ``search_vectors`` /
+``get_thumbnail`` / ``get_full_image`` / ``get_temporal_context`` /
+``incremental_update`` — plus the BASELINE.json names ``search`` and
+``augmented_search``.
+
+TPU-native differences:
+- the searchable state is a padded device array (bf16) + live row count;
+  search is ``ops.topk.topk_search`` (fused Pallas kernel), not FAISS;
+- index load = one bulk read + one host->HBM transfer (no FAISS
+  deserialize — the reference stored a serialized FAISS blob,
+  ``unified_index.py:1795-1829``);
+- appends go into pre-padded device capacity via ``dynamic_update_slice``
+  without recompilation (capacity doubles on overflow);
+- similarity IS the inner product (cosine on normalized rows). The
+  reference converted L2 distance as ``1 - d`` (``unified_index.py:507``).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Sequence
+
+import numpy as np
+
+from ..ops.normalize import l2_normalize
+from ..ops.topk import TILE_N, TopKResult, topk_search
+from ..retrieval.results import KeyframeMetadata, SearchResult
+from .container import IndexContainer
+
+__all__ = ["UnifiedIndex", "UnifiedIndexConfig"]
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclass(slots=True)
+class UnifiedIndexConfig:
+    """Build/runtime knobs (parity with ``unified_index.py:49-60``)."""
+
+    chunk_size: int = 1024
+    checkpoint_every_chunks: int = 5
+    store_thumbnails: bool = True
+    thumbnail_size: int = 224
+    store_full_images: bool = False
+    dtype: str = "bfloat16"
+    incremental_rebuild_threshold: float = 0.10
+    temporal_window: int = 5  # reference precomputes +-5 (unified_index.py:1133)
+    normalize: bool = True
+
+
+class UnifiedIndex:
+    """Searchable index over a single container file."""
+
+    def __init__(
+        self,
+        config: UnifiedIndexConfig | None = None,
+        device_put: bool | None = None,
+    ) -> None:
+        self.config = config or UnifiedIndexConfig()
+        self._container: IndexContainer | None = None
+        self._lock = threading.RLock()
+        # device state
+        self._dev_x = None          # padded (cap, dim) jnp array
+        self._n_valid = 0
+        self._capacity = 0
+        self._device_put = device_put
+        # host metadata cache
+        self._metadata: list[KeyframeMetadata] = []
+        self._row_by_key: dict[tuple[str, str], int] = {}
+        self.load_time_s: float | None = None
+        self.path: Path | None = None
+
+    # -- lifecycle ----------------------------------------------------------
+
+    @property
+    def is_loaded(self) -> bool:
+        return self._container is not None
+
+    @property
+    def ntotal(self) -> int:
+        return self._n_valid
+
+    @property
+    def dim(self) -> int:
+        return self._container.dim if self._container else 0
+
+    def load_unified_index(self, path: str | Path, mode: str = "r") -> "UnifiedIndex":
+        """Open container, bulk-load embeddings to device, warm metadata.
+
+        Reference analog: ``unified_index.py:365-413`` (sub-second load goal).
+        """
+        t0 = time.perf_counter()
+        with self._lock:
+            self.close()
+            self._container = IndexContainer(path, mode=mode)
+            self.path = Path(path)
+            report = self._container.consistency_report()
+            if not report["ok"] and mode != "r":
+                self._container.repair_to_consistent()
+            self._load_metadata_cache()
+            self._upload_embeddings()
+        self.load_time_s = time.perf_counter() - t0
+        return self
+
+    def attach_container(self, container: IndexContainer) -> "UnifiedIndex":
+        """Adopt an already-open container (used by the builder)."""
+        with self._lock:
+            self._container = container
+            self.path = container.path
+            self._load_metadata_cache()
+            self._upload_embeddings()
+        return self
+
+    def close(self) -> None:
+        with self._lock:
+            if self._container is not None:
+                self._container.close()
+                self._container = None
+            self._dev_x = None
+            self._n_valid = 0
+            self._capacity = 0
+            self._metadata = []
+            self._row_by_key = {}
+
+    # -- device state -------------------------------------------------------
+
+    def _use_device(self) -> bool:
+        if self._device_put is not None:
+            return self._device_put
+        return True  # jnp works on any backend; CPU fallback handled in ops
+
+    def _upload_embeddings(self) -> None:
+        import jax.numpy as jnp
+
+        assert self._container is not None
+        n = self._container.num_rows
+        self._n_valid = n
+        if n == 0:
+            self._dev_x = None
+            self._capacity = 0
+            return
+        raw = self._container.read_embeddings(as_float32=True)
+        if self.config.normalize:
+            raw = raw / np.maximum(
+                np.linalg.norm(raw, axis=-1, keepdims=True), 1e-12
+            )
+        cap = _ceil_to(n, TILE_N)
+        host = np.zeros((cap, raw.shape[1]), dtype=np.float32)
+        host[:n] = raw
+        dtype = jnp.bfloat16 if self._container.dtype == "bfloat16" else jnp.float32
+        self._dev_x = jnp.asarray(host, dtype)
+        self._capacity = cap
+
+    def _append_device_rows(self, rows: np.ndarray) -> None:
+        """Append normalized rows into padded device capacity (no reload)."""
+        import jax
+        import jax.numpy as jnp
+
+        m = len(rows)
+        if m == 0:
+            return
+        if self._dev_x is None or self._n_valid + m > self._capacity:
+            self._upload_embeddings()
+            return
+        dtype = self._dev_x.dtype
+        update = jnp.asarray(rows, dtype)
+        self._dev_x = jax.lax.dynamic_update_slice(
+            self._dev_x, update, (self._n_valid, 0)
+        )
+        self._n_valid += m
+
+    def _load_metadata_cache(self) -> None:
+        assert self._container is not None
+        self._metadata = []
+        self._row_by_key = {}
+        for i, record in enumerate(self._container.iter_metadata()):
+            record.setdefault("row_id", i)
+            meta = KeyframeMetadata.from_dict(record)
+            self._metadata.append(meta)
+            self._row_by_key[meta.key] = i
+
+    # -- search ---------------------------------------------------------------
+
+    def search_vectors(
+        self,
+        query_vectors: np.ndarray,
+        top_k: int = 20,
+        filter_fn: Callable[[KeyframeMetadata], bool] | None = None,
+        over_fetch: int = 4,
+    ) -> list[list[SearchResult]]:
+        """Exact top-k per query vector. Returns ranked SearchResults.
+
+        ``filter_fn``: metadata predicate applied post-search with
+        ``over_fetch``x candidates (reference enrich+filter semantics,
+        ``unified_index.py:507-526``).
+        """
+        import jax.numpy as jnp
+
+        with self._lock:
+            if self._dev_x is None or self._n_valid == 0:
+                return [[] for _ in range(len(np.atleast_2d(query_vectors)))]
+            q = np.atleast_2d(np.asarray(query_vectors, dtype=np.float32))
+            q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+            fetch = min(self._n_valid, top_k * over_fetch if filter_fn else top_k)
+            result: TopKResult = topk_search(
+                self._dev_x,
+                jnp.asarray(q, self._dev_x.dtype),
+                fetch,
+                n_valid=self._n_valid,
+            )
+            scores = np.asarray(result.scores, dtype=np.float32)
+            indices = np.asarray(result.indices)
+
+        out: list[list[SearchResult]] = []
+        for b in range(len(q)):
+            hits: list[SearchResult] = []
+            for score, row in zip(scores[b], indices[b]):
+                if row < 0 or row >= len(self._metadata):
+                    continue
+                meta = self._metadata[row]
+                if filter_fn is not None and not filter_fn(meta):
+                    continue
+                hits.append(
+                    SearchResult(
+                        metadata=meta,
+                        similarity_score=float(score),
+                        rank=len(hits) + 1,
+                        source="local",
+                    )
+                )
+                if len(hits) >= top_k:
+                    break
+            out.append(hits)
+        return out
+
+    def search(
+        self,
+        query_vector: np.ndarray,
+        top_k: int = 20,
+        filter_fn: Callable[[KeyframeMetadata], bool] | None = None,
+    ) -> list[SearchResult]:
+        """Single-query convenience (BASELINE.json public API name)."""
+        return self.search_vectors(query_vector[None] if query_vector.ndim == 1
+                                   else query_vector, top_k, filter_fn)[0]
+
+    def augmented_search(
+        self,
+        query_vector: np.ndarray,
+        top_k: int = 20,
+        temporal_window: int | None = None,
+        filter_fn: Callable[[KeyframeMetadata], bool] | None = None,
+    ) -> list[SearchResult]:
+        """search + temporal-context augmentation per hit (BASELINE.json
+        public API name; reference analog ``unified_builder.py:229``)."""
+        window = self.config.temporal_window if temporal_window is None else temporal_window
+        hits = self.search(query_vector, top_k, filter_fn)
+        for hit in hits:
+            hit.temporal_context = self.get_temporal_context(
+                hit.metadata.row_id, window
+            )
+        return hits
+
+    # -- assets / metadata ----------------------------------------------------
+
+    def get_metadata(self, row_id: int) -> KeyframeMetadata:
+        return self._metadata[row_id]
+
+    def row_for(self, folder: str, image: str) -> int | None:
+        return self._row_by_key.get((folder, image))
+
+    def get_thumbnail(self, row_id_or_folder: int | str, image: str | None = None) -> bytes:
+        """Thumbnail JPEG by row id or (folder, image) pair."""
+        assert self._container is not None
+        row = self._resolve_row(row_id_or_folder, image)
+        return self._container.get_thumbnail(row)
+
+    def get_full_image(self, row_id_or_folder: int | str, image: str | None = None) -> bytes:
+        assert self._container is not None
+        row = self._resolve_row(row_id_or_folder, image)
+        data = self._container.get_image(row) if self._container.num_images else b""
+        if not data:
+            # fall back to original file on disk (reference behaviour when
+            # full images were not stored)
+            meta = self._metadata[row]
+            if meta.path and Path(meta.path).is_file():
+                return Path(meta.path).read_bytes()
+        return data
+
+    def _resolve_row(self, row_or_folder: int | str, image: str | None) -> int:
+        if isinstance(row_or_folder, int):
+            return row_or_folder
+        row = self._row_by_key.get((row_or_folder, image or ""))
+        if row is None:
+            raise KeyError(f"no such keyframe: {row_or_folder}/{image}")
+        return row
+
+    def get_temporal_context(self, row_id: int, window: int = 5) -> list[dict[str, Any]]:
+        """+-window neighbours within the same folder, ordered by frame_id.
+
+        Row ids are assigned in folder-sorted frame order at build time, so
+        neighbours are adjacent rows of the same folder — O(window) lookups
+        (the reference precomputed +-5 lists, ``unified_index.py:1115-1144``).
+        """
+        if not 0 <= row_id < len(self._metadata):
+            return []
+        center = self._metadata[row_id]
+        context = []
+        for offset in range(-window, window + 1):
+            if offset == 0:
+                continue
+            idx = row_id + offset
+            if 0 <= idx < len(self._metadata):
+                m = self._metadata[idx]
+                if m.folder == center.folder:
+                    context.append(
+                        {
+                            "row_id": m.row_id,
+                            "folder": m.folder,
+                            "image": m.image,
+                            "frame_id": m.frame_id,
+                            "offset": offset,
+                        }
+                    )
+        return context
+
+    # -- incremental update -----------------------------------------------
+
+    def incremental_update(
+        self,
+        new_embeddings: np.ndarray,
+        new_metadata: Sequence[KeyframeMetadata | dict[str, Any]],
+        thumbnails: list[bytes] | None = None,
+        file_hashes: list[str] | None = None,
+    ) -> dict[str, Any]:
+        """Append new rows (embeddings+metadata+assets) without a rebuild.
+
+        Reference analog ``unified_index.py:415-478``; unlike the reference
+        (which falls back to full rebuild above 10% churn because FAISS must
+        be rebuilt) appends here are O(new) — the device matrix has padded
+        capacity and the kernel masks by ``n_valid``.
+        """
+        assert self._container is not None, "index not loaded"
+        if self._container.mode == "r":
+            raise PermissionError("index opened read-only")
+        rows = np.atleast_2d(np.asarray(new_embeddings, dtype=np.float32))
+        if len(rows) != len(new_metadata):
+            raise ValueError("embeddings/metadata count mismatch")
+        if self.config.normalize and len(rows):
+            rows = rows / np.maximum(
+                np.linalg.norm(rows, axis=-1, keepdims=True), 1e-12
+            )
+        with self._lock:
+            start = self._container.num_rows
+            records = []
+            metas: list[KeyframeMetadata] = []
+            for i, m in enumerate(new_metadata):
+                meta = (
+                    m if isinstance(m, KeyframeMetadata)
+                    else KeyframeMetadata.from_dict(dict(m))
+                )
+                meta.row_id = start + i
+                metas.append(meta)
+                records.append(meta.to_dict())
+            self._container.append_embeddings(rows)
+            self._container.append_metadata(records)
+            if thumbnails is not None:
+                self._container.append_thumbnails(thumbnails)
+            if file_hashes:
+                self._container.append_journal(file_hashes)
+            self._container.flush_checkpoint()
+            self._metadata.extend(metas)
+            for meta in metas:
+                self._row_by_key[meta.key] = meta.row_id
+            self._append_device_rows(rows)
+        return {"appended": len(rows), "ntotal": self._n_valid}
+
+    # -- stats ----------------------------------------------------------------
+
+    def get_stats(self) -> dict[str, Any]:
+        stats: dict[str, Any] = {
+            "ntotal": self._n_valid,
+            "dim": self.dim,
+            "capacity": self._capacity,
+            "load_time_s": self.load_time_s,
+            "loaded": self.is_loaded,
+        }
+        if self._container is not None:
+            stats["container"] = self._container.stats().as_dict()
+        return stats

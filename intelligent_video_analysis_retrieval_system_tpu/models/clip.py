@@ -1,0 +1,346 @@
+"""CLIP text + vision towers in Flax, written TPU-first.
+
+Architecture follows the published CLIP design (ViT tower + causal text
+transformer, QuickGELU, pre-LN) so that converted ``openai/clip-vit-*``
+weights reproduce the reference's embeddings (``core.py:1392,1442-1443``
+uses ``openai/clip-vit-large-patch14`` through torch). Implementation is
+from scratch and device-first:
+
+- all matmuls carry an explicit ``precision`` knob: ``DEFAULT`` (bf16 MXU
+  passes) for throughput, ``HIGHEST`` for the fp32 parity mode used in
+  golden tests (SURVEY.md §7 "hard parts" #1);
+- params stay fp32; activations run in ``compute_dtype`` (bf16 by default);
+- attention is ``jax.nn.dot_product_attention``-free on purpose: a plain
+  einsum formulation lets XLA pick fused flash-style lowerings on TPU and
+  keeps the module dependency-light;
+- no data-dependent Python control flow — the whole forward jits and pjits
+  (sharding annotations are applied by ``parallel.shard_clip_params``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "CLIPVisionConfig",
+    "CLIPTextConfig",
+    "CLIPConfig",
+    "CLIPVisionTower",
+    "CLIPTextTower",
+    "CLIPModel",
+]
+
+
+# ---------------------------------------------------------------------------
+# Configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class CLIPVisionConfig:
+    image_size: int = 224
+    patch_size: int = 14
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    mlp_ratio: int = 4
+    projection_dim: int = 768
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+
+@dataclass(frozen=True)
+class CLIPTextConfig:
+    vocab_size: int = 49408
+    max_length: int = 77
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    mlp_ratio: int = 4
+    projection_dim: int = 768
+
+
+@dataclass(frozen=True)
+class CLIPConfig:
+    vision: CLIPVisionConfig = field(default_factory=CLIPVisionConfig)
+    text: CLIPTextConfig = field(default_factory=CLIPTextConfig)
+    logit_scale_init: float = 2.6592  # ln(1/0.07), CLIP's published init
+
+    @classmethod
+    def vit_l_14(cls) -> "CLIPConfig":
+        """openai/clip-vit-large-patch14 (the reference's model)."""
+        return cls()
+
+    @classmethod
+    def vit_b_32(cls) -> "CLIPConfig":
+        """openai/clip-vit-base-patch32 (reference fallback, system.py:1438)."""
+        return cls(
+            vision=CLIPVisionConfig(
+                patch_size=32, hidden_size=768, num_layers=12, num_heads=12,
+                projection_dim=512,
+            ),
+            text=CLIPTextConfig(hidden_size=512, num_layers=12, num_heads=8,
+                                projection_dim=512),
+        )
+
+    @classmethod
+    def tiny_test(cls) -> "CLIPConfig":
+        """Small config for unit tests / CI."""
+        return cls(
+            vision=CLIPVisionConfig(
+                image_size=32, patch_size=8, hidden_size=64, num_layers=2,
+                num_heads=4, projection_dim=32,
+            ),
+            text=CLIPTextConfig(
+                vocab_size=512, max_length=16, hidden_size=48, num_layers=2,
+                num_heads=4, projection_dim=32,
+            ),
+        )
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """CLIP's activation: x * sigmoid(1.702 x)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+# ---------------------------------------------------------------------------
+# Shared transformer block
+# ---------------------------------------------------------------------------
+
+
+class MultiHeadAttention(nn.Module):
+    num_heads: int
+    dtype: Any = jnp.float32
+    precision: lax.Precision = lax.Precision.DEFAULT
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
+        d = x.shape[-1]
+        head_dim = d // self.num_heads
+        dense = lambda name: nn.Dense(
+            d, dtype=self.dtype, precision=self.precision, name=name
+        )
+        q = dense("q_proj")(x)
+        k = dense("k_proj")(x)
+        v = dense("v_proj")(x)
+
+        def split(t):
+            return t.reshape(*t.shape[:-1], self.num_heads, head_dim)
+
+        q, k, v = split(q), split(k), split(v)
+        scale = head_dim ** -0.5
+        # (B, H, Tq, Tk)
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q * scale, k, precision=self.precision
+        ).astype(jnp.float32)  # softmax in f32 for stability/parity
+        if mask is not None:
+            logits = logits + mask
+        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v, precision=self.precision)
+        out = out.reshape(*x.shape)
+        return dense("out_proj")(out)
+
+
+class TransformerBlock(nn.Module):
+    num_heads: int
+    mlp_ratio: int
+    dtype: Any = jnp.float32
+    precision: lax.Precision = lax.Precision.DEFAULT
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
+        d = x.shape[-1]
+        # Pre-LN residual blocks; LayerNorm in f32 (param_dtype default f32).
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
+        x = x + MultiHeadAttention(
+            self.num_heads, dtype=self.dtype, precision=self.precision, name="attn"
+        )(h, mask)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
+        h = nn.Dense(d * self.mlp_ratio, dtype=self.dtype,
+                     precision=self.precision, name="mlp_fc")(h)
+        h = quick_gelu(h)
+        h = nn.Dense(d, dtype=self.dtype, precision=self.precision,
+                     name="mlp_proj")(h)
+        return x + h
+
+
+class Transformer(nn.Module):
+    num_layers: int
+    num_heads: int
+    mlp_ratio: int
+    dtype: Any = jnp.float32
+    precision: lax.Precision = lax.Precision.DEFAULT
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
+        block_cls = TransformerBlock
+        if self.remat:
+            block_cls = nn.remat(TransformerBlock)
+        for i in range(self.num_layers):
+            x = block_cls(
+                self.num_heads, self.mlp_ratio, dtype=self.dtype,
+                precision=self.precision, name=f"layer_{i}"
+            )(x, mask)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# Vision tower
+# ---------------------------------------------------------------------------
+
+
+class CLIPVisionTower(nn.Module):
+    config: CLIPVisionConfig
+    dtype: Any = jnp.float32
+    precision: lax.Precision = lax.Precision.DEFAULT
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, pixels: jnp.ndarray) -> jnp.ndarray:
+        """(B, H, W, 3) normalized pixels -> (B, projection_dim) embeddings
+        (unnormalized; callers L2-normalize)."""
+        cfg = self.config
+        b = pixels.shape[0]
+        x = nn.Conv(
+            cfg.hidden_size,
+            kernel_size=(cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            use_bias=False,
+            dtype=self.dtype,
+            precision=self.precision,
+            name="patch_embed",
+        )(pixels.astype(self.dtype))
+        x = x.reshape(b, -1, cfg.hidden_size)  # (B, P, D)
+        cls = self.param(
+            "class_embedding", nn.initializers.normal(0.02), (cfg.hidden_size,)
+        )
+        cls_tok = jnp.broadcast_to(
+            cls.astype(self.dtype), (b, 1, cfg.hidden_size)
+        )
+        x = jnp.concatenate([cls_tok, x], axis=1)
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(0.02),
+            (cfg.num_patches + 1, cfg.hidden_size),
+        )
+        x = x + pos.astype(self.dtype)[None]
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre")(x)
+        x = Transformer(
+            cfg.num_layers, cfg.num_heads, cfg.mlp_ratio, dtype=self.dtype,
+            precision=self.precision, remat=self.remat, name="transformer"
+        )(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(x[:, 0])
+        proj = self.param(
+            "proj",
+            nn.initializers.normal(cfg.hidden_size ** -0.5),
+            (cfg.hidden_size, cfg.projection_dim),
+        )
+        return jnp.dot(x, proj.astype(self.dtype), precision=self.precision)
+
+
+# ---------------------------------------------------------------------------
+# Text tower
+# ---------------------------------------------------------------------------
+
+
+class CLIPTextTower(nn.Module):
+    config: CLIPTextConfig
+    dtype: Any = jnp.float32
+    precision: lax.Precision = lax.Precision.DEFAULT
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, token_ids: jnp.ndarray, eot_positions: jnp.ndarray | None = None) -> jnp.ndarray:
+        """(B, T) int32 token ids -> (B, projection_dim).
+
+        ``eot_positions``: index of the EOT token per row; defaults to
+        argmax of token ids (CLIP's convention — EOT has the largest id).
+        """
+        cfg = self.config
+        tok = self.param(
+            "token_embedding",
+            nn.initializers.normal(0.02),
+            (cfg.vocab_size, cfg.hidden_size),
+        )
+        x = tok[token_ids].astype(self.dtype)  # (B, T, D)
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(0.01),
+            (cfg.max_length, cfg.hidden_size),
+        )
+        t = token_ids.shape[1]
+        x = x + pos[:t].astype(self.dtype)[None]
+        # causal mask, additive -inf above diagonal
+        mask = jnp.triu(
+            jnp.full((t, t), -jnp.inf, dtype=jnp.float32), k=1
+        )[None, None]
+        x = Transformer(
+            cfg.num_layers, cfg.num_heads, cfg.mlp_ratio, dtype=self.dtype,
+            precision=self.precision, remat=self.remat, name="transformer"
+        )(x, mask)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_final")(x)
+        if eot_positions is None:
+            eot_positions = jnp.argmax(token_ids, axis=-1)
+        x = jnp.take_along_axis(
+            x, eot_positions[:, None, None].astype(jnp.int32), axis=1
+        )[:, 0]
+        proj = self.param(
+            "proj",
+            nn.initializers.normal(cfg.hidden_size ** -0.5),
+            (cfg.hidden_size, cfg.projection_dim),
+        )
+        return jnp.dot(x, proj.astype(self.dtype), precision=self.precision)
+
+
+# ---------------------------------------------------------------------------
+# Combined model
+# ---------------------------------------------------------------------------
+
+
+class CLIPModel(nn.Module):
+    """Both towers + logit scale. Methods are independently jittable."""
+
+    config: CLIPConfig
+    dtype: Any = jnp.float32
+    precision: lax.Precision = lax.Precision.DEFAULT
+    remat: bool = False
+
+    def setup(self) -> None:
+        self.vision = CLIPVisionTower(
+            self.config.vision, dtype=self.dtype, precision=self.precision,
+            remat=self.remat,
+        )
+        self.text = CLIPTextTower(
+            self.config.text, dtype=self.dtype, precision=self.precision,
+            remat=self.remat,
+        )
+        self.logit_scale = self.param(
+            "logit_scale",
+            lambda _key, shape: jnp.full(shape, self.config.logit_scale_init),
+            (),
+        )
+
+    def encode_image(self, pixels: jnp.ndarray) -> jnp.ndarray:
+        return self.vision(pixels)
+
+    def encode_text(self, token_ids: jnp.ndarray,
+                    eot_positions: jnp.ndarray | None = None) -> jnp.ndarray:
+        return self.text(token_ids, eot_positions)
+
+    def __call__(self, pixels: jnp.ndarray, token_ids: jnp.ndarray):
+        """Contrastive logits (image x text), mainly for self-tests."""
+        img = self.encode_image(pixels)
+        txt = self.encode_text(token_ids)
+        img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+        txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+        scale = jnp.exp(self.logit_scale)
+        return scale * img @ txt.T

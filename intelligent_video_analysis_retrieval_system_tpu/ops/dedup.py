@@ -1,0 +1,79 @@
+"""Embedding-based keyframe deduplication as device scans.
+
+Replaces the reference's frame-by-frame Python loops:
+- ``video_frame_filter.py:63-70``: keep a frame iff cosine similarity to the
+  previously *kept* frame is below a threshold (sequential dependency),
+- ``filter.py:178-316``: in-scene dedup against a sliding window of kept
+  frames.
+
+Both have an inherent sequential data dependence (what is "kept" depends on
+earlier decisions), so they become ``lax.scan`` over precomputed normalized
+embeddings — the expensive part (the embeddings) is batched on the MXU; the
+scan is O(N) cheap VPU work entirely on device.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .normalize import l2_normalize
+
+__all__ = ["sequential_dedup", "windowed_dedup_mask"]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def sequential_dedup(embeddings: jnp.ndarray, threshold: float = 0.98) -> jnp.ndarray:
+    """Keep-mask over time-ordered embeddings.
+
+    Frame i is kept iff cos(e_i, e_last_kept) < threshold. Frame 0 is always
+    kept. Matches reference ``extract_unique_frames`` decision logic
+    (``video_frame_filter.py:63-70``).
+    """
+    emb = l2_normalize(embeddings.astype(jnp.float32))
+
+    def step(last_kept, e):
+        sim = jnp.sum(last_kept * e)
+        keep = sim < threshold
+        new_last = jnp.where(keep, e, last_kept)
+        return new_last, keep
+
+    if emb.shape[0] == 0:
+        return jnp.zeros((0,), dtype=bool)
+    _, keeps = lax.scan(step, emb[0], emb[1:])
+    return jnp.concatenate([jnp.ones((1,), bool), keeps])
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def windowed_dedup_mask(
+    embeddings: jnp.ndarray, threshold: float = 0.95, window: int = 5
+) -> jnp.ndarray:
+    """Keep-mask: drop frame i if it is >= ``threshold`` similar to ANY of
+    the last ``window`` *kept* frames (reference in-scene dedup,
+    ``filter.py:178-316``).
+
+    Carry is a ring buffer of the last ``window`` kept embeddings.
+    """
+    n = embeddings.shape[0]
+    if n == 0:
+        return jnp.zeros((0,), dtype=bool)
+    emb = l2_normalize(embeddings.astype(jnp.float32))
+    d = emb.shape[1]
+
+    # ring buffer initialized to zeros (zero vector has cos 0 < threshold)
+    init_buf = jnp.zeros((window, d), jnp.float32)
+    init_pos = jnp.zeros((), jnp.int32)
+
+    def step(carry, e):
+        buf, pos = carry
+        sims = buf @ e                      # (window,)
+        keep = jnp.max(sims) < threshold
+        buf = jnp.where(keep, buf.at[pos % window].set(e), buf)
+        pos = jnp.where(keep, pos + 1, pos)
+        return (buf, pos), keep
+
+    (_, _), keeps = lax.scan(step, (init_buf, init_pos), emb)
+    return keeps

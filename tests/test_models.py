@@ -1,0 +1,233 @@
+"""Model layer tests: Flax CLIP towers, HF weight conversion parity, tokenizer.
+
+The parity tests build a *randomly initialized* ``transformers.CLIPModel``
+(no network needed), convert its weights, and require our Flax forward to
+reproduce torch embeddings — the numerical-parity gate from SURVEY.md §7.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from intelligent_video_analysis_retrieval_system_tpu.models import (
+    CLIPConfig,
+    CLIPModel,
+    SimpleTokenizer,
+    convert_hf_clip_params,
+)
+from intelligent_video_analysis_retrieval_system_tpu.models.convert import (
+    hf_config_to_ours,
+    load_clip,
+)
+from intelligent_video_analysis_retrieval_system_tpu.models.tokenizer import (
+    CLIPTokenizer,
+    load_tokenizer,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_torch_clip():
+    import torch
+    import transformers
+
+    torch.manual_seed(0)
+    hf_cfg = transformers.CLIPConfig(
+        text_config_dict=None,
+        vision_config_dict=None,
+        projection_dim=32,
+        text_config={
+            "vocab_size": 512,
+            "hidden_size": 48,
+            "intermediate_size": 192,
+            "num_hidden_layers": 2,
+            "num_attention_heads": 4,
+            "max_position_embeddings": 16,
+            "hidden_act": "quick_gelu",
+            # HF pools at the eos_token_id position; CLIP's convention is
+            # EOT = largest vocab id (which our tower finds via argmax)
+            "eos_token_id": 511,
+        },
+        vision_config={
+            "image_size": 32,
+            "patch_size": 8,
+            "hidden_size": 64,
+            "intermediate_size": 256,
+            "num_hidden_layers": 2,
+            "num_attention_heads": 4,
+            "hidden_act": "quick_gelu",
+        },
+    )
+    model = transformers.CLIPModel(hf_cfg).eval()
+    return hf_cfg, model
+
+
+class TestParityWithTorch:
+    def _ours(self, hf_cfg, torch_model):
+        cfg = hf_config_to_ours(hf_cfg)
+        params = convert_hf_clip_params(torch_model.state_dict(), cfg)
+        model = CLIPModel(cfg, precision=lax.Precision.HIGHEST)
+        return cfg, model, params
+
+    def test_image_embeddings_match(self, tiny_torch_clip, rng):
+        import torch
+
+        hf_cfg, torch_model = tiny_torch_clip
+        cfg, model, params = self._ours(hf_cfg, torch_model)
+        px = rng.standard_normal((3, 32, 32, 3)).astype(np.float32)
+        with torch.no_grad():
+            want = torch_model.get_image_features(
+                pixel_values=torch.tensor(px.transpose(0, 3, 1, 2))
+            ).numpy()
+        got = np.asarray(
+            model.apply({"params": params}, jnp.asarray(px),
+                        method=CLIPModel.encode_image)
+        )
+        cos = np.sum(got * want, -1) / (
+            np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1)
+        )
+        assert cos.min() > 0.9999, cos
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+    def test_text_embeddings_match(self, tiny_torch_clip, rng):
+        import torch
+
+        hf_cfg, torch_model = tiny_torch_clip
+        cfg, model, params = self._ours(hf_cfg, torch_model)
+        # token rows ending with the max id (EOT convention): HF pools at
+        # argmax position too for openai checkpoints
+        toks = rng.integers(1, 500, (4, 16)).astype(np.int64)
+        toks[:, 0] = 510
+        toks[:, -1] = 511  # EOT = largest id
+        with torch.no_grad():
+            want = torch_model.get_text_features(
+                input_ids=torch.tensor(toks)
+            ).numpy()
+        got = np.asarray(
+            model.apply({"params": params}, jnp.asarray(toks.astype(np.int32)),
+                        method=CLIPModel.encode_text)
+        )
+        cos = np.sum(got * want, -1) / (
+            np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1)
+        )
+        assert cos.min() > 0.9999, cos
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+    def test_bf16_mode_close_to_f32(self, tiny_torch_clip, rng):
+        hf_cfg, torch_model = tiny_torch_clip
+        cfg, model, params = self._ours(hf_cfg, torch_model)
+        fast = CLIPModel(cfg, dtype=jnp.bfloat16)
+        px = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+        ref = np.asarray(
+            model.apply({"params": params}, jnp.asarray(px),
+                        method=CLIPModel.encode_image)
+        )
+        quick = np.asarray(
+            fast.apply({"params": params}, jnp.asarray(px),
+                       method=CLIPModel.encode_image)
+        ).astype(np.float32)
+        cos = np.sum(ref * quick, -1) / (
+            np.linalg.norm(ref, -1) * np.linalg.norm(quick, -1) + 1e-9
+        )
+        assert cos.min() > 0.98  # bf16 throughput mode stays retrieval-safe
+
+
+class TestModelBasics:
+    def test_forward_shapes(self, rng):
+        cfg = CLIPConfig.tiny_test()
+        model = CLIPModel(cfg)
+        px = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+        toks = jnp.asarray(rng.integers(1, 500, (3, 16)).astype(np.int32))
+        variables = model.init(jax.random.PRNGKey(0), px, toks)
+        img = model.apply(variables, px, method=CLIPModel.encode_image)
+        txt = model.apply(variables, toks, method=CLIPModel.encode_text)
+        assert img.shape == (2, 32)
+        assert txt.shape == (3, 32)
+        logits = model.apply(variables, px, toks)
+        assert logits.shape == (2, 3)
+
+    def test_jit_compiles(self, rng):
+        cfg = CLIPConfig.tiny_test()
+        model = CLIPModel(cfg)
+        px = jnp.asarray(rng.standard_normal((1, 32, 32, 3)).astype(np.float32))
+        toks = jnp.asarray(rng.integers(1, 500, (1, 16)).astype(np.int32))
+        variables = model.init(jax.random.PRNGKey(0), px, toks)
+
+        @jax.jit
+        def encode(v, p):
+            return model.apply(v, p, method=CLIPModel.encode_image)
+
+        out = encode(variables, px)
+        assert out.shape == (1, 32)
+
+    def test_causal_mask_effective(self, rng):
+        # changing a later token must not affect the representation pooled
+        # at an earlier EOT position
+        cfg = CLIPConfig.tiny_test()
+        model = CLIPModel(cfg)
+        toks = rng.integers(1, 500, (1, 16)).astype(np.int32)
+        toks[0, 5] = 511  # EOT at position 5 (largest id)
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 32, 32, 3)),
+            jnp.asarray(toks),
+        )
+        out1 = model.apply(variables, jnp.asarray(toks), method=CLIPModel.encode_text)
+        toks2 = toks.copy()
+        toks2[0, 10] = 7  # after EOT
+        out2 = model.apply(variables, jnp.asarray(toks2), method=CLIPModel.encode_text)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+
+    def test_load_clip_random_fallback(self):
+        cfg, params = load_clip(None, config=CLIPConfig.tiny_test())
+        assert "vision" in params and "text" in params
+
+
+class TestTokenizer:
+    def test_simple_tokenizer_deterministic(self):
+        tok = SimpleTokenizer(vocab_size=1000)
+        a = tok(["a red car", "a red car"])
+        np.testing.assert_array_equal(a[0], a[1])
+        assert a.shape == (2, 77)
+
+    def test_sot_eot_layout(self):
+        tok = SimpleTokenizer(vocab_size=1000)
+        ids = tok("hello world")[0]
+        assert ids[0] == tok.sot_id
+        n = int((ids != 0).sum())
+        assert ids[n - 1] == tok.eot_id
+        # EOT is the largest id -> argmax finds it (text tower convention)
+        assert int(np.argmax(ids)) == n - 1
+
+    def test_truncation_keeps_eot(self):
+        tok = SimpleTokenizer(vocab_size=1000, context_length=8)
+        ids = tok("one two three four five six seven eight nine ten")[0]
+        assert len(ids) == 8
+        assert ids[-1] == tok.eot_id
+
+    def test_eot_positions(self):
+        tok = SimpleTokenizer(vocab_size=1000)
+        batch = tok(["hi", "a much longer query about cats"])
+        pos = tok.eot_positions(batch)
+        assert pos[0] < pos[1]
+
+    def test_bpe_tokenizer_from_merges(self, tmp_path):
+        # micro merges file exercising the BPE merge loop
+        merges = tmp_path / "merges.txt"
+        merges.write_text("#version: 0.2\nh e\nl l\nhe ll\nhell o</w>\n")
+        tok = CLIPTokenizer(merges)
+        ids = tok.encode("hello")
+        # "hello" -> he+ll -> hell + o</w> -> "hello</w>"? depends on merge
+        # list; what matters: roundtrip determinism and SOT/EOT wrapping
+        assert ids[0] == tok.sot_id and ids[-1] == tok.eot_id
+        assert tok.encode("hello") == ids
+
+    def test_load_tokenizer_fallback(self, tmp_path):
+        tok = load_tokenizer(tmp_path)  # no files -> SimpleTokenizer
+        assert isinstance(tok, SimpleTokenizer)
+
+    def test_unicode_vietnamese(self):
+        tok = SimpleTokenizer(vocab_size=49408)
+        ids = tok("người đang chạy")
+        assert (ids != 0).sum() > 2
