@@ -239,6 +239,26 @@ def topk_exact_reference(
     return TopKResult(top_scores, top_ids.astype(jnp.int32))
 
 
+@functools.partial(jax.jit, static_argnames=("k", "precision"))
+def topk_masked_reference(
+    x: jnp.ndarray,
+    q: jnp.ndarray,
+    k: int,
+    n_valid: jnp.ndarray,
+    precision: lax.Precision = lax.Precision.HIGHEST,
+) -> TopKResult:
+    """Oracle with a *dynamic* live-row count: rows >= n_valid are masked
+    to -inf BEFORE selection (the sharded searcher's per-shard fallback)."""
+    scores = jnp.einsum(
+        "bd,nd->bn", q.astype(jnp.float32), x.astype(jnp.float32),
+        precision=precision,
+    )
+    col = jnp.arange(x.shape[0])[None, :]
+    scores = jnp.where(col < n_valid, scores, -jnp.inf)
+    top_scores, top_ids = lax.top_k(scores, min(k, x.shape[0]))
+    return TopKResult(top_scores, top_ids.astype(jnp.int32))
+
+
 def cosine_topk(x: jnp.ndarray, q: jnp.ndarray, k: int, **kwargs) -> TopKResult:
     """Convenience: L2-normalize both sides then exact top-k."""
     from .normalize import l2_normalize

@@ -1,0 +1,192 @@
+"""Sharded top-k search: per-chip shard sweep + ICI merge.
+
+The multi-chip path named in BASELINE.json config #5 ("multi-chip sharded
+index on v5e-8: per-chip shard search + ICI top-k merge"). Replaces the
+reference's HTTP fan-out merge (``system.py:1715-1757``: per-node POST of
+the query vector, client-side sort) with one SPMD program:
+
+    X rows sharded over mesh axis "index"  (N/d rows per chip, HBM-resident)
+    every chip:  local exact top-k (ops.topk fused kernel)
+    all_gather (k scores, k global ids) over ICI  — k*devices tiny payload
+    every chip:  final k-selection (replicated result)
+
+The collective moves ``devices * B * k * 8`` bytes — for 8 chips, B=8,
+k=100 that is 51 KB over ICI vs the reference shipping full result JSON
+over a LAN.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.topk import TILE_N, TopKResult, topk_masked_reference
+
+__all__ = ["sharded_topk", "ShardedIndexSearcher"]
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pad_b(b: int) -> int:
+    return _ceil_to(max(b, 8), 8)
+
+
+def build_sharded_searcher(
+    mesh: Mesh,
+    axis: str,
+    n_pad: int,
+    k: int,
+    use_pallas: bool,
+    interpret: bool = False,
+):
+    """Compile a replicated-output sharded searcher for static shapes.
+
+    Returns ``f(x_sharded, q, n_valid) -> TopKResult`` where ``x_sharded``
+    is (n_pad, D) sharded rows-wise over ``axis`` and results are replicated.
+    """
+    n_dev = mesh.shape[axis]
+    shard_rows = n_pad // n_dev
+    assert n_pad % n_dev == 0
+
+    def shard_fn(x_shard: jnp.ndarray, q: jnp.ndarray, n_valid: jnp.ndarray):
+        my = lax.axis_index(axis)
+        offset = my * shard_rows
+        # rows of this shard that are live; masking must happen BEFORE the
+        # local selection or an all-padding shard would crowd out real hits
+        local_valid = jnp.clip(n_valid - offset, 0, shard_rows)
+        if use_pallas or interpret:
+            from ..ops.topk import _build_searcher
+
+            search = _build_searcher(
+                shard_rows, x_shard.shape[1], _pad_b(q.shape[0]), k,
+                interpret, lax.Precision.HIGHEST,
+            )
+            from ..ops.topk import pad_queries
+
+            local = search(x_shard, pad_queries(q), local_valid)
+            local = TopKResult(local.scores[: q.shape[0]],
+                               local.indices[: q.shape[0]])
+        else:
+            local = topk_masked_reference(
+                x_shard, q, min(k, shard_rows), local_valid
+            )
+        scores = local.scores
+        gids = local.indices + offset
+        # ICI merge: gather every chip's candidates, k-select locally
+        all_scores = lax.all_gather(scores, axis, axis=0)   # (ndev, B, k)
+        all_ids = lax.all_gather(gids, axis, axis=0)
+        b = q.shape[0]
+        k_local = scores.shape[1]
+        flat_scores = jnp.transpose(all_scores, (1, 0, 2)).reshape(b, n_dev * k_local)
+        flat_ids = jnp.transpose(all_ids, (1, 0, 2)).reshape(b, n_dev * k_local)
+        k_out = min(k, n_dev * k_local)
+        top_scores, pos = lax.top_k(flat_scores, k_out)
+        top_ids = jnp.take_along_axis(flat_ids, pos, axis=1)
+        return top_scores, top_ids.astype(jnp.int32)
+
+    in_specs = (P(axis, None), P(), P())
+    out_specs = (P(), P())
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=32)
+def _searcher_cache(mesh_key, axis, n_pad, k, use_pallas, interpret):
+    mesh = _MESHES[mesh_key]
+    return build_sharded_searcher(mesh, axis, n_pad, k, use_pallas, interpret)
+
+
+_MESHES: dict[int, Mesh] = {}
+
+
+def sharded_topk(
+    mesh: Mesh,
+    x_sharded: jnp.ndarray,
+    q: jnp.ndarray,
+    k: int,
+    n_valid: int,
+    axis: str = "index",
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+) -> TopKResult:
+    """Replicated exact top-k over a row-sharded database."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    _MESHES[id(mesh)] = mesh
+    fn = _searcher_cache(
+        id(mesh), axis, int(x_sharded.shape[0]), int(k), bool(use_pallas),
+        bool(interpret),
+    )
+    scores, ids = fn(x_sharded, q, jnp.int32(n_valid))
+    return TopKResult(scores, ids)
+
+
+class ShardedIndexSearcher:
+    """Holds a row-sharded device database and serves replicated top-k.
+
+    Drop-in device backend for ``UnifiedIndex`` when a mesh is available:
+    rows pad to ``devices * TILE_N`` granularity and shard evenly; queries
+    replicate; merged results are identical to single-device search.
+    """
+
+    def __init__(self, mesh: Mesh, axis: str = "index", dtype=jnp.bfloat16):
+        self.mesh = mesh
+        self.axis = axis
+        self.dtype = dtype
+        self.n_valid = 0
+        self._x = None
+
+    @property
+    def n_devices(self) -> int:
+        return self.mesh.shape[self.axis]
+
+    def load(self, x: np.ndarray) -> None:
+        """Shard (N, D) rows across the mesh axis."""
+        n, d = x.shape
+        n_pad = _ceil_to(max(n, 1), self.n_devices * TILE_N)
+        host = np.zeros((n_pad, d), dtype=np.float32)
+        host[:n] = x
+        sharding = NamedSharding(self.mesh, P(self.axis, None))
+        self._x = jax.device_put(jnp.asarray(host, self.dtype), sharding)
+        self.n_valid = n
+
+    def append(self, rows: np.ndarray) -> None:
+        """Append rows (re-shards; cheap relative to reload for now)."""
+        if self._x is None:
+            self.load(rows)
+            return
+        current = np.asarray(self._x[: self.n_valid], np.float32)
+        self.load(np.concatenate([current, np.asarray(rows, np.float32)]))
+
+    def search(
+        self, q: np.ndarray, k: int,
+        use_pallas: bool | None = None, interpret: bool = False,
+    ) -> TopKResult:
+        assert self._x is not None, "no database loaded"
+        qd = jnp.asarray(np.atleast_2d(q), self.dtype)
+        k = min(k, max(self.n_valid, 1))
+        return sharded_topk(
+            self.mesh, self._x, qd, k, self.n_valid, axis=self.axis,
+            use_pallas=use_pallas, interpret=interpret,
+        )
+
+    def stats(self) -> dict[str, Any]:
+        return {
+            "devices": self.n_devices,
+            "axis": self.axis,
+            "n_valid": self.n_valid,
+            "padded_rows": 0 if self._x is None else int(self._x.shape[0]),
+            "rows_per_device": 0 if self._x is None
+            else int(self._x.shape[0]) // self.n_devices,
+        }

@@ -8,14 +8,20 @@ interpreter mode on CPU and compiled on real TPU when present.
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# XLA reads this at backend init; set before the first jax.devices() call.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The environment's sitecustomize imports jax at interpreter boot with
+# JAX_PLATFORMS=axon (real TPU), so env vars are too late here — override
+# the live config instead. Tests always run on the virtual CPU mesh.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,407 @@
+"""Index layer tests: container, builder (resume), UnifiedIndex, metadata,
+portable packages.
+
+The embedder is a deterministic fake (mean-pooled pixel statistics) so
+build->search roundtrips are checkable without a real model.
+"""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from intelligent_video_analysis_retrieval_system_tpu.index import (
+    IndexContainer,
+    MetadataManager,
+    PortableIndex,
+    RAGBuilder,
+    UnifiedIndex,
+    UnifiedIndexConfig,
+)
+from intelligent_video_analysis_retrieval_system_tpu.retrieval.results import (
+    KeyframeMetadata,
+)
+
+DIM = 32
+
+
+def fake_embed(batch: np.ndarray) -> np.ndarray:
+    """Deterministic embedding from pixel content: per-channel grid means."""
+    b, s, _, _ = batch.shape
+    g = batch.reshape(b, 4, s // 4, 4, s // 4, 3).mean(axis=(2, 4))  # (B,4,4,3)
+    flat = g.reshape(b, 48)[:, :DIM].astype(np.float32)
+    flat = flat + 0.001  # avoid zero rows
+    return flat / np.linalg.norm(flat, axis=-1, keepdims=True)
+
+
+def make_keyframes(root, folders=2, frames=6, size=64, seed=0):
+    """Write a keyframes/<video>/<n>.jpg tree of distinct solid-ish images."""
+    rng = np.random.default_rng(seed)
+    kf = root / "keyframes"
+    paths = {}
+    for f in range(folders):
+        folder = kf / f"video{f}"
+        folder.mkdir(parents=True, exist_ok=True)
+        for n in range(frames):
+            arr = rng.integers(0, 255, (size, size, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(folder / f"{n}.jpg", quality=95)
+            paths[(f"video{f}", f"{n}.jpg")] = folder / f"{n}.jpg"
+    return kf, paths
+
+
+def make_maps(root, folders=2, frames=6, fps=25.0):
+    mp = root / "map"
+    mp.mkdir(exist_ok=True)
+    for f in range(folders):
+        lines = ["n,pts_time,fps,frame_idx"]
+        for n in range(frames):
+            lines.append(f"{n},{n/fps*10:.3f},{fps},{n*10}")
+        (mp / f"video{f}.csv").write_text("\n".join(lines))
+    return mp
+
+
+def build_small(tmp_path, **kwargs):
+    kf, _ = make_keyframes(tmp_path)
+    mp = make_maps(tmp_path)
+    builder = RAGBuilder(
+        fake_embed, DIM, input_size=32,
+        config=UnifiedIndexConfig(chunk_size=5, dtype="float32",
+                                  thumbnail_size=32),
+        **kwargs,
+    )
+    return builder.build_index(kf, tmp_path / "index.rvdb", map_dir=mp)
+
+
+class TestContainer:
+    def test_embeddings_roundtrip_f32(self, tmp_path):
+        with IndexContainer(tmp_path / "c.rvdb", "w", dim=8, dtype="float32") as c:
+            rows = np.arange(24, dtype=np.float32).reshape(3, 8)
+            c.append_embeddings(rows)
+            got = c.read_embeddings(as_float32=True)
+            np.testing.assert_array_equal(got, rows)
+
+    def test_embeddings_bf16_roundtrip(self, tmp_path):
+        with IndexContainer(tmp_path / "c.rvdb", "w", dim=8, dtype="bfloat16") as c:
+            rows = np.random.default_rng(0).standard_normal((4, 8)).astype(np.float32)
+            c.append_embeddings(rows)
+            got = c.read_embeddings(as_float32=True)
+            np.testing.assert_allclose(got, rows, rtol=8e-3)  # bf16 mantissa
+
+    def test_blobs_and_metadata(self, tmp_path):
+        with IndexContainer(tmp_path / "c.rvdb", "w", dim=4) as c:
+            c.append_thumbnails([b"jpegA", b"", b"jpegC"])
+            assert c.get_thumbnail(0) == b"jpegA"
+            assert c.get_thumbnail(1) == b""
+            assert c.get_thumbnail(2) == b"jpegC"
+            c.append_metadata([{"folder": "v", "image": "1.jpg", "frame_id": 0}])
+            assert c.get_metadata(0)["image"] == "1.jpg"
+            with pytest.raises(IndexError):
+                c.get_thumbnail(3)
+
+    def test_journal_and_maps(self, tmp_path):
+        path = tmp_path / "c.rvdb"
+        with IndexContainer(path, "w", dim=4) as c:
+            c.append_journal(["abc", "def"])
+            c.put_map("video1", "n,frame_idx\n0,0\n")
+        with IndexContainer(path, "r") as c:
+            assert c.journal_hashes() == {"abc", "def"}
+            assert "frame_idx" in c.get_map("video1")
+            assert c.get_map("nope") is None
+
+    def test_reopen_append(self, tmp_path):
+        path = tmp_path / "c.rvdb"
+        with IndexContainer(path, "w", dim=4, dtype="float32") as c:
+            c.append_embeddings(np.ones((2, 4), np.float32))
+        with IndexContainer(path, "a") as c:
+            c.append_embeddings(np.zeros((1, 4), np.float32))
+            assert c.num_rows == 3
+
+    def test_consistency_repair(self, tmp_path):
+        path = tmp_path / "c.rvdb"
+        with IndexContainer(path, "w", dim=4, dtype="float32") as c:
+            c.append_embeddings(np.ones((3, 4), np.float32))
+            c.append_metadata([{"folder": "v", "image": f"{i}.jpg", "frame_id": i}
+                               for i in range(2)])  # torn tail: 3 vs 2
+            report = c.consistency_report()
+            assert not report["ok"]
+            c.repair_to_consistent()
+            assert c.num_rows == 2
+            assert c.consistency_report()["ok"]
+
+    def test_not_a_container(self, tmp_path):
+        bad = tmp_path / "bad.rvdb"
+        import h5py
+
+        with h5py.File(bad, "w") as f:
+            f.attrs["magic"] = "other"
+        with pytest.raises(ValueError):
+            IndexContainer(bad, "r")
+
+
+class TestBuilder:
+    def test_build_and_search_roundtrip(self, tmp_path):
+        index, report = build_small(tmp_path)
+        assert report.processed == 12
+        assert report.failed == 0
+        assert index.ntotal == 12
+        # query with the embedding of a known image -> must rank itself first
+        img = np.asarray(
+            Image.open(tmp_path / "keyframes" / "video1" / "3.jpg")
+            .convert("RGB").resize((32, 32), Image.BICUBIC), np.uint8
+        )
+        q = fake_embed(img[None])[0]
+        hits = index.search(q, top_k=3)
+        assert hits[0].metadata.folder == "video1"
+        assert hits[0].metadata.image == "3.jpg"
+        assert hits[0].similarity_score > 0.98
+        index.close()
+
+    def test_frame_ids_from_csv(self, tmp_path):
+        index, _ = build_small(tmp_path)
+        meta = index.get_metadata(index.row_for("video0", "4.jpg"))
+        assert meta.frame_id == 40  # n*10 from the map CSV
+        assert meta.fps == 25.0
+        index.close()
+
+    def test_thumbnails_stored(self, tmp_path):
+        index, _ = build_small(tmp_path)
+        thumb = index.get_thumbnail("video0", "0.jpg")
+        assert thumb[:2] == b"\xff\xd8"  # JPEG magic
+        index.close()
+
+    def test_resume_skips_processed(self, tmp_path):
+        index, first = build_small(tmp_path)
+        index.close()
+        # add two new images then rebuild with resume
+        folder = tmp_path / "keyframes" / "video0"
+        rng = np.random.default_rng(99)
+        for n in (6, 7):
+            arr = rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(folder / f"{n}.jpg", quality=95)
+        builder = RAGBuilder(
+            fake_embed, DIM, input_size=32,
+            config=UnifiedIndexConfig(chunk_size=5, dtype="float32",
+                                      thumbnail_size=32),
+        )
+        index2, report = builder.build_index(
+            tmp_path / "keyframes", tmp_path / "index.rvdb",
+            map_dir=tmp_path / "map", resume=True,
+        )
+        assert report.resumed
+        assert report.skipped_resume == 12
+        assert report.processed == 2
+        assert index2.ntotal == 14
+        index2.close()
+
+    def test_fresh_build_overwrites(self, tmp_path):
+        index, _ = build_small(tmp_path)
+        index.close()
+        builder = RAGBuilder(
+            fake_embed, DIM, input_size=32,
+            config=UnifiedIndexConfig(chunk_size=5, dtype="float32"),
+        )
+        index2, report = builder.build_index(
+            tmp_path / "keyframes", tmp_path / "index.rvdb",
+            map_dir=tmp_path / "map", resume=False,
+        )
+        assert not report.resumed
+        assert report.processed == 12
+        index2.close()
+
+    def test_corrupt_image_tolerated(self, tmp_path):
+        kf, _ = make_keyframes(tmp_path)
+        (kf / "video0" / "99.jpg").write_bytes(b"not a jpeg")
+        builder = RAGBuilder(
+            fake_embed, DIM, input_size=32,
+            config=UnifiedIndexConfig(chunk_size=100, dtype="float32"),
+        )
+        index, report = builder.build_index(kf, tmp_path / "i.rvdb")
+        assert report.failed == 1
+        assert report.processed == 12
+        assert index.ntotal == 12
+        index.close()
+
+
+class TestUnifiedIndex:
+    def test_load_from_file(self, tmp_path):
+        index, _ = build_small(tmp_path)
+        index.close()
+        loaded = UnifiedIndex().load_unified_index(tmp_path / "index.rvdb")
+        assert loaded.ntotal == 12
+        assert loaded.load_time_s is not None
+        hits = loaded.search(np.ones(DIM, np.float32), top_k=5)
+        assert len(hits) == 5
+        assert all(
+            hits[i].similarity_score >= hits[i + 1].similarity_score
+            for i in range(4)
+        )
+        loaded.close()
+
+    def test_search_vectors_batch_and_filter(self, tmp_path):
+        index, _ = build_small(tmp_path)
+        qs = np.stack([np.ones(DIM), -np.ones(DIM)]).astype(np.float32)
+        results = index.search_vectors(qs, top_k=4)
+        assert len(results) == 2 and len(results[0]) == 4
+        only_v1 = index.search(
+            np.ones(DIM, np.float32), top_k=4,
+            filter_fn=lambda m: m.folder == "video1",
+        )
+        assert all(h.metadata.folder == "video1" for h in only_v1)
+        index.close()
+
+    def test_augmented_search_has_temporal_context(self, tmp_path):
+        index, _ = build_small(tmp_path)
+        hits = index.augmented_search(np.ones(DIM, np.float32), top_k=2,
+                                      temporal_window=2)
+        assert hits[0].temporal_context
+        ctx = hits[0].temporal_context
+        assert all(c["folder"] == hits[0].metadata.folder for c in ctx)
+        index.close()
+
+    def test_temporal_context_respects_folder_boundary(self, tmp_path):
+        index, _ = build_small(tmp_path)
+        # first frame of video1 (row 6): neighbours must not leak video0
+        row = index.row_for("video1", "0.jpg")
+        ctx = index.get_temporal_context(row, window=3)
+        assert all(c["folder"] == "video1" for c in ctx)
+        assert all(c["offset"] > 0 for c in ctx)
+        index.close()
+
+    def test_incremental_update(self, tmp_path):
+        index, _ = build_small(tmp_path)
+        index.close()
+        index = UnifiedIndex(UnifiedIndexConfig(dtype="float32")).load_unified_index(
+            tmp_path / "index.rvdb", mode="a"
+        )
+        new_vec = np.full((1, DIM), 0.5, np.float32)
+        out = index.incremental_update(
+            new_vec,
+            [KeyframeMetadata(folder="videoX", image="0.jpg", frame_id=0)],
+            thumbnails=[b"\xff\xd8fake"],
+            file_hashes=["newhash123"],
+        )
+        assert out["ntotal"] == 13
+        hits = index.search(new_vec[0], top_k=1)
+        assert hits[0].metadata.folder == "videoX"
+        index.close()
+        # survives reload
+        again = UnifiedIndex().load_unified_index(tmp_path / "index.rvdb")
+        assert again.ntotal == 13
+        assert again.row_for("videoX", "0.jpg") == 12
+        again.close()
+
+    def test_incremental_rejected_readonly(self, tmp_path):
+        index, _ = build_small(tmp_path)
+        index.close()
+        ro = UnifiedIndex().load_unified_index(tmp_path / "index.rvdb", mode="r")
+        with pytest.raises(PermissionError):
+            ro.incremental_update(
+                np.ones((1, DIM), np.float32),
+                [KeyframeMetadata(folder="x", image="a.jpg", frame_id=0)],
+            )
+        ro.close()
+
+    def test_empty_index_search(self, tmp_path):
+        with IndexContainer(tmp_path / "e.rvdb", "w", dim=DIM, dtype="float32"):
+            pass
+        index = UnifiedIndex().load_unified_index(tmp_path / "e.rvdb")
+        assert index.search(np.ones(DIM, np.float32), top_k=5) == []
+        index.close()
+
+
+class TestMetadataManager:
+    def _metas_feats(self, rng):
+        metas, feats = [], []
+        row = 0
+        for folder in ("a", "b"):
+            base = rng.standard_normal(DIM)
+            for n in range(5):
+                metas.append(
+                    KeyframeMetadata(folder=folder, image=f"{n}.jpg",
+                                     frame_id=n * (1 if folder == "a" else 10),
+                                     row_id=row)
+                )
+                v = base + 0.05 * rng.standard_normal(DIM)
+                feats.append(v / np.linalg.norm(v))
+                row += 1
+        return metas, np.asarray(feats, np.float32)
+
+    def test_build_and_query(self, rng):
+        mm = MetadataManager()
+        metas, feats = self._metas_feats(rng)
+        mm.build_metadata(metas, feats)
+        assert mm.count() == 10
+        assert mm.folders() == ["a", "b"]
+        assert mm.get("a", "3.jpg").frame_id == 3
+
+    def test_temporal_neighbors(self, rng):
+        mm = MetadataManager()
+        metas, feats = self._metas_feats(rng)
+        mm.build_metadata(metas, feats)
+        nbrs = mm.get_temporal_neighbors("a", "2.jpg", window=1)
+        assert [m.image for m in nbrs] == ["1.jpg", "3.jpg"]
+
+    def test_similarity_graph(self, rng):
+        mm = MetadataManager(similarity_threshold=0.5)
+        metas, feats = self._metas_feats(rng)
+        mm.build_metadata(metas, feats)
+        similar = mm.get_similar_frames("a", "0.jpg")
+        assert similar  # same-folder frames are highly similar by design
+        assert all(s >= 0.5 for _, s in similar)
+
+    def test_scene_boundaries_gap(self, rng):
+        mm = MetadataManager(scene_gap_threshold=5)
+        metas, feats = self._metas_feats(rng)
+        mm.build_metadata(metas, feats)
+        assert mm.get_scene_boundaries("a") == [0]          # gaps of 1
+        assert mm.get_scene_boundaries("b") == [0, 1, 2, 3, 4]  # gaps of 10
+
+    def test_save_load_verified(self, rng, tmp_path):
+        mm = MetadataManager()
+        metas, feats = self._metas_feats(rng)
+        mm.build_metadata(metas, feats)
+        mm.save(tmp_path / "meta.json")
+        mm2 = MetadataManager()
+        mm2.load(tmp_path / "meta.json")
+        assert mm2.count() == 10
+        assert mm2.get_similar_frames("a", "0.jpg")
+
+
+class TestPortable:
+    def test_path_rewriting(self):
+        assert (
+            PortableIndex.to_portable_path("C:/users/x/keyframes/v/1.jpg")
+            == "keyframes/v/1.jpg"
+        )
+        assert PortableIndex.to_portable_path("/plain/file.jpg") == "file.jpg"
+
+    def test_package_roundtrip(self, tmp_path):
+        index, _ = build_small(tmp_path)
+        index.close()
+        pi = PortableIndex()
+        pkg = pi.create_package(tmp_path / "index.rvdb", tmp_path / "pkg")
+        report = pi.validate_package(pkg)
+        assert report["ok"], report
+        loaded = pi.load_package(pkg)
+        assert loaded.ntotal == 12
+        loaded.close()
+
+    def test_validation_catches_corruption(self, tmp_path):
+        index, _ = build_small(tmp_path)
+        index.close()
+        pi = PortableIndex()
+        pkg = pi.create_package(tmp_path / "index.rvdb", tmp_path / "pkg")
+        (pkg / "index.rvdb").write_bytes(b"truncated")
+        report = pi.validate_package(pkg)
+        assert not report["ok"]
+        with pytest.raises(ValueError):
+            pi.load_package(pkg)
+
+    def test_version_gate(self, tmp_path):
+        pi = PortableIndex()
+        pkg = tmp_path / "pkg"
+        pkg.mkdir()
+        (pkg / "manifest.json").write_text('{"format_version": "1.0"}')
+        report = pi.validate_package(pkg)
+        assert not report["ok"]
