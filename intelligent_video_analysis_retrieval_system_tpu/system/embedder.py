@@ -1,0 +1,307 @@
+"""CLIPEmbedder: the embedding service wiring model + tokenizer + device.
+
+Parity with the reference ``CLIPFeatureExtractor`` (``core.py:1384-1794``):
+batched text encode with 77-token truncation and L2 normalization, batched
+image encode with failure tolerance, a load-time self-test with dummy
+inputs (``core.py:1476-1502``), and folder-level feature extraction.
+
+TPU specifics:
+- jitted encode functions are compiled once per (padded) batch signature;
+  batches pad to fixed buckets so arbitrary caller batch sizes never
+  trigger recompiles;
+- params stay f32 on device; activations run bf16 (or f32 in parity mode);
+- when no local HF checkpoint exists the towers are randomly initialized
+  (still deterministic + useful for self-retrieval; drop a checkpoint
+  directory in ``model.path`` for CLIP-quality search).
+"""
+
+from __future__ import annotations
+
+import functools
+import threading
+import time
+from pathlib import Path
+from typing import Any, Callable, Sequence
+
+import numpy as np
+
+from ..utils.logging import Logger
+
+__all__ = ["CLIPEmbedder"]
+
+_BATCH_BUCKETS = (8, 32, 128, 256)
+
+
+def _bucket(n: int) -> int:
+    for b in _BATCH_BUCKETS:
+        if n <= b:
+            return b
+    return -(-n // _BATCH_BUCKETS[-1]) * _BATCH_BUCKETS[-1]
+
+
+class CLIPEmbedder:
+    def __init__(
+        self,
+        model_path: str | Path | None = None,
+        config: Any | None = None,          # models.CLIPConfig
+        compute_dtype: str = "bfloat16",
+        parity_mode: bool = False,
+        image_batch_size: int = 256,
+        logger: Logger | None = None,
+        vocab_dir: str | Path | None = None,
+    ) -> None:
+        self.model_path = model_path
+        self._config_override = config
+        self.compute_dtype = "float32" if parity_mode else compute_dtype
+        self.parity_mode = parity_mode
+        self.image_batch_size = image_batch_size
+        self.logger = logger
+        self.vocab_dir = vocab_dir
+        self._lock = threading.RLock()
+        self._loaded = False
+        self.model = None
+        self.params = None
+        self.config = None
+        self.tokenizer = None
+        self.load_time_s: float | None = None
+        self.using_pretrained = False
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def ensure_loaded(self) -> None:
+        with self._lock:
+            if self._loaded:
+                return
+            t0 = time.perf_counter()
+            import jax.numpy as jnp
+            from jax import lax
+
+            from ..models.clip import CLIPModel
+            from ..models.convert import load_clip
+            from ..models.tokenizer import load_tokenizer
+
+            cfg, params = load_clip(self.model_path, config=self._config_override)
+            self.using_pretrained = (
+                self.model_path is not None
+                and Path(str(self.model_path)).exists()
+            )
+            dtype = jnp.float32 if self.compute_dtype == "float32" else jnp.bfloat16
+            precision = (
+                lax.Precision.HIGHEST if self.parity_mode else lax.Precision.DEFAULT
+            )
+            self.config = cfg
+            self.model = CLIPModel(cfg, dtype=dtype, precision=precision)
+            self.params = params
+            vocab = self.vocab_dir or (
+                self.model_path if self.using_pretrained else None
+            )
+            self.tokenizer = load_tokenizer(vocab, vocab_size=cfg.text.vocab_size)
+            self._loaded = True
+            self.load_time_s = time.perf_counter() - t0
+            if self.logger:
+                self.logger.log_performance(
+                    "clip_model_load", self.load_time_s,
+                    pretrained=self.using_pretrained,
+                )
+            self.self_test()
+
+    def self_test(self) -> bool:
+        """Dummy text+image forward at load (reference core.py:1476-1502)."""
+        txt = self.encode_text(["self test"])
+        img = self.encode_images(
+            np.zeros(
+                (1, self.config.vision.image_size, self.config.vision.image_size, 3),
+                np.uint8,
+            ),
+            preprocessed=False,
+        )
+        ok = (
+            txt.shape == (1, self.config.text.projection_dim)
+            and img.shape == (1, self.config.vision.projection_dim)
+            and np.isfinite(txt).all()
+            and np.isfinite(img).all()
+        )
+        if not ok:
+            raise RuntimeError("CLIP self-test failed: non-finite embeddings")
+        return ok
+
+    @property
+    def embed_dim(self) -> int:
+        self.ensure_loaded()
+        return self.config.vision.projection_dim
+
+    @property
+    def input_size(self) -> int:
+        self.ensure_loaded()
+        return self.config.vision.image_size
+
+    # -- jitted encoders (cached per padded signature) -----------------------
+
+    @functools.cached_property
+    def _encode_text_jit(self):
+        import jax
+
+        from ..models.clip import CLIPModel
+
+        model = self.model
+
+        @jax.jit
+        def fn(params, tokens, eot_positions):
+            out = model.apply(
+                {"params": params}, tokens, eot_positions,
+                method=CLIPModel.encode_text,
+            ).astype("float32")
+            return out / jax.numpy.maximum(
+                jax.numpy.linalg.norm(out, axis=-1, keepdims=True), 1e-12
+            )
+
+        return fn
+
+    @functools.cached_property
+    def _encode_image_jit(self):
+        import jax
+
+        from ..models.clip import CLIPModel
+
+        model = self.model
+
+        @jax.jit
+        def fn(params, pixels):
+            out = model.apply(
+                {"params": params}, pixels, method=CLIPModel.encode_image
+            ).astype("float32")
+            return out / jax.numpy.maximum(
+                jax.numpy.linalg.norm(out, axis=-1, keepdims=True), 1e-12
+            )
+
+        return fn
+
+    # -- text ---------------------------------------------------------------
+
+    def encode_text(self, texts: Sequence[str]) -> np.ndarray:
+        """(B,) strings -> (B, D) L2-normalized f32 embeddings."""
+        self.ensure_loaded()
+        if len(texts) == 0:
+            return np.zeros((0, self.config.text.projection_dim), np.float32)
+        import jax.numpy as jnp
+
+        t0 = time.perf_counter()
+        tokens = self.tokenizer(list(texts), self.config.text.max_length)
+        eot = self.tokenizer.eot_positions(tokens)
+        b = len(texts)
+        b_pad = _bucket(b)
+        if b_pad != b:
+            pad_tok = np.zeros((b_pad - b, tokens.shape[1]), tokens.dtype)
+            pad_tok[:, 0] = self.tokenizer.sot_id
+            pad_tok[:, 1] = self.tokenizer.eot_id
+            tokens = np.concatenate([tokens, pad_tok])
+            eot = np.concatenate([eot, np.ones(b_pad - b, eot.dtype)])
+        out = self._encode_text_jit(
+            self.params, jnp.asarray(tokens), jnp.asarray(eot)
+        )
+        result = np.asarray(out)[:b]
+        if self.logger:
+            self.logger.log_performance(
+                "clip_text_encoding", time.perf_counter() - t0, batch=b
+            )
+        return result
+
+    # -- images --------------------------------------------------------------
+
+    def encode_images(
+        self, images: np.ndarray, preprocessed: bool = False
+    ) -> np.ndarray:
+        """(B, H, W, 3) uint8 (or preprocessed floats) -> (B, D) normalized.
+
+        Arbitrary batch size; internally chunks to ``image_batch_size`` and
+        pads to buckets. H=W=input_size expected when ``preprocessed`` is
+        False and sizes already match; otherwise on-device resize applies.
+        """
+        self.ensure_loaded()
+        import jax.numpy as jnp
+
+        from ..ops.preprocess import normalize_images, preprocess_images
+
+        images = np.asarray(images)
+        if images.ndim == 3:
+            images = images[None]
+        n = len(images)
+        if n == 0:
+            return np.zeros((0, self.config.vision.projection_dim), np.float32)
+        t0 = time.perf_counter()
+        dtype = jnp.float32 if self.compute_dtype == "float32" else jnp.bfloat16
+        s = self.config.vision.image_size
+        outs = []
+        for start in range(0, n, self.image_batch_size):
+            chunk = images[start : start + self.image_batch_size]
+            b = len(chunk)
+            b_pad = _bucket(b)
+            if b_pad != b:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((b_pad - b, *chunk.shape[1:]), chunk.dtype)]
+                )
+            dev = jnp.asarray(chunk)
+            if preprocessed:
+                px = dev.astype(dtype)
+            elif chunk.shape[1] == s and chunk.shape[2] == s:
+                px = normalize_images(dev, dtype=dtype)
+            else:
+                px = preprocess_images(dev, image_size=s, dtype=dtype)
+            out = self._encode_image_jit(self.params, px)
+            outs.append(np.asarray(out)[:b])
+        result = np.concatenate(outs)
+        if self.logger:
+            self.logger.log_performance(
+                "clip_image_encoding", time.perf_counter() - t0, batch=n
+            )
+        return result
+
+    def encode_image_files(
+        self, paths: Sequence[str | Path]
+    ) -> tuple[np.ndarray, list[int]]:
+        """Decode + encode image files; tolerates failures.
+
+        Returns (embeddings, ok_indices) — parity with the reference's
+        per-image validation + failure tolerance (core.py:1585-1641).
+        """
+        from PIL import Image
+
+        self.ensure_loaded()
+        s = self.config.vision.image_size
+        pixels, ok = [], []
+        for i, p in enumerate(paths):
+            try:
+                with Image.open(p) as img:
+                    img = img.convert("RGB")
+                    w, h = img.size
+                    if w <= h:
+                        nw, nh = s, max(s, round(h * s / w))
+                    else:
+                        nw, nh = max(s, round(w * s / h)), s
+                    img = img.resize((nw, nh), Image.BICUBIC)
+                    left, top = (nw - s) // 2, (nh - s) // 2
+                    img = img.crop((left, top, left + s, top + s))
+                    pixels.append(np.asarray(img, np.uint8))
+                    ok.append(i)
+            except Exception:
+                continue
+        if not pixels:
+            return np.zeros((0, self.config.vision.projection_dim), np.float32), []
+        return self.encode_images(np.stack(pixels)), ok
+
+    # -- adapters ------------------------------------------------------------
+
+    def as_embed_fn(self) -> Callable[[np.ndarray], np.ndarray]:
+        """Adapter for RAGBuilder / FrameFilter (uint8 batch -> embeddings)."""
+        self.ensure_loaded()
+        return lambda batch: self.encode_images(batch)
+
+    def get_stats(self) -> dict[str, Any]:
+        return {
+            "loaded": self._loaded,
+            "pretrained": self.using_pretrained,
+            "load_time_s": self.load_time_s,
+            "compute_dtype": self.compute_dtype,
+            "parity_mode": self.parity_mode,
+            "embed_dim": self.config.vision.projection_dim if self._loaded else None,
+        }

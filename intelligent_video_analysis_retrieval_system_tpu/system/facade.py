@@ -1,0 +1,569 @@
+"""EnhancedRetrievalSystem: the user-facing facade.
+
+API parity with the reference ``EnhancedRetrievalSystem``
+(``system.py:403-2744``): ``build_system`` / ``load_system`` / ``search`` /
+``search_by_image`` / ``chat`` / ``chat_search`` / ``export_data`` /
+``export_portable_index`` / ``load_portable_index`` / ``start_server`` /
+``optimize`` / ``cleanup`` / ``get_system_stats`` + ``SearchOptions`` with
+modes ``clip_only`` / ``llm_enhanced`` / ``hybrid`` and the module helpers
+``create_system`` / ``quick_search``.
+
+Search path (reference call stack SURVEY.md §3.2, redesigned):
+cache -> translate (offline dictionary/LLM-pluggable) -> CLIP text encode
+(TPU) -> fused top-k over the device-resident index (+ remote index fan-in
+when attached) -> mode-specific post-processing -> cache. The LLM never
+sits on the hot path unless explicitly enabled.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Sequence
+
+import numpy as np
+
+from ..index.builder import RAGBuilder
+from ..index.metadata import MetadataManager
+from ..index.portable import PortableIndex
+from ..index.unified import UnifiedIndex, UnifiedIndexConfig
+from ..retrieval.results import KeyframeMetadata, SearchResult
+from ..retrieval.translator import UniversalQueryTranslator
+from ..retrieval.validator import DataConsistencyValidator
+from ..utils.cache import CacheManager
+from ..utils.config import Config
+from ..utils.dataproc import DataProcessor
+from ..utils.files import FileManager
+from ..utils.logging import Logger, get_logger
+from ..utils.perf import PerformanceMonitor
+from .embedder import CLIPEmbedder
+from .health import SystemHealthMonitor
+
+__all__ = ["SearchOptions", "EnhancedRetrievalSystem", "create_system", "quick_search"]
+
+VALID_MODES = ("clip_only", "llm_enhanced", "hybrid")
+
+
+@dataclass(slots=True)
+class SearchOptions:
+    """Validated search parameters (reference ``system.py:72-92``)."""
+
+    mode: str = "clip_only"
+    limit: int = 20
+    include_temporal: bool = False
+    temporal_window: int = 3
+    include_explanations: bool = False
+    min_similarity: float = -1.0
+    folder_filter: str | None = None
+    use_cache: bool = True
+    translate: bool = True
+
+    def validate(self) -> None:
+        if self.mode not in VALID_MODES:
+            raise ValueError(f"mode must be one of {VALID_MODES}, got {self.mode!r}")
+        if not 1 <= self.limit <= 1000:  # reference cap (system.py:83)
+            raise ValueError(f"limit must be in [1, 1000], got {self.limit}")
+        if self.temporal_window < 0:
+            raise ValueError("temporal_window must be >= 0")
+
+
+class EnhancedRetrievalSystem:
+    """Build / load / search / chat / serve — the one-stop entry point."""
+
+    def __init__(
+        self,
+        config: Config | None = None,
+        embedder: CLIPEmbedder | None = None,
+        logger: Logger | None = None,
+    ) -> None:
+        self.config = config or Config(config_file=None)
+        self.logger = logger or get_logger(
+            "ivars",
+            logs_dir=self.config.path("logs_dir")
+            if self.config.get("logging.file") else None,
+        )
+        perf_cfg = self.config.section("performance")
+        self.perf = PerformanceMonitor(
+            logger=self.logger,
+            slow_op_threshold_s=perf_cfg.get("slow_op_threshold_s", 5.0),
+            profile_dir=perf_cfg.get("profile_dir"),
+        )
+        self.cache = CacheManager(
+            cache_dir=self.config.path("cache_dir"),
+            memory_budget_mb=perf_cfg.get("cache_memory_mb", 512),
+            default_ttl_s=perf_cfg.get("cache_ttl_s", 3600),
+        )
+        self.fm = FileManager(temp_dir=self.config.path("temp_dir"))
+        self.dp = DataProcessor()
+        self.validator = DataConsistencyValidator()
+        self.translator = UniversalQueryTranslator(cache=self.cache)
+        self.embedder = embedder or CLIPEmbedder(
+            model_path=self.config.get("model.path"),
+            compute_dtype=self.config.get("device.compute_dtype", "bfloat16"),
+            parity_mode=bool(self.config.get("device.parity_mode", False)),
+            image_batch_size=int(self.config.get("model.image_batch_size", 256)),
+            logger=self.logger,
+        )
+        self.index: UnifiedIndex | None = None
+        self.metadata = MetadataManager(file_manager=self.fm)
+        self.health = SystemHealthMonitor(self)
+        self.llm_processor: Any | None = None  # agents.LLMProcessor, lazy
+        self.remote_indexes: list[Any] = []    # serve.p2p.RemoteUnifiedIndex
+        self._callbacks: dict[str, list[Callable[..., None]]] = {}
+        self._lock = threading.RLock()
+        self._server = None
+        self.is_built = False
+
+    # -- events (reference system.py:2609-2622) ------------------------------
+
+    def on(self, event: str, callback: Callable[..., None]) -> None:
+        self._callbacks.setdefault(event, []).append(callback)
+
+    def _emit(self, event: str, **payload: Any) -> None:
+        for cb in self._callbacks.get(event, []):
+            try:
+                cb(**payload)
+            except Exception:
+                self.logger.warning(f"event callback failed: {event}")
+
+    # -- build / load ---------------------------------------------------------
+
+    def build_system(
+        self,
+        keyframe_folder: str | Path,
+        map_dir: str | Path | None = None,
+        output_path: str | Path | None = None,
+        resume: bool = True,
+    ) -> dict[str, Any]:
+        """Validated end-to-end build (reference 6-step pipeline,
+        ``system.py:521-648``)."""
+        with self.perf.timer("build_system"):
+            keyframe_folder = Path(keyframe_folder)
+            # step 1: pre-build validation
+            folder_report = self.validator.validate_keyframes_folder(keyframe_folder)
+            if not folder_report.ok:
+                raise ValueError(f"invalid keyframes folder: {folder_report.errors}")
+            self._emit("build_progress", stage="validate", done=1, total=6)
+            # step 2-3: embed + write index (chunked, resumable)
+            if output_path is None:
+                output_path = self.config.path("index_dir") / "index.rvdb"
+            if map_dir is None:
+                candidate = self.config.path("map_dir")
+                map_dir = candidate if candidate.is_dir() else None
+            index_cfg = self._index_config()
+            self.embedder.ensure_loaded()
+            builder = RAGBuilder(
+                self.embedder.as_embed_fn(),
+                self.embedder.embed_dim,
+                input_size=self.embedder.input_size,
+                config=index_cfg,
+                progress_fn=lambda stage, done, total: self._emit(
+                    "build_progress", stage=stage, done=done, total=total
+                ),
+            )
+            index, report = builder.build_index(
+                keyframe_folder, output_path, map_dir=map_dir, resume=resume
+            )
+            with self._lock:
+                if self.index is not None:
+                    self.index.close()
+                self.index = index
+            self._emit("build_progress", stage="index", done=4, total=6)
+            # step 4: metadata graphs
+            self._rebuild_metadata()
+            # step 5: consistency validation (reference step, core.py:834-841)
+            consistency = self.validator.validate_index_metadata_consistency(
+                index.ntotal, index._metadata
+            )
+            if not consistency.ok:
+                raise RuntimeError(f"post-build inconsistency: {consistency.errors}")
+            # step 6: finalize
+            self.is_built = True
+            self._emit("build_progress", stage="done", done=6, total=6)
+            self.logger.info("build complete", **report.as_dict())
+            return {"report": report.as_dict(), "index_path": str(output_path)}
+
+    def load_system(self, index_path: str | Path, writable: bool = False) -> None:
+        """Validated load + temporal/metadata rebuild
+        (reference ``system.py:650-729,1491-1530``)."""
+        with self.perf.timer("load_system"):
+            index = UnifiedIndex(self._index_config())
+            index.load_unified_index(index_path, mode="a" if writable else "r")
+            with self._lock:
+                if self.index is not None:
+                    self.index.close()
+                self.index = index
+            self._rebuild_metadata()
+            self.is_built = True
+            self.logger.info(
+                "system loaded", ntotal=index.ntotal,
+                load_time_s=round(index.load_time_s or 0, 3),
+            )
+
+    def _index_config(self) -> UnifiedIndexConfig:
+        sec = self.config.section("index")
+        return UnifiedIndexConfig(
+            chunk_size=sec.get("chunk_size", 1024),
+            checkpoint_every_chunks=sec.get("checkpoint_every_chunks", 5),
+            store_thumbnails=sec.get("store_thumbnails", True),
+            thumbnail_size=sec.get("thumbnail_size", 224),
+            store_full_images=sec.get("store_full_images", False),
+            dtype=sec.get("dtype", "bfloat16"),
+            incremental_rebuild_threshold=sec.get(
+                "incremental_rebuild_threshold", 0.10
+            ),
+        )
+
+    def _rebuild_metadata(self) -> None:
+        if self.index is None or self.index.ntotal == 0:
+            return
+        feats = self.index._container.read_embeddings(as_float32=True)
+        # similarity graphs are O(folder^2) matmuls — cheap on device, but
+        # skip for very large indexes (graph is an enrichment, not core)
+        build_similarity = self.index.ntotal <= 200_000
+        self.metadata.build_metadata(
+            list(self.index._metadata), feats, build_similarity=build_similarity
+        )
+
+    # -- search ---------------------------------------------------------------
+
+    def search(
+        self, query: str, options: SearchOptions | None = None
+    ) -> list[dict[str, Any]]:
+        """Text search. Never raises; returns [] on failure
+        (reference guarantee, ``system.py:821-826``)."""
+        options = options or SearchOptions(
+            limit=self.config.get("retrieval.default_top_k", 20)
+        )
+        try:
+            options.validate()
+        except ValueError:
+            raise  # invalid options ARE a caller bug; surface them
+        try:
+            with self.perf.timer("search_query", query_len=len(query)):
+                return self._search_impl(query, options)
+        except Exception:
+            self.logger.exception("search failed", query=query[:100])
+            self.perf.record_error("search_query")
+            return []
+
+    def _search_impl(self, query: str, options: SearchOptions) -> list[dict[str, Any]]:
+        query = query.strip()
+        if not query or self.index is None:
+            return []
+        if options.use_cache:
+            cached = self.cache.get_cached_results(query, options.mode, options.limit)
+            if cached is not None:
+                return cached
+
+        # translation (confidence-gated, reference system.py:775-778)
+        clip_query = query
+        translation = None
+        if options.translate:
+            translation = self.translator.translate_query(query)
+            if translation.confidence >= self.translator.min_confidence:
+                clip_query = translation.clip_prompt
+
+        if options.mode == "clip_only":
+            results = self._search_clip(clip_query, options)
+        elif options.mode == "llm_enhanced":
+            results = self._search_llm_enhanced(query, clip_query, options)
+        else:  # hybrid: 0.7 clip + 0.3 enhanced (reference system.py:1868-1897)
+            clip_r = self._search_clip(clip_query, options)
+            llm_r = self._search_llm_enhanced(query, clip_query, options)
+            results = self.dp.blend_results(
+                clip_r, llm_r,
+                self.config.get("retrieval.hybrid_clip_weight", 0.7),
+                self.config.get("retrieval.hybrid_llm_weight", 0.3),
+                limit=options.limit,
+            )
+
+        results = self._post_process(results, options, translation)
+        if options.use_cache:
+            self.cache.cache_query_results(query, options.mode, options.limit, results)
+        return results
+
+    def _encode_query(self, text: str) -> np.ndarray:
+        return self.embedder.encode_text([text])[0]
+
+    def _search_clip(self, clip_query: str, options: SearchOptions) -> list[dict]:
+        qvec = self._encode_query(clip_query)
+        return self._vector_search(qvec, options)
+
+    def _search_llm_enhanced(
+        self, query: str, clip_query: str, options: SearchOptions
+    ) -> list[dict]:
+        """Query expansion search: multiple prompt variants, max-merged.
+
+        Without an LLM this uses the translator's keyword variants (the
+        reference's LLM ``expand_query`` collapsed to identity anyway,
+        ``core.py:2901-2913``); an attached LLM processor can supply real
+        expansions via ``expand_query``.
+        """
+        variants = [clip_query]
+        if self.llm_processor is not None:
+            try:
+                variants = self.llm_processor.expand_query(query)[:4] or variants
+            except Exception:
+                pass
+        else:
+            translation = self.translator.translate_query(query)
+            for kw in translation.keywords[:2]:
+                variants.append(f"a photo of {kw}")
+        qvecs = self.embedder.encode_text(variants)
+        merged = [
+            self._vector_search(qvecs[i], options) for i in range(len(variants))
+        ]
+        return self.dp.merge_results(merged, limit=options.limit)
+
+    def _vector_search(self, qvec: np.ndarray, options: SearchOptions) -> list[dict]:
+        filter_fn = None
+        if options.folder_filter:
+            target = options.folder_filter
+            filter_fn = lambda m: m.folder == target
+        hits = self.index.search(qvec, top_k=options.limit, filter_fn=filter_fn)
+        # remote fan-in (reference system.py:1715-1757)
+        if self.remote_indexes:
+            remote_hits: list[list[dict]] = [[h.to_dict("rich") for h in hits]]
+            for remote in list(self.remote_indexes):
+                try:
+                    remote_hits.append(
+                        remote.search_vector(qvec, top_k=options.limit)
+                    )
+                except Exception:
+                    self.logger.warning("remote index failed; skipping")
+            return self.dp.merge_results(remote_hits, limit=options.limit)
+        return [h.to_dict("rich") for h in hits]
+
+    def _post_process(
+        self,
+        results: list[dict],
+        options: SearchOptions,
+        translation: Any,
+    ) -> list[dict]:
+        out = []
+        for rank, r in enumerate(results):
+            if r.get("similarity_score", 0.0) < options.min_similarity:
+                continue
+            r = dict(r)
+            r["rank"] = rank + 1
+            if options.include_temporal and self.index is not None:
+                row = self.index.row_for(r.get("folder", ""), r.get("image", ""))
+                if row is not None:
+                    r["temporal_context"] = self.index.get_temporal_context(
+                        row, options.temporal_window
+                    )
+            if options.include_explanations:
+                r["explanation"] = self._explain(r, translation)
+            out.append(r)
+            if len(out) >= options.limit:
+                break
+        return out
+
+    @staticmethod
+    def _explain(result: dict, translation: Any) -> str:
+        score = result.get("similarity_score", 0.0)
+        strength = (
+            "strong" if score > 0.3 else "moderate" if score > 0.25 else "weak"
+        )
+        prompt = getattr(translation, "clip_prompt", None) if translation else None
+        base = (
+            f"{strength} visual match (cosine {score:.3f}) for "
+            f"{prompt!r}" if prompt else f"{strength} visual match (cosine {score:.3f})"
+        )
+        return base
+
+    def search_by_image(
+        self, image: np.ndarray | str | Path, options: SearchOptions | None = None
+    ) -> list[dict[str, Any]]:
+        """Image-to-image search (reference ``system.py`` search_by_image)."""
+        options = options or SearchOptions()
+        options.validate()
+        try:
+            with self.perf.timer("search_by_image"):
+                if isinstance(image, (str, Path)):
+                    emb, ok = self.embedder.encode_image_files([image])
+                    if not ok:
+                        return []
+                    qvec = emb[0]
+                else:
+                    qvec = self.embedder.encode_images(np.asarray(image))[0]
+                results = self._vector_search(qvec, options)
+                return self._post_process(results, options, None)
+        except Exception:
+            self.logger.exception("search_by_image failed")
+            return []
+
+    # -- chat (LLM off the hot path; graceful degradation chain) --------------
+
+    def chat(self, message: str, context_frames: Sequence[dict] | None = None) -> dict:
+        """Conversational entry. Greeting short-circuit -> LLM processor ->
+        canned fallback (reference chain, ``system.py:976-1015``,
+        ``core.py:1917-2127``)."""
+        message = message.strip()
+        greetings = {"hi", "hello", "hey", "xin chào", "chào", "chào bạn"}
+        if message.lower() in greetings:
+            return {
+                "response": (
+                    "Hello! Ask me to find scenes, e.g. 'a red car at night', "
+                    "or ask about selected frames."
+                ),
+                "search_results": [],
+                "method": "greeting",
+            }
+        if self.llm_processor is not None:
+            try:
+                return self.llm_processor.chat_with_user(message, context_frames)
+            except Exception:
+                self.logger.exception("llm chat failed; falling back")
+        return self.chat_search(message)
+
+    def chat_search(self, message: str) -> dict:
+        """RAG-ish loop: search + templated answer
+        (reference ``system.py:906-974``)."""
+        results = self.search(message, SearchOptions(limit=5))
+        if results:
+            top = results[0]
+            response = (
+                f"I found {len(results)} matching keyframes. Best match: "
+                f"{top['folder']}/{top['image']} "
+                f"(similarity {top['similarity_score']:.3f})."
+            )
+        else:
+            response = (
+                "I couldn't find matching keyframes. Try different wording "
+                "or check that an index is loaded."
+            )
+        return {"response": response, "search_results": results, "method": "search"}
+
+    # -- export ---------------------------------------------------------------
+
+    def export_data(
+        self,
+        results: Sequence[dict],
+        output_path: str | Path,
+        fmt: str | None = None,
+    ) -> Path:
+        """CSV/JSON/XLSX export (reference ``system.py:1994-2145``)."""
+        output_path = Path(output_path)
+        fmt = (fmt or output_path.suffix.lstrip(".") or "json").lower()
+        output_path.parent.mkdir(parents=True, exist_ok=True)
+        rows = [dict(r) for r in results]
+        if fmt == "json":
+            self.fm.safe_write(
+                output_path, json.dumps(rows, ensure_ascii=False, indent=2)
+            )
+        elif fmt == "csv":
+            import csv as _csv
+            import io as _io
+
+            buf = _io.StringIO()
+            if rows:
+                keys = sorted({k for r in rows for k in r if not isinstance(
+                    r[k], (list, dict))})
+                writer = _csv.DictWriter(buf, fieldnames=keys, extrasaction="ignore")
+                writer.writeheader()
+                writer.writerows(rows)
+            self.fm.safe_write(output_path, buf.getvalue())
+        elif fmt == "xlsx":
+            import pandas as pd
+
+            pd.DataFrame(rows).to_excel(output_path, index=False)
+        else:
+            raise ValueError(f"unsupported export format: {fmt}")
+        return output_path
+
+    def export_portable_index(self, package_dir: str | Path) -> Path:
+        if self.index is None or self.index.path is None:
+            raise RuntimeError("no index loaded")
+        meta_path = self.index.path.with_suffix(".metadata.json")
+        try:
+            self.metadata.save(meta_path)
+        except Exception:
+            meta_path = None
+        return PortableIndex().create_package(
+            self.index.path, package_dir, metadata_path=meta_path
+        )
+
+    def load_portable_index(self, package_dir: str | Path) -> None:
+        index = PortableIndex().load_package(package_dir)
+        with self._lock:
+            if self.index is not None:
+                self.index.close()
+            self.index = index
+        self._rebuild_metadata()
+        self.is_built = True
+
+    # -- serving / gui ---------------------------------------------------------
+
+    def start_server(self, host: str | None = None, port: int | None = None,
+                     block: bool = True):
+        """REST+WebSocket server over this system (serve layer)."""
+        from ..serve.rest import RetrievalServer
+
+        server = RetrievalServer(
+            self,
+            host=host or self.config.get("api.host", "0.0.0.0"),
+            port=port or self.config.get("api.port", 5000),
+        )
+        self._server = server
+        server.run(block=block)
+        return server
+
+    def start_gui(self) -> None:
+        """Desktop GUI is intentionally replaced by the web console served
+        at the server root (reference gui.py is 6.2k LoC of PyQt5)."""
+        self.start_server(block=True)
+
+    # -- maintenance -----------------------------------------------------------
+
+    def optimize(self) -> dict[str, Any]:
+        """Cache trim + temp cleanup (reference ``system.py:1121-1213``)."""
+        removed = self.fm.cleanup_temp()
+        stats = self.cache.get_stats()
+        return {"temp_removed": removed, "cache": stats}
+
+    def cleanup(self) -> None:
+        with self._lock:
+            if self.index is not None:
+                self.index.close()
+                self.index = None
+            if self._server is not None:
+                try:
+                    self._server.stop()
+                except Exception:
+                    pass
+            self.is_built = False
+
+    def get_system_stats(self) -> dict[str, Any]:
+        stats: dict[str, Any] = {
+            "built": self.is_built,
+            "embedder": self.embedder.get_stats(),
+            "cache": self.cache.get_stats(),
+            "performance": self.perf.get_stats(),
+            "metadata": self.metadata.stats(),
+            "remote_indexes": len(self.remote_indexes),
+        }
+        if self.index is not None:
+            stats["index"] = self.index.get_stats()
+        return stats
+
+
+def create_system(config_file: str | Path | None = None, **overrides: Any):
+    """Convenience factory (reference ``system.py:2663``)."""
+    return EnhancedRetrievalSystem(
+        Config(config_file=config_file, overrides=overrides or None)
+    )
+
+
+def quick_search(index_path: str | Path, query: str, limit: int = 10):
+    """One-shot search helper (reference ``system.py:2671``)."""
+    system = create_system()
+    system.load_system(index_path)
+    try:
+        return system.search(query, SearchOptions(limit=limit))
+    finally:
+        system.cleanup()

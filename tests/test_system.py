@@ -1,0 +1,274 @@
+"""System facade tests: build/load/search/chat/export/health on a tiny model."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from intelligent_video_analysis_retrieval_system_tpu.models import CLIPConfig
+from intelligent_video_analysis_retrieval_system_tpu.system import (
+    CLIPEmbedder,
+    EnhancedRetrievalSystem,
+    SearchOptions,
+)
+from intelligent_video_analysis_retrieval_system_tpu.utils.config import Config
+
+
+def tiny_embedder():
+    return CLIPEmbedder(config=CLIPConfig.tiny_test(), compute_dtype="float32")
+
+
+@pytest.fixture(scope="module")
+def built_system(tmp_path_factory):
+    """One shared built system (model init is the slow part)."""
+    root = tmp_path_factory.mktemp("sys")
+    rng = np.random.default_rng(11)
+    for f in range(2):
+        folder = root / "keyframes" / f"vid{f}"
+        folder.mkdir(parents=True)
+        for n in range(6):
+            arr = rng.integers(0, 255, (48, 48, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(folder / f"{n}.jpg", quality=95)
+    (root / "map").mkdir()
+    for f in range(2):
+        lines = ["n,pts_time,fps,frame_idx"] + [
+            f"{n},{n*0.4},25,{n*10}" for n in range(6)
+        ]
+        (root / "map" / f"vid{f}.csv").write_text("\n".join(lines))
+    cfg = Config(
+        config_file=None, base_dir=root, create_dirs=True,
+        overrides={"index": {"chunk_size": 8, "dtype": "float32",
+                             "thumbnail_size": 32}},
+    )
+    system = EnhancedRetrievalSystem(cfg, embedder=tiny_embedder())
+    system.build_system(root / "keyframes", map_dir=root / "map")
+    yield root, system
+    system.cleanup()
+
+
+class TestSearchOptions:
+    def test_valid(self):
+        SearchOptions(mode="hybrid", limit=100).validate()
+
+    def test_invalid_mode(self):
+        with pytest.raises(ValueError):
+            SearchOptions(mode="banana").validate()
+
+    def test_invalid_limit(self):
+        with pytest.raises(ValueError):
+            SearchOptions(limit=0).validate()
+        with pytest.raises(ValueError):
+            SearchOptions(limit=5000).validate()
+
+
+class TestBuildAndSearch:
+    def test_build_report(self, built_system):
+        _, system = built_system
+        assert system.is_built
+        assert system.index.ntotal == 12
+
+    def test_search_returns_ranked_dicts(self, built_system):
+        _, system = built_system
+        results = system.search("a red car", SearchOptions(limit=5))
+        assert len(results) == 5
+        assert results[0]["rank"] == 1
+        scores = [r["similarity_score"] for r in results]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_all_modes_work(self, built_system):
+        _, system = built_system
+        for mode in ("clip_only", "llm_enhanced", "hybrid"):
+            results = system.search(
+                "person walking", SearchOptions(mode=mode, limit=3,
+                                                use_cache=False)
+            )
+            assert len(results) == 3, mode
+
+    def test_cache_hit(self, built_system):
+        _, system = built_system
+        a = system.search("cache me", SearchOptions(limit=3))
+        hits_before = system.cache.get_stats()["hits"]
+        b = system.search("cache me", SearchOptions(limit=3))
+        assert a == b
+        assert system.cache.get_stats()["hits"] > hits_before
+
+    def test_folder_filter(self, built_system):
+        _, system = built_system
+        results = system.search(
+            "anything", SearchOptions(limit=6, folder_filter="vid1",
+                                      use_cache=False)
+        )
+        assert results and all(r["folder"] == "vid1" for r in results)
+
+    def test_temporal_and_explanations(self, built_system):
+        _, system = built_system
+        results = system.search(
+            "scene", SearchOptions(limit=2, include_temporal=True,
+                                   include_explanations=True, use_cache=False)
+        )
+        assert "temporal_context" in results[0]
+        assert "visual match" in results[0]["explanation"]
+
+    def test_vietnamese_query_translates(self, built_system):
+        _, system = built_system
+        results = system.search("người đang chạy", SearchOptions(limit=3))
+        assert len(results) == 3  # translated prompt encoded + searched
+
+    def test_search_by_image_selfmatch(self, built_system):
+        root, system = built_system
+        path = root / "keyframes" / "vid1" / "3.jpg"
+        results = system.search_by_image(path, SearchOptions(limit=3))
+        assert results[0]["folder"] == "vid1"
+        assert results[0]["image"] == "3.jpg"
+        assert results[0]["similarity_score"] > 0.9
+
+    def test_empty_query_empty_results(self, built_system):
+        _, system = built_system
+        assert system.search("   ") == []
+
+    def test_search_never_raises_without_index(self, tmp_path):
+        cfg = Config(config_file=None, base_dir=tmp_path, create_dirs=True)
+        system = EnhancedRetrievalSystem(cfg, embedder=tiny_embedder())
+        assert system.search("anything") == []
+
+
+class TestLoadAndPersistence:
+    def test_load_system_roundtrip(self, built_system, tmp_path):
+        root, system = built_system
+        index_path = root / "index" / "index.rvdb"
+        cfg = Config(config_file=None, base_dir=tmp_path, create_dirs=True,
+                     overrides={"index": {"dtype": "float32"}})
+        fresh = EnhancedRetrievalSystem(cfg, embedder=tiny_embedder())
+        fresh.load_system(index_path)
+        assert fresh.index.ntotal == 12
+        results = fresh.search("test", SearchOptions(limit=2))
+        assert len(results) == 2
+        fresh.cleanup()
+
+    def test_portable_roundtrip(self, built_system, tmp_path):
+        root, system = built_system
+        pkg = system.export_portable_index(tmp_path / "pkg")
+        cfg = Config(config_file=None, base_dir=tmp_path / "dst",
+                     create_dirs=True)
+        dst = EnhancedRetrievalSystem(cfg, embedder=tiny_embedder())
+        dst.load_portable_index(pkg)
+        assert dst.index.ntotal == 12
+        dst.cleanup()
+
+
+class TestChat:
+    def test_greeting_shortcircuit(self, built_system):
+        _, system = built_system
+        out = system.chat("hello")
+        assert out["method"] == "greeting"
+
+    def test_chat_search_fallback(self, built_system):
+        _, system = built_system
+        out = system.chat("find a person on the beach")
+        assert out["method"] == "search"
+        assert "search_results" in out
+
+    def test_chat_search_no_results_message(self, tmp_path):
+        cfg = Config(config_file=None, base_dir=tmp_path, create_dirs=True)
+        system = EnhancedRetrievalSystem(cfg, embedder=tiny_embedder())
+        out = system.chat_search("anything")
+        assert "couldn't find" in out["response"]
+
+
+class TestExport:
+    def test_json_csv_export(self, built_system, tmp_path):
+        _, system = built_system
+        results = system.search("export", SearchOptions(limit=3))
+        j = system.export_data(results, tmp_path / "out.json")
+        c = system.export_data(results, tmp_path / "out.csv")
+        import json
+
+        assert len(json.loads(j.read_text())) == 3
+        assert "folder" in c.read_text().splitlines()[0]
+
+    def test_xlsx_export(self, built_system, tmp_path):
+        pytest.importorskip("openpyxl")
+        _, system = built_system
+        results = system.search("export", SearchOptions(limit=2))
+        x = system.export_data(results, tmp_path / "out.xlsx")
+        assert x.stat().st_size > 0
+
+    def test_bad_format(self, built_system, tmp_path):
+        _, system = built_system
+        with pytest.raises(ValueError):
+            system.export_data([], tmp_path / "out.parquet")
+
+
+class TestHealthAndStats:
+    def test_healthy_after_build(self, built_system):
+        _, system = built_system
+        report = system.health.comprehensive_health_check()
+        assert report["overall"] in ("healthy", "warning")  # random init warns
+        assert report["components"]["index"]["status"] == "ok"
+        assert report["components"]["consistency"]["status"] == "ok"
+
+    def test_error_without_index(self, tmp_path):
+        cfg = Config(config_file=None, base_dir=tmp_path, create_dirs=True)
+        system = EnhancedRetrievalSystem(cfg, embedder=tiny_embedder())
+        report = system.health.comprehensive_health_check()
+        assert report["overall"] == "error"
+        assert report["recovery_options"]
+
+    def test_stats_shape(self, built_system):
+        _, system = built_system
+        stats = system.get_system_stats()
+        assert stats["built"]
+        assert stats["index"]["ntotal"] == 12
+        assert "performance" in stats
+
+    def test_optimize(self, built_system):
+        _, system = built_system
+        out = system.optimize()
+        assert "cache" in out
+
+
+class TestEmbedder:
+    def test_text_batching_buckets(self):
+        emb = tiny_embedder()
+        out = emb.encode_text(["a", "b", "c"])  # pads to bucket 8
+        assert out.shape == (3, 32)
+        np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-5)
+
+    def test_image_encode_odd_batch(self, rng):
+        emb = tiny_embedder()
+        imgs = rng.integers(0, 255, (5, 32, 32, 3)).astype(np.uint8)
+        out = emb.encode_images(imgs)
+        assert out.shape == (5, 32)
+
+    def test_resize_path_for_nonnative_size(self, rng):
+        emb = tiny_embedder()
+        imgs = rng.integers(0, 255, (2, 60, 90, 3)).astype(np.uint8)
+        out = emb.encode_images(imgs)
+        assert out.shape == (2, 32)
+
+    def test_encode_image_files_tolerates_bad(self, tmp_path, rng):
+        emb = tiny_embedder()
+        good = tmp_path / "good.jpg"
+        Image.fromarray(
+            rng.integers(0, 255, (40, 40, 3)).astype(np.uint8)
+        ).save(good)
+        bad = tmp_path / "bad.jpg"
+        bad.write_bytes(b"nope")
+        out, ok = emb.encode_image_files([good, bad])
+        assert out.shape == (1, 32)
+        assert ok == [0]
+
+    def test_event_callbacks(self, tmp_path, rng):
+        events = []
+        cfg = Config(config_file=None, base_dir=tmp_path, create_dirs=True,
+                     overrides={"index": {"dtype": "float32"}})
+        system = EnhancedRetrievalSystem(cfg, embedder=tiny_embedder())
+        system.on("build_progress", lambda **kw: events.append(kw))
+        folder = tmp_path / "keyframes" / "v"
+        folder.mkdir(parents=True)
+        for n in range(3):
+            Image.fromarray(
+                rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+            ).save(folder / f"{n}.jpg")
+        system.build_system(tmp_path / "keyframes")
+        assert any(e.get("stage") == "done" for e in events)
+        system.cleanup()
