@@ -1,0 +1,339 @@
+"""Serving layer tests: REST, WebSocket, rate limiting, P2P mesh.
+
+Servers run on localhost ephemeral ports with a real (tiny) system —
+the pattern the reference used for multi-node testing without a cluster
+(`final_validation_test.py`).
+"""
+
+import base64
+import io
+import json
+import socket
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from intelligent_video_analysis_retrieval_system_tpu.models import CLIPConfig
+from intelligent_video_analysis_retrieval_system_tpu.serve.handlers import (
+    RateLimiter,
+    RequestHandler,
+    format_results,
+)
+from intelligent_video_analysis_retrieval_system_tpu.system import (
+    CLIPEmbedder,
+    EnhancedRetrievalSystem,
+)
+from intelligent_video_analysis_retrieval_system_tpu.utils.config import Config
+
+
+def free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def http_json(url, payload=None, method=None):
+    if payload is not None:
+        body = json.dumps(payload).encode()
+        req = urllib.request.Request(
+            url, data=body, method=method or "POST",
+            headers={"Content-Type": "application/json"},
+        )
+    else:
+        req = urllib.request.Request(url, method=method or "GET")
+    try:
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            return resp.status, json.loads(resp.read().decode())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read().decode())
+
+
+@pytest.fixture(scope="module")
+def served_system(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve")
+    rng = np.random.default_rng(2)
+    folder = root / "keyframes" / "vid0"
+    folder.mkdir(parents=True)
+    for n in range(8):
+        arr = rng.integers(0, 255, (48, 48, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(folder / f"{n}.jpg", quality=95)
+    cfg = Config(config_file=None, base_dir=root, create_dirs=True,
+                 overrides={"index": {"dtype": "float32", "thumbnail_size": 32}})
+    system = EnhancedRetrievalSystem(
+        cfg, embedder=CLIPEmbedder(config=CLIPConfig.tiny_test(),
+                                   compute_dtype="float32")
+    )
+    system.build_system(root / "keyframes")
+    port = free_port()
+    server = system.start_server(host="127.0.0.1", port=port, block=False)
+    yield root, system, port
+    server.stop()
+    system.cleanup()
+
+
+class TestHandlers:
+    def test_rate_limiter_window(self):
+        rl = RateLimiter(limit_per_minute=3, window_s=0.2)
+        assert all(rl.allow("c") for _ in range(3))
+        assert not rl.allow("c")
+        assert rl.allow("other")  # independent client
+        time.sleep(0.25)
+        assert rl.allow("c")  # window slid
+
+    def test_remaining(self):
+        rl = RateLimiter(limit_per_minute=5)
+        rl.allow("c")
+        rl.allow("c")
+        assert rl.remaining("c") == 3
+
+    def test_validation(self):
+        h = RequestHandler(RateLimiter(1000))
+        ok, err = h.validate_request("search", {"query": "cat"})
+        assert ok
+        ok, err = h.validate_request("search", {})
+        assert not ok and "query" in err
+        ok, err = h.validate_request("search", {"query": "x", "mode": "bogus"})
+        assert not ok and "mode" in err
+        ok, err = h.validate_request("search", {"query": "x", "limit": 9999})
+        assert not ok and "limit" in err
+        ok, err = h.validate_request("nope", {"a": 1})
+        assert not ok
+
+    def test_format_detail_levels(self):
+        rich = [{
+            "folder": "v", "image": "1.jpg", "similarity_score": 0.5, "rank": 1,
+            "frame_id": 3, "pts_time": 0.1, "path": "/x", "fps": 25.0,
+            "shot_id": 0, "tags": [], "source": "local", "explanation": "e",
+        }]
+        assert set(format_results(rich, "minimal")[0]) == {
+            "folder", "image", "similarity_score", "rank"
+        }
+        assert "path" in format_results(rich, "standard")[0]
+        assert "explanation" in format_results(rich, "rich")[0]
+        assert format_results(rich, "full") == rich
+
+
+class TestRESTServer:
+    def test_health(self, served_system):
+        _, _, port = served_system
+        status, body = http_json(f"http://127.0.0.1:{port}/api/health")
+        assert status == 200 and body["success"] and body["index_loaded"]
+
+    def test_search_endpoint(self, served_system):
+        _, _, port = served_system
+        status, body = http_json(
+            f"http://127.0.0.1:{port}/api/search",
+            {"query": "a person", "limit": 3, "detail_level": "minimal"},
+        )
+        assert status == 200 and body["success"]
+        assert body["count"] == 3
+        assert set(body["results"][0]) == {
+            "folder", "image", "similarity_score", "rank"
+        }
+        assert body["latency_ms"] > 0
+
+    def test_search_validation_errors(self, served_system):
+        _, _, port = served_system
+        status, body = http_json(
+            f"http://127.0.0.1:{port}/api/search", {"limit": 3}
+        )
+        assert status == 400 and not body["success"]
+        status, _ = http_json(
+            f"http://127.0.0.1:{port}/api/search", {"query": "x", "limit": 0}
+        )
+        assert status == 400
+
+    def test_image_search_endpoint(self, served_system):
+        root, _, port = served_system
+        raw = (root / "keyframes" / "vid0" / "2.jpg").read_bytes()
+        status, body = http_json(
+            f"http://127.0.0.1:{port}/api/image_search",
+            {"image_base64": base64.b64encode(raw).decode(), "limit": 2},
+        )
+        assert status == 200
+        assert body["results"][0]["image"] == "2.jpg"
+
+    def test_image_search_bad_payload(self, served_system):
+        _, _, port = served_system
+        status, _ = http_json(
+            f"http://127.0.0.1:{port}/api/image_search",
+            {"image_base64": "bm90anBn"},
+        )
+        assert status == 400
+
+    def test_metadata_and_thumbnail(self, served_system):
+        _, _, port = served_system
+        status, body = http_json(
+            f"http://127.0.0.1:{port}/api/metadata/vid0/1.jpg"
+        )
+        assert status == 200 and body["metadata"]["frame_id"] == 1
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/thumbnail/vid0/1.jpg"
+        )
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            assert resp.headers["Content-Type"] == "image/jpeg"
+            assert resp.read()[:2] == b"\xff\xd8"
+        status, _ = http_json(f"http://127.0.0.1:{port}/api/metadata/vid0/nope.jpg")
+        assert status == 404
+
+    def test_chat_translate_stats(self, served_system):
+        _, _, port = served_system
+        status, body = http_json(
+            f"http://127.0.0.1:{port}/api/chat", {"message": "hello"}
+        )
+        assert status == 200 and body["method"] == "greeting"
+        status, body = http_json(
+            f"http://127.0.0.1:{port}/api/translate", {"text": "con mèo"}
+        )
+        assert status == 200 and "cat" in body["clip_prompt"]
+        status, body = http_json(f"http://127.0.0.1:{port}/api/stats")
+        assert status == 200 and body["stats"]["index"]["ntotal"] == 8
+
+    def test_export_endpoint(self, served_system):
+        _, _, port = served_system
+        results = [{"folder": "v", "image": "1.jpg", "similarity_score": 0.5}]
+        status, body = http_json(
+            f"http://127.0.0.1:{port}/api/export",
+            {"results": results, "format": "json"},
+        )
+        assert status == 200 and body == results
+
+    def test_console_served(self, served_system):
+        _, _, port = served_system
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/", timeout=10) as r:
+            assert b"search console" in r.read()
+
+    def test_websocket_events(self, served_system):
+        import asyncio
+
+        import aiohttp
+
+        _, _, port = served_system
+
+        async def run():
+            async with aiohttp.ClientSession() as session:
+                async with session.ws_connect(
+                    f"http://127.0.0.1:{port}/ws"
+                ) as ws:
+                    await ws.send_json(
+                        {"event": "ping", "request_id": "r1"}
+                    )
+                    pong = await ws.receive_json()
+                    assert pong["event"] == "pong" and pong["request_id"] == "r1"
+                    await ws.send_json(
+                        {"event": "search",
+                         "data": {"query": "a cat", "limit": 2}}
+                    )
+                    result = await ws.receive_json()
+                    assert result["event"] == "result"
+                    assert result["count"] == 2
+                    await ws.send_json({"event": "bogus", "data": {}})
+                    err = await ws.receive_json()
+                    assert err["event"] == "error"
+            return True
+
+        assert asyncio.run(run())
+
+
+class TestP2P:
+    def test_two_node_mesh(self, served_system, tmp_path):
+        """Two peer servers in one process (reference final_validation_test
+        pattern): share an index, remote search, merge into local results."""
+        from intelligent_video_analysis_retrieval_system_tpu.serve.p2p import (
+            NetworkClient,
+            NetworkServer,
+        )
+
+        root, system, _ = served_system
+        index_path = root / "index" / "index.rvdb"
+        port_a = free_port()
+        server_a = NetworkServer("127.0.0.1", port_a, node_name="nodeA",
+                                 enable_discovery=False)
+        server_a.register_index_file("shared", str(index_path))
+        server_a.start_server()
+        try:
+            client = NetworkClient()
+            record = client.connect_to_server("127.0.0.1", port_a)
+            assert record["ping"]["status"] == "ok"
+            listed = client.list_remote_indexes("127.0.0.1", port_a)
+            assert listed[0]["index_id"] == "shared"
+            assert listed[0]["ntotal"] == 8
+
+            remote = client.load_remote_index("127.0.0.1", port_a, "shared")
+            qvec = system.embedder.encode_text(["a scene"])[0]
+            hits = remote.search_vector(qvec, top_k=3)
+            assert len(hits) == 3
+            assert hits[0]["source"].startswith("remote:")
+            assert remote.get_thumbnail(0)[:2] == b"\xff\xd8"
+            assert remote.get_metadata(0)["folder"] == "vid0"
+
+            # plug into the facade: fan-in merge must dedup local+remote
+            system.remote_indexes.append(remote)
+            try:
+                from intelligent_video_analysis_retrieval_system_tpu.system import (
+                    SearchOptions,
+                )
+
+                merged = system.search(
+                    "a scene", SearchOptions(limit=5, use_cache=False)
+                )
+                assert len(merged) == 5
+            finally:
+                system.remote_indexes.clear()
+        finally:
+            server_a.stop_server()
+        assert not client.health_check("127.0.0.1", port_a)  # clean shutdown
+
+    def test_remote_search_validates_dim(self, served_system):
+        from intelligent_video_analysis_retrieval_system_tpu.serve.p2p import (
+            NetworkServer,
+        )
+
+        root, _, _ = served_system
+        port = free_port()
+        server = NetworkServer("127.0.0.1", port, enable_discovery=False)
+        server.register_index_file("s", str(root / "index" / "index.rvdb"))
+        server.start_server()
+        try:
+            status, body = http_json(
+                f"http://127.0.0.1:{port}/api/indexes/s/search",
+                {"query_vector": [1.0, 2.0], "top_k": 3},
+            )
+            assert status == 400
+            status, _ = http_json(
+                f"http://127.0.0.1:{port}/api/indexes/nope/search",
+                {"query_vector": [0.0] * 32},
+            )
+            assert status == 404
+        finally:
+            server.stop_server()
+
+    def test_discovery_loopback(self):
+        from intelligent_video_analysis_retrieval_system_tpu.serve.p2p import (
+            NetworkDiscovery,
+        )
+
+        port = free_port()
+        disc_port = free_port()
+        a = NetworkDiscovery(port, discovery_port=disc_port, interval_s=0.1,
+                             node_name="A")
+        b = NetworkDiscovery(port + 1, discovery_port=disc_port, interval_s=0.1,
+                             node_name="B")
+        # distinct node ids even on one host
+        b.node_id = "b" * 12
+        found = threading.Event()
+        a.on_node_discovered = lambda node: found.set()
+        a.start_discovery()
+        try:
+            time.sleep(0.2)
+            b.broadcast_once()
+            assert found.wait(timeout=3), "node B not discovered"
+            nodes = a.get_nodes()
+            assert any(n["node_name"] == "B" for n in nodes)
+        finally:
+            a.stop_discovery()
+            assert not a.is_running
