@@ -1,0 +1,361 @@
+"""Command-line interface.
+
+Subcommand parity with the reference's CLI surface:
+
+- ``extract``  — video -> keyframes + map CSVs (``video_frame_filter.py``)
+- ``filter``   — refine keyframes, incl. ``--gentle`` / ``--ultra-gentle`` /
+  ``--similarity-only`` presets (``filter.py:648-739``)
+- ``build``    — keyframes -> .rvdb index (``unified_builder.py``)
+- ``search``   — one-shot text query against an index
+- ``serve``    — REST/WebSocket server + web console (``api.py`` servers)
+- ``share``    — P2P peer server sharing an index on the LAN
+- ``doctor``   — network/system diagnostics (``debug_network_issue.py``)
+- ``validate`` — server lifecycle self-test (``final_validation_test.py``)
+- ``stats``    — index/container statistics
+
+Usage: ``python -m intelligent_video_analysis_retrieval_system_tpu <cmd>``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="ivars-tpu",
+        description="TPU-native intelligent video analysis & retrieval",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    ex = sub.add_parser("extract", help="extract keyframes from videos")
+    ex.add_argument("videos", nargs="+", help="video files")
+    ex.add_argument("--keyframes-dir", default="keyframes")
+    ex.add_argument("--map-dir", default="map")
+    ex.add_argument("--dedup-threshold", type=float, default=0.98)
+    ex.add_argument("--sample-every", type=int, default=1)
+    ex.add_argument("--batch", type=int, default=128)
+    ex.add_argument("--phash", action="store_true",
+                    help="enable perceptual-hash prefilter")
+
+    fl = sub.add_parser("filter", help="refine extracted keyframes")
+    fl.add_argument("keyframes_dir")
+    fl.add_argument("--output-dir", default=None,
+                    help="copy survivors here (default: filter in place)")
+    fl.add_argument("--map-dir", default=None)
+    fl.add_argument("--output-map-dir", default=None)
+    fl.add_argument("--blur-percentile", type=float, default=10.0)
+    fl.add_argument("--edge-percentile", type=float, default=10.0)
+    fl.add_argument("--similarity", type=float, default=0.95)
+    fl.add_argument("--window", type=int, default=5)
+    preset = fl.add_mutually_exclusive_group()
+    preset.add_argument("--gentle", action="store_true")
+    preset.add_argument("--ultra-gentle", action="store_true")
+    preset.add_argument("--similarity-only", action="store_true")
+
+    bd = sub.add_parser("build", help="build a searchable index")
+    bd.add_argument("keyframes_dir")
+    bd.add_argument("--output", default="index/index.rvdb")
+    bd.add_argument("--map-dir", default=None)
+    bd.add_argument("--model-path", default=None,
+                    help="local CLIP checkpoint dir (HF layout)")
+    bd.add_argument("--no-resume", action="store_true")
+    bd.add_argument("--chunk-size", type=int, default=1024)
+    bd.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float16", "float32"])
+
+    se = sub.add_parser("search", help="query an index")
+    se.add_argument("index_path")
+    se.add_argument("query")
+    se.add_argument("--limit", type=int, default=10)
+    se.add_argument("--mode", default="clip_only",
+                    choices=["clip_only", "llm_enhanced", "hybrid"])
+    se.add_argument("--model-path", default=None)
+    se.add_argument("--json", action="store_true", dest="as_json")
+
+    sv = sub.add_parser("serve", help="start the REST/WebSocket server")
+    sv.add_argument("index_path", nargs="?", default=None)
+    sv.add_argument("--host", default="0.0.0.0")
+    sv.add_argument("--port", type=int, default=5000)
+    sv.add_argument("--model-path", default=None)
+
+    sh = sub.add_parser("share", help="share an index on the LAN (P2P)")
+    sh.add_argument("index_path")
+    sh.add_argument("--host", default="0.0.0.0")
+    sh.add_argument("--port", type=int, default=5001)
+    sh.add_argument("--name", default=None, help="node name")
+    sh.add_argument("--index-id", default="shared")
+
+    dr = sub.add_parser("doctor", help="diagnose network & device setup")
+    dr.add_argument("--port", type=int, default=5001)
+    dr.add_argument("--probe", default=None,
+                    help="host:port of a peer to probe")
+
+    va = sub.add_parser("validate", help="server lifecycle self-test")
+    va.add_argument("--port", type=int, default=0,
+                    help="port (0 = ephemeral)")
+
+    st = sub.add_parser("stats", help="index statistics")
+    st.add_argument("index_path")
+    return p
+
+
+# ---------------------------------------------------------------------------
+
+
+def cmd_extract(args) -> int:
+    from .ingest import FrameFilter, FrameFilterConfig
+
+    cfg = FrameFilterConfig(
+        dedup_threshold=args.dedup_threshold,
+        frame_batch=args.batch,
+        sample_every=args.sample_every,
+        use_phash_prefilter=args.phash,
+    )
+    ff = FrameFilter(cfg)
+    for video in args.videos:
+        report = ff.extract_frames(video, args.keyframes_dir, args.map_dir)
+        print(
+            f"{report.video}: kept {report.frames_kept}/{report.frames_seen} "
+            f"frames ({report.frames_per_s:.0f} fps decode+dedup)"
+        )
+    return 0
+
+
+def cmd_filter(args) -> int:
+    from .ingest import FrameFilter, FrameFilterConfig
+
+    if args.gentle:
+        cfg = FrameFilterConfig.gentle()
+    elif args.ultra_gentle:
+        cfg = FrameFilterConfig.ultra_gentle()
+    elif args.similarity_only:
+        cfg = FrameFilterConfig.similarity_only()
+    else:
+        cfg = FrameFilterConfig(
+            blur_drop_percentile=args.blur_percentile,
+            edge_drop_percentile=args.edge_percentile,
+            in_scene_similarity=args.similarity,
+            dedup_window=args.window,
+        )
+    ff = FrameFilter(cfg)
+    report = ff.apply_filters(
+        args.keyframes_dir,
+        output_dir=args.output_dir,
+        map_dir=args.map_dir,
+        output_map_dir=args.output_map_dir,
+    )
+    print(
+        f"{report.folders} folders: {report.frames_in} -> {report.frames_out} "
+        f"frames (quality -{report.dropped_quality}, "
+        f"similarity -{report.dropped_similarity})"
+    )
+    return 0
+
+
+def _make_system(model_path: str | None, dtype: str | None = None):
+    from .system import CLIPEmbedder, EnhancedRetrievalSystem
+    from .utils.config import Config
+
+    overrides: dict = {}
+    if model_path:
+        overrides["model"] = {"path": model_path}
+    if dtype:
+        overrides["index"] = {"dtype": dtype}
+    config = Config(config_file="config.json", overrides=overrides or None)
+    embedder = CLIPEmbedder(
+        model_path=model_path,
+        compute_dtype=config.get("device.compute_dtype", "bfloat16"),
+        image_batch_size=config.get("model.image_batch_size", 256),
+    )
+    return EnhancedRetrievalSystem(config, embedder=embedder)
+
+
+def cmd_build(args) -> int:
+    system = _make_system(args.model_path, args.dtype)
+    system.config.set("index.chunk_size", args.chunk_size)
+    out = system.build_system(
+        args.keyframes_dir,
+        map_dir=args.map_dir,
+        output_path=args.output,
+        resume=not args.no_resume,
+    )
+    report = out["report"]
+    print(
+        f"indexed {report['processed']} images "
+        f"({report['images_per_s']:.0f} img/s, "
+        f"skipped {report['skipped_resume']} already-processed, "
+        f"{report['failed']} failures) -> {out['index_path']}"
+    )
+    return 0
+
+
+def cmd_search(args) -> int:
+    from .system.facade import SearchOptions
+
+    system = _make_system(args.model_path)
+    system.load_system(args.index_path)
+    t0 = time.perf_counter()
+    results = system.search(
+        args.query, SearchOptions(mode=args.mode, limit=args.limit)
+    )
+    dt = (time.perf_counter() - t0) * 1e3
+    if args.as_json:
+        print(json.dumps(results, ensure_ascii=False, indent=2))
+    else:
+        print(f"{len(results)} hits in {dt:.1f} ms for {args.query!r}:")
+        for r in results:
+            print(
+                f"  #{r['rank']:<3} {r['folder']}/{r['image']:<16} "
+                f"score={r['similarity_score']:.4f} frame={r.get('frame_id')}"
+            )
+    system.cleanup()
+    return 0
+
+
+def cmd_serve(args) -> int:
+    system = _make_system(args.model_path)
+    if args.index_path:
+        system.load_system(args.index_path)
+    print(f"serving on http://{args.host}:{args.port} (console at /)")
+    system.start_server(host=args.host, port=args.port, block=True)
+    return 0
+
+
+def cmd_share(args) -> int:
+    from .serve.p2p import NetworkServer
+
+    server = NetworkServer(args.host, args.port, node_name=args.name)
+    server.register_index_file(args.index_id, args.index_path)
+    server.start_server()
+    print(
+        f"sharing {args.index_path!r} as {args.index_id!r} on "
+        f"{args.host}:{args.port} (discovery on {args.port + 1}); Ctrl-C to stop"
+    )
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        server.stop_server()
+    return 0
+
+
+def cmd_doctor(args) -> int:
+    """Diagnostics (reference debug_network_issue.py analog)."""
+    import socket
+
+    print("== device ==")
+    try:
+        import jax
+
+        print(f"  backend: {jax.default_backend()}")
+        for d in jax.devices():
+            print(f"  device: {d}")
+    except Exception as exc:
+        print(f"  JAX unavailable: {exc}")
+    print("== network ==")
+    host = socket.gethostname()
+    print(f"  hostname: {host}")
+    try:
+        print(f"  ip: {socket.gethostbyname(host)}")
+    except OSError:
+        print("  ip: unresolvable")
+    for port in (args.port, args.port + 1):
+        with socket.socket() as s:
+            s.settimeout(0.5)
+            in_use = s.connect_ex(("127.0.0.1", port)) == 0
+        print(f"  port {port}: {'IN USE' if in_use else 'free'}")
+    if args.probe:
+        from .serve.p2p import NetworkClient
+
+        try:
+            h, p = args.probe.rsplit(":", 1)
+            client = NetworkClient(timeout_s=3)
+            record = client.connect_to_server(h, int(p))
+            print(f"  probe {args.probe}: OK "
+                  f"(node {record['info'].get('node_name')})")
+        except Exception as exc:
+            print(f"  probe {args.probe}: FAILED ({exc})")
+            return 1
+    print("== checklist ==")
+    print("  - peers must share a subnet for UDP broadcast discovery")
+    print("  - firewalls must allow the service port and port+1/udp")
+    print("  - use `share` on the serving node, `doctor --probe` from peers")
+    return 0
+
+
+def cmd_validate(args) -> int:
+    """Server lifecycle self-test (reference final_validation_test.py)."""
+    import socket
+    import urllib.request
+
+    from .serve.p2p import NetworkClient, NetworkServer
+
+    port = args.port
+    if port == 0:
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+    checks: list[tuple[str, bool]] = []
+    server = NetworkServer("127.0.0.1", port, node_name="validate",
+                           enable_discovery=True)
+    server.start_server()
+    try:
+        client = NetworkClient(timeout_s=5)
+        checks.append(("server starts", server.is_running))
+        checks.append(("/api/ping answers", client.health_check("127.0.0.1", port)))
+        info = client._get(f"http://127.0.0.1:{port}", "/api/node/info")
+        checks.append(("/api/node/info answers", "node_id" in info))
+        status = client._get(f"http://127.0.0.1:{port}", "/api/status")
+        checks.append(("/api/status running", status.get("status") == "running"))
+        checks.append(("discovery threads alive", server.discovery.is_running))
+    finally:
+        server.stop_server()
+    time.sleep(0.3)
+    try:
+        urllib.request.urlopen(f"http://127.0.0.1:{port}/api/ping", timeout=1)
+        stopped = False
+    except Exception:
+        stopped = True
+    checks.append(("clean shutdown", stopped))
+    ok = all(passed for _, passed in checks)
+    for name, passed in checks:
+        print(f"  [{'PASS' if passed else 'FAIL'}] {name}")
+    print("ALL CHECKS PASSED" if ok else "VALIDATION FAILED")
+    return 0 if ok else 1
+
+
+def cmd_stats(args) -> int:
+    from .index import UnifiedIndex
+
+    index = UnifiedIndex()
+    index.load_unified_index(args.index_path)
+    print(json.dumps(index.get_stats(), indent=2, default=str))
+    index.close()
+    return 0
+
+
+_COMMANDS = {
+    "extract": cmd_extract,
+    "filter": cmd_filter,
+    "build": cmd_build,
+    "search": cmd_search,
+    "serve": cmd_serve,
+    "share": cmd_share,
+    "doctor": cmd_doctor,
+    "validate": cmd_validate,
+    "stats": cmd_stats,
+}
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    return _COMMANDS[args.command](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

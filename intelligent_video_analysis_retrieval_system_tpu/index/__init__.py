@@ -12,6 +12,7 @@ from .unified import UnifiedIndex, UnifiedIndexConfig
 from .builder import RAGBuilder, BuildReport
 from .metadata import MetadataManager
 from .portable import PortableIndex
+from .fastloader import FastLoader
 
 __all__ = [
     "IndexContainer",
@@ -21,4 +22,5 @@ __all__ = [
     "BuildReport",
     "MetadataManager",
     "PortableIndex",
+    "FastLoader",
 ]

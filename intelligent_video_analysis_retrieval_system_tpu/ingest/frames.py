@@ -104,16 +104,22 @@ def default_pixel_embedder(size: int = 8) -> EmbedFn:
     Good enough for near-duplicate detection (the only job of the stage-1
     tower); swap in the CLIP image tower for semantically-aware dedup.
     """
+    import functools
+
+    import jax
     import jax.numpy as jnp
 
     from ..ops.preprocess import resize_bilinear
 
-    def embed(batch: np.ndarray) -> np.ndarray:
-        x = jnp.asarray(batch, jnp.float32)
+    @functools.partial(jax.jit, static_argnames=())
+    def _embed(x: jnp.ndarray) -> jnp.ndarray:
         small = resize_bilinear(x, size, size)            # (B, s, s, 3)
-        flat = small.reshape(len(batch), -1)
-        flat = flat - jnp.mean(flat, axis=1, keepdims=True)
-        return np.asarray(flat, dtype=np.float32)
+        flat = small.reshape(x.shape[0], -1)
+        return flat - jnp.mean(flat, axis=1, keepdims=True)
+
+    def embed(batch: np.ndarray) -> np.ndarray:
+        return np.asarray(_embed(jnp.asarray(batch, jnp.float32)),
+                          dtype=np.float32)
 
     return embed
 

@@ -49,6 +49,7 @@ def _phash_impl(gray32: jnp.ndarray) -> jnp.ndarray:
     return (low > med).astype(jnp.uint8)
 
 
+@jax.jit
 def perceptual_hash(images: jnp.ndarray) -> jnp.ndarray:
     """(B, H, W, 3) pixels in [0,255] -> (B, 64) uint8 bits."""
     gray = rgb_to_gray(images)[..., None]          # (B,H,W,1)

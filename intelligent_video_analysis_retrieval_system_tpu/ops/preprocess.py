@@ -83,6 +83,9 @@ def _interp_matrix(
     return mat
 
 
+@functools.partial(
+    jax.jit, static_argnames=("out_h", "out_w", "method", "antialias")
+)
 def resize_bilinear(
     images: jnp.ndarray,
     out_h: int,
@@ -93,7 +96,9 @@ def resize_bilinear(
     """Batched separable resize (B, H, W, C) -> (B, out_h, out_w, C), f32.
 
     ``method`` in {"bilinear", "bicubic"}; antialiased by default (matches
-    PIL / jax.image.resize). Implemented as two MXU matmuls.
+    PIL / jax.image.resize). Implemented as two MXU matmuls. Jitted: every
+    public ops entry point compiles — eager dispatch is pathologically slow
+    on tunneled TPU backends.
     """
     _, h, w, _ = images.shape
     a_h = jnp.asarray(_interp_matrix(out_h, h, method, antialias))
@@ -130,6 +135,31 @@ def _normalize_kernel(x_ref, out_ref, *, mean, std, out_dtype):
     out_ref[:] = jnp.concatenate(chans, axis=-1).astype(out_dtype)
 
 
+@functools.lru_cache(maxsize=64)
+def _normalize_call(shape: tuple, in_dtype_name: str, mean: tuple, std: tuple,
+                    dtype_name: str, interpret: bool):
+    """Compile-once pallas normalize for a static signature."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    dtype = jnp.dtype(dtype_name)
+    b, h, w, c = shape
+    kernel = functools.partial(
+        _normalize_kernel, mean=mean, std=std, out_dtype=dtype
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), dtype),
+        interpret=interpret,
+    )
+    return jax.jit(call)
+
+
 def normalize_images(
     images: jnp.ndarray,
     mean: tuple = CLIP_IMAGE_MEAN,
@@ -142,30 +172,27 @@ def normalize_images(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if not (use_pallas or interpret):
-        x = images.astype(jnp.float32) / 255.0
-        m = jnp.asarray(mean, jnp.float32).reshape(1, 1, 1, 3)
-        s = jnp.asarray(std, jnp.float32).reshape(1, 1, 1, 3)
-        return ((x - m) / s).astype(dtype)
-
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    b, h, w, c = images.shape
-    kernel = functools.partial(
-        _normalize_kernel, mean=tuple(mean), std=tuple(std), out_dtype=dtype
+        return _normalize_jnp(images, tuple(mean), tuple(std),
+                              jnp.dtype(dtype).name)
+    call = _normalize_call(
+        tuple(images.shape), jnp.asarray(images).dtype.name, tuple(mean),
+        tuple(std), jnp.dtype(dtype).name, interpret,
     )
-    return pl.pallas_call(
-        kernel,
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, c), dtype),
-        interpret=interpret,
-    )(images)
+    return call(images)
 
 
+@functools.partial(jax.jit, static_argnames=("mean", "std", "dtype_name"))
+def _normalize_jnp(images, mean, std, dtype_name):
+    x = images.astype(jnp.float32) / 255.0
+    m = jnp.asarray(mean, jnp.float32).reshape(1, 1, 1, 3)
+    s = jnp.asarray(std, jnp.float32).reshape(1, 1, 1, 3)
+    return ((x - m) / s).astype(jnp.dtype(dtype_name))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("image_size", "dtype", "use_pallas", "interpret"),
+)
 def preprocess_images(
     images: jnp.ndarray,
     image_size: int = 224,

@@ -159,16 +159,30 @@ class CLIPEmbedder:
 
     @functools.cached_property
     def _encode_image_jit(self):
+        """Fused preprocess + tower + normalize in ONE jit (eager dispatch
+        between stages is expensive on tunneled TPU backends)."""
         import jax
+        import jax.numpy as jnp
 
         from ..models.clip import CLIPModel
+        from ..ops.preprocess import normalize_images, preprocess_images
 
         model = self.model
+        s = self.config.vision.image_size
+        dtype = jnp.float32 if self.compute_dtype == "float32" else jnp.bfloat16
 
-        @jax.jit
-        def fn(params, pixels):
+        @functools.partial(jax.jit, static_argnames=("mode",))
+        def fn(params, pixels, mode: str):
+            if mode == "preprocessed":
+                px = pixels.astype(dtype)
+            elif mode == "normalize":
+                px = normalize_images(pixels, dtype=dtype,
+                                      use_pallas=False)
+            else:  # full resize + crop + normalize
+                px = preprocess_images(pixels, image_size=s, dtype=dtype,
+                                       use_pallas=False)
             out = model.apply(
-                {"params": params}, pixels, method=CLIPModel.encode_image
+                {"params": params}, px, method=CLIPModel.encode_image
             ).astype("float32")
             return out / jax.numpy.maximum(
                 jax.numpy.linalg.norm(out, axis=-1, keepdims=True), 1e-12
@@ -220,8 +234,6 @@ class CLIPEmbedder:
         self.ensure_loaded()
         import jax.numpy as jnp
 
-        from ..ops.preprocess import normalize_images, preprocess_images
-
         images = np.asarray(images)
         if images.ndim == 3:
             images = images[None]
@@ -229,8 +241,13 @@ class CLIPEmbedder:
         if n == 0:
             return np.zeros((0, self.config.vision.projection_dim), np.float32)
         t0 = time.perf_counter()
-        dtype = jnp.float32 if self.compute_dtype == "float32" else jnp.bfloat16
         s = self.config.vision.image_size
+        if preprocessed:
+            mode = "preprocessed"
+        elif images.shape[1] == s and images.shape[2] == s:
+            mode = "normalize"
+        else:
+            mode = "full"
         outs = []
         for start in range(0, n, self.image_batch_size):
             chunk = images[start : start + self.image_batch_size]
@@ -240,14 +257,7 @@ class CLIPEmbedder:
                 chunk = np.concatenate(
                     [chunk, np.zeros((b_pad - b, *chunk.shape[1:]), chunk.dtype)]
                 )
-            dev = jnp.asarray(chunk)
-            if preprocessed:
-                px = dev.astype(dtype)
-            elif chunk.shape[1] == s and chunk.shape[2] == s:
-                px = normalize_images(dev, dtype=dtype)
-            else:
-                px = preprocess_images(dev, image_size=s, dtype=dtype)
-            out = self._encode_image_jit(self.params, px)
+            out = self._encode_image_jit(self.params, jnp.asarray(chunk), mode)
             outs.append(np.asarray(out)[:b])
         result = np.concatenate(outs)
         if self.logger:

@@ -439,6 +439,29 @@ class EnhancedRetrievalSystem:
             )
         return {"response": response, "search_results": results, "method": "search"}
 
+    def enable_llm(self, complete_fn: Any | None = None) -> Any:
+        """Attach the conversational agent (chat + llm_enhanced expansion).
+
+        ``complete_fn`` injects a provider (OpenAI chat-completions shape);
+        without one, the processor auto-detects OPENAI_API_KEY and otherwise
+        stays in deterministic local fallback mode.
+        """
+        from ..agents import LLMConfig, LLMProcessor
+
+        sec = self.config.section("llm")
+        self.llm_processor = LLMProcessor(
+            self,
+            complete_fn=complete_fn,
+            config=LLMConfig(
+                model=sec.get("model", "gpt-4o"),
+                timeout_base_s=sec.get("timeout_base_s", 15.0),
+                timeout_per_image_s=sec.get("timeout_per_image_s", 8.0),
+                max_images=sec.get("max_images", 5),
+                session_clear_every=sec.get("session_clear_every", 5),
+            ),
+        )
+        return self.llm_processor
+
     # -- export ---------------------------------------------------------------
 
     def export_data(

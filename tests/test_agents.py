@@ -1,0 +1,226 @@
+"""Agent layer tests with a fake LLM provider (no network)."""
+
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from intelligent_video_analysis_retrieval_system_tpu.agents import (
+    LLMConfig,
+    LLMProcessor,
+    get_agent_tools,
+)
+from intelligent_video_analysis_retrieval_system_tpu.agents.tools import (
+    to_openai_tools,
+)
+from intelligent_video_analysis_retrieval_system_tpu.models import CLIPConfig
+from intelligent_video_analysis_retrieval_system_tpu.system import (
+    CLIPEmbedder,
+    EnhancedRetrievalSystem,
+)
+from intelligent_video_analysis_retrieval_system_tpu.utils.config import Config
+
+
+@pytest.fixture(scope="module")
+def agent_system(tmp_path_factory):
+    root = tmp_path_factory.mktemp("agents")
+    rng = np.random.default_rng(4)
+    folder = root / "keyframes" / "vid0"
+    folder.mkdir(parents=True)
+    for n in range(5):
+        arr = rng.integers(0, 255, (48, 48, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(folder / f"{n}.jpg", quality=95)
+    cfg = Config(config_file=None, base_dir=root, create_dirs=True,
+                 overrides={"index": {"dtype": "float32", "thumbnail_size": 32}})
+    system = EnhancedRetrievalSystem(
+        cfg, embedder=CLIPEmbedder(config=CLIPConfig.tiny_test(),
+                                   compute_dtype="float32")
+    )
+    system.build_system(root / "keyframes")
+    yield system
+    system.cleanup()
+
+
+class TestTools:
+    def test_tool_registry(self, agent_system):
+        tools = get_agent_tools(agent_system)
+        assert {t.name for t in tools} == {
+            "search_keyframes", "analyze_keyframes", "get_system_status",
+            "chat_about_frames",
+        }
+        oa = to_openai_tools(tools)
+        assert oa[0]["type"] == "function"
+        assert "parameters" in oa[0]["function"]
+
+    def test_search_tool(self, agent_system):
+        tools = {t.name: t for t in get_agent_tools(agent_system)}
+        out = tools["search_keyframes"](query="a scene", limit=3)
+        assert out["count"] == 3
+        assert out["results"][0]["similarity_score"] > -1
+
+    def test_search_tool_coerces_bad_limit(self, agent_system):
+        tools = {t.name: t for t in get_agent_tools(agent_system)}
+        out = tools["search_keyframes"](query="x", limit="not a number")
+        assert out["count"] <= 10  # fell back to default
+        out = tools["search_keyframes"](query="x", limit=99999)
+        assert out["count"] <= 50  # capped
+
+    def test_analyze_tool(self, agent_system):
+        tools = {t.name: t for t in get_agent_tools(agent_system)}
+        out = tools["analyze_keyframes"](folder="vid0", image="2.jpg")
+        assert out["frame_id"] == 2
+        assert "1.jpg" in out["temporal_neighbors"]
+        out = tools["analyze_keyframes"](folder="vid0", image="nope.jpg")
+        assert "error" in out
+
+    def test_status_tool(self, agent_system):
+        tools = {t.name: t for t in get_agent_tools(agent_system)}
+        out = tools["get_system_status"]()
+        assert out["index_frames"] == 5
+
+    def test_invoke_json_tolerant(self, agent_system):
+        tools = {t.name: t for t in get_agent_tools(agent_system)}
+        # valid JSON string args
+        out = json.loads(tools["search_keyframes"].invoke_json(
+            '{"query": "cat", "limit": 2}'))
+        assert out["count"] == 2
+        # raw string becomes the first required param
+        out = json.loads(tools["search_keyframes"].invoke_json("a dog"))
+        assert out["query"] == "a dog"
+        # bad kwargs -> error envelope, not an exception
+        out = json.loads(tools["analyze_keyframes"].invoke_json('{"x": 1}'))
+        assert "error" in out
+
+
+def make_fake_provider(script):
+    """A complete_fn replaying scripted replies; records all message lists."""
+    calls = []
+
+    def complete(messages, tools=None):
+        calls.append({"messages": messages, "tools": tools})
+        return script[min(len(calls) - 1, len(script) - 1)]
+
+    complete.calls = calls
+    return complete
+
+
+class TestLLMProcessor:
+    def test_no_provider_falls_back_to_search(self, agent_system):
+        proc = LLMProcessor(agent_system, complete_fn=None)
+        assert not proc.available
+        out = proc.chat_with_user("find a dark scene")
+        assert out["method"] == "search"
+
+    def test_tool_call_loop(self, agent_system):
+        provider = make_fake_provider([
+            {"content": None, "tool_calls": [
+                {"id": "c1", "name": "search_keyframes",
+                 "arguments": '{"query": "a scene", "limit": 2}'},
+            ]},
+            {"content": "I found 2 matching frames.", "tool_calls": None},
+        ])
+        proc = LLMProcessor(agent_system, complete_fn=provider)
+        out = proc.chat_with_user("what scenes are there?")
+        assert out["method"] == "agent"
+        assert out["tool_calls"] == ["search_keyframes"]
+        assert len(out["search_results"]) == 2
+        # the tool output was relayed back to the model
+        roles = [m["role"] for m in provider.calls[1]["messages"]]
+        assert "tool" in roles
+
+    def test_unknown_tool_handled(self, agent_system):
+        provider = make_fake_provider([
+            {"content": None, "tool_calls": [
+                {"id": "c1", "name": "not_a_tool", "arguments": "{}"},
+            ]},
+            {"content": "ok", "tool_calls": None},
+        ])
+        proc = LLMProcessor(agent_system, complete_fn=provider)
+        out = proc.chat_with_user("hi")
+        assert out["method"] == "agent"
+
+    def test_tool_round_limit(self, agent_system):
+        looping = {"content": None, "tool_calls": [
+            {"id": "c", "name": "get_system_status", "arguments": "{}"},
+        ]}
+        provider = make_fake_provider([looping])
+        proc = LLMProcessor(agent_system, complete_fn=provider,
+                            config=LLMConfig(max_tool_rounds=2))
+        out = proc.chat_with_user("loop forever")
+        assert out["method"] == "agent_truncated"
+        assert len(out["tool_calls"]) == 2
+
+    def test_provider_crash_degrades(self, agent_system):
+        def boom(messages, tools=None):
+            raise RuntimeError("provider down")
+
+        proc = LLMProcessor(agent_system, complete_fn=boom)
+        out = proc.chat_with_user("anything")
+        assert out["method"] == "search"  # fell through the whole chain
+
+    def test_timeout_degrades(self, agent_system):
+        import time
+
+        def slow(messages, tools=None):
+            time.sleep(2.0)
+            return {"content": "late", "tool_calls": None}
+
+        proc = LLMProcessor(
+            agent_system, complete_fn=slow,
+            config=LLMConfig(timeout_base_s=0.2, timeout_per_image_s=0.0),
+        )
+        out = proc.chat_with_user("slow")
+        assert out["method"] == "search"
+
+    def test_frames_attached_as_images(self, agent_system):
+        provider = make_fake_provider([
+            {"content": "nice frames", "tool_calls": None},
+        ])
+        proc = LLMProcessor(agent_system, complete_fn=provider)
+        out = proc.chat_with_user(
+            "describe these", [{"folder": "vid0", "image": "1.jpg"}]
+        )
+        assert out["method"] == "agent"
+        user_msg = provider.calls[0]["messages"][-1]
+        parts = user_msg["content"]
+        assert isinstance(parts, list)
+        assert any(p.get("type") == "image_url" for p in parts)
+        assert parts[1]["image_url"]["url"].startswith("data:image/jpeg;base64,")
+
+    def test_session_clearing(self, agent_system):
+        provider = make_fake_provider([{"content": "ok", "tool_calls": None}])
+        proc = LLMProcessor(agent_system, complete_fn=provider,
+                            config=LLMConfig(session_clear_every=2))
+        proc.chat_with_user("one")
+        assert proc._history
+        proc.chat_with_user("two")  # run #2 clears first
+        proc.chat_with_user("three")
+        assert len(proc._history) <= 4
+
+    def test_expand_query(self, agent_system):
+        proc = LLMProcessor(agent_system, complete_fn=None)
+        assert proc.expand_query("cat") == ["cat"]
+        provider = make_fake_provider([
+            {"content": "a photo of a cat\na cat sitting", "tool_calls": None},
+        ])
+        proc2 = LLMProcessor(agent_system, complete_fn=provider)
+        out = proc2.expand_query("cat")
+        assert out[0] == "cat" and len(out) == 3
+
+    def test_explain_and_rank_shims(self, agent_system):
+        proc = LLMProcessor(agent_system, complete_fn=None)
+        results = [{"folder": "v", "image": "1.jpg", "similarity_score": 0.4}]
+        assert proc.rank_results("q", results) == results
+        assert "v/1.jpg" in proc.explain_results("q", results)
+        assert "No keyframes" in proc.explain_results("q", [])
+
+    def test_facade_enable_llm(self, agent_system):
+        provider = make_fake_provider([
+            {"content": "hello from agent", "tool_calls": None},
+        ])
+        proc = agent_system.enable_llm(complete_fn=provider)
+        assert agent_system.llm_processor is proc
+        out = agent_system.chat("tell me about the videos")
+        assert out["response"] == "hello from agent"
+        agent_system.llm_processor = None

@@ -1,0 +1,152 @@
+"""CLI + FastLoader tests. CLI subcommands run in-process via cli.main."""
+
+import json
+import threading
+import time
+
+import numpy as np
+import pytest
+from PIL import Image
+
+cv2 = pytest.importorskip("cv2")
+
+from intelligent_video_analysis_retrieval_system_tpu.cli import main as cli_main
+from intelligent_video_analysis_retrieval_system_tpu.index import (
+    FastLoader,
+    RAGBuilder,
+    UnifiedIndexConfig,
+)
+from intelligent_video_analysis_retrieval_system_tpu.utils.cache import CacheManager
+
+DIM = 32
+
+
+def fake_embed(batch):
+    b, s = len(batch), batch.shape[1]
+    g = batch.reshape(b, 4, s // 4, 4, s // 4, 3).mean(axis=(2, 4)).reshape(b, 48)
+    g = g[:, :DIM].astype(np.float32) + 1e-3
+    return g / np.linalg.norm(g, axis=-1, keepdims=True)
+
+
+def write_video(path, scenes=2, frames=15):
+    rng = np.random.default_rng(0)
+    w = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 25, (64, 64))
+    for _ in range(scenes):
+        img = rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+        for _ in range(frames):
+            w.write(img)
+    w.release()
+
+
+class TestCLI:
+    def test_extract_filter_pipeline(self, tmp_path, monkeypatch, capsys):
+        monkeypatch.chdir(tmp_path)
+        write_video(tmp_path / "clip.mp4")
+        rc = cli_main(["extract", str(tmp_path / "clip.mp4"),
+                       "--keyframes-dir", "keyframes", "--map-dir", "map",
+                       "--batch", "16"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "kept" in out
+        assert (tmp_path / "keyframes" / "clip").is_dir()
+        rc = cli_main(["filter", "keyframes", "--similarity-only"])
+        assert rc == 0
+        assert "folders" in capsys.readouterr().out
+
+    def test_validate_command(self, capsys):
+        rc = cli_main(["validate"])
+        out = capsys.readouterr().out
+        assert rc == 0, out
+        assert "ALL CHECKS PASSED" in out
+
+    def test_doctor_command(self, capsys):
+        rc = cli_main(["doctor"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "network" in out and "checklist" in out
+
+    def test_doctor_probe_failure(self, capsys):
+        rc = cli_main(["doctor", "--probe", "127.0.0.1:1"])
+        assert rc == 1
+        assert "FAILED" in capsys.readouterr().out
+
+    def test_stats_command(self, tmp_path, capsys):
+        kf = tmp_path / "keyframes" / "v"
+        kf.mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        for n in range(4):
+            Image.fromarray(rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+                            ).save(kf / f"{n}.jpg")
+        builder = RAGBuilder(fake_embed, DIM, input_size=32,
+                             config=UnifiedIndexConfig(dtype="float32"))
+        index, _ = builder.build_index(tmp_path / "keyframes",
+                                       tmp_path / "i.rvdb")
+        index.close()
+        rc = cli_main(["stats", str(tmp_path / "i.rvdb")])
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out)
+        assert stats["ntotal"] == 4
+
+    def test_unknown_command_exits(self):
+        with pytest.raises(SystemExit):
+            cli_main(["not-a-command"])
+
+
+class TestFastLoader:
+    def _build(self, tmp_path, n=40):
+        kf = tmp_path / "keyframes" / "v"
+        kf.mkdir(parents=True)
+        rng = np.random.default_rng(1)
+        for i in range(n):
+            Image.fromarray(rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+                            ).save(kf / f"{i}.jpg")
+        builder = RAGBuilder(fake_embed, DIM, input_size=32,
+                             config=UnifiedIndexConfig(dtype="float32"))
+        index, _ = builder.build_index(tmp_path / "keyframes",
+                                       tmp_path / "i.rvdb")
+        index.close()
+        return tmp_path / "i.rvdb"
+
+    def test_load_with_cache_roundtrip(self, tmp_path):
+        path = self._build(tmp_path)
+        cache = CacheManager(cache_dir=tmp_path / ".cache")
+        loader = FastLoader(cache=cache,
+                            config=UnifiedIndexConfig(dtype="float32"))
+        idx1 = loader.load_with_cache(path)
+        assert idx1.ntotal == 40
+        idx1.close()
+        # second open hits the metadata cache
+        idx2 = loader.load_with_cache(path)
+        assert idx2.ntotal == 40
+        assert idx2.load_time_s == 0.0  # cache-path marker
+        hits = idx2.search(np.ones(DIM, np.float32), top_k=3)
+        assert len(hits) == 3
+        idx2.close()
+
+    def test_cache_invalidated_on_change(self, tmp_path):
+        path = self._build(tmp_path)
+        cache = CacheManager(cache_dir=tmp_path / ".cache")
+        loader = FastLoader(cache=cache,
+                            config=UnifiedIndexConfig(dtype="float32"))
+        loader.load_with_cache(path).close()
+        time.sleep(0.02)
+        path.touch()  # mtime change -> new cache key -> full parse
+        idx = loader.load_with_cache(path)
+        assert idx.load_time_s != 0.0
+        idx.close()
+
+    def test_progressive_load_search_during(self, tmp_path):
+        path = self._build(tmp_path, n=60)
+        progress = []
+        loader = FastLoader(config=UnifiedIndexConfig(dtype="float32"))
+        index, thread = loader.progressive_load(
+            path, chunk_rows=16,
+            on_progress=lambda done, total: progress.append((done, total)),
+        )
+        thread.join(timeout=30)
+        assert index.ntotal == 60
+        assert progress[-1] == (60, 60)
+        assert len(progress) >= 4  # chunked
+        hits = index.search(np.ones(DIM, np.float32), top_k=5)
+        assert len(hits) == 5
+        index.close()
