@@ -68,6 +68,13 @@ def _file_hash(path: Path) -> str:
     return h.hexdigest()[:16]
 
 
+def _hash_all(paths: list[Path], threads: int) -> list[str | None]:
+    """Bulk content hashing — native multithreaded C++ when available."""
+    from .. import native
+
+    return native.hash_files(paths, threads=threads)
+
+
 class RAGBuilder:
     """Builds a UnifiedIndex container from a keyframes directory."""
 
@@ -112,10 +119,14 @@ class RAGBuilder:
 
         maps = self._load_maps(map_dir, {f[0] for f in files})
 
+        digests = _hash_all([f[2] for f in files], threads=self.decode_workers)
+
         chunk: list[tuple[str, str, Path, str]] = []
         since_checkpoint = 0
-        for folder, image, path in files:
-            digest = _file_hash(path)
+        for (folder, image, path), digest in zip(files, digests):
+            if digest is None:
+                report.failed += 1
+                continue
             if digest in done_hashes:
                 report.skipped_resume += 1
                 continue
@@ -156,6 +167,7 @@ class RAGBuilder:
             },
         )
         container.flush_checkpoint()
+        self._write_flat_sidecar(container, output_path)
 
         report.duration_s = time.perf_counter() - t0
         if report.duration_s > 0:
@@ -165,6 +177,23 @@ class RAGBuilder:
         return index, report
 
     # -- internals -----------------------------------------------------------
+
+    @staticmethod
+    def _write_flat_sidecar(container: IndexContainer, output_path: Path) -> None:
+        """mmap-friendly flat embedding sidecar for instant cold loads
+        (consumed by UnifiedIndex when present and row-count fresh)."""
+        try:
+            from .. import native
+
+            if container.num_rows == 0:
+                return
+            rows = container.read_embeddings(as_float32=True)
+            dtype = "bfloat16" if container.dtype == "bfloat16" else "float32"
+            native.FlatEmbeddingFile.write(
+                output_path.with_name(output_path.name + ".flat"), rows, dtype
+            )
+        except Exception:
+            pass  # sidecar is an optimization, never a build failure
 
     def _scan_files(self, keyframes_dir: Path) -> list[tuple[str, str, Path]]:
         """Deterministic (folder, image, path) ordering: folder-sorted then

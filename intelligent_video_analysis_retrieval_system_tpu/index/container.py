@@ -197,16 +197,20 @@ class IndexContainer:
 
     def _to_storage(self, rows: np.ndarray) -> np.ndarray:
         if self.dtype == "bfloat16":
-            f32 = np.ascontiguousarray(rows, dtype=np.float32)
-            # bf16 = top 16 bits of f32 with round-to-nearest-even
-            bits = f32.view(np.uint32)
-            rounded = (bits + 0x7FFF + ((bits >> 16) & 1)) >> 16
-            return rounded.astype(np.uint16)
+            # bf16 = top 16 bits of f32, round-to-nearest-even (native C++
+            # codec when available; numpy fallback inside)
+            from .. import native
+
+            return native.f32_to_bf16(
+                np.ascontiguousarray(rows, dtype=np.float32)
+            )
         return np.asarray(rows, dtype=_STORE_DTYPES[self.dtype])
 
     def _to_float32(self, stored: np.ndarray) -> np.ndarray:
         if self.dtype == "bfloat16":
-            return (stored.astype(np.uint32) << 16).view(np.float32)
+            from .. import native
+
+            return native.bf16_to_f32(stored)
         return stored.astype(np.float32)
 
     # -- blob sections (thumbnails / images / metadata) --------------------

@@ -146,7 +146,7 @@ class UnifiedIndex:
             self._dev_x = None
             self._capacity = 0
             return
-        raw = self._container.read_embeddings(as_float32=True)
+        raw = self._read_rows_fast(n)
         if self.config.normalize:
             raw = raw / np.maximum(
                 np.linalg.norm(raw, axis=-1, keepdims=True), 1e-12
@@ -157,6 +157,28 @@ class UnifiedIndex:
         dtype = jnp.bfloat16 if self._container.dtype == "bfloat16" else jnp.float32
         self._dev_x = jnp.asarray(host, dtype)
         self._capacity = cap
+
+    def _read_rows_fast(self, n: int) -> np.ndarray:
+        """Embedding rows as f32: mmap'd flat sidecar when fresh, else the
+        container dataset (sidecars are written by RAGBuilder finalize and
+        invalidated by incremental appends)."""
+        assert self._container is not None
+        if self.path is not None:
+            flat_path = self.path.with_name(self.path.name + ".flat")
+            if flat_path.is_file():
+                try:
+                    from .. import native
+
+                    with native.FlatEmbeddingFile(flat_path) as flat:
+                        if flat.rows.shape == (n, self._container.dim):
+                            return flat.as_float32()
+                except Exception:
+                    pass
+        return self._container.read_embeddings(as_float32=True)
+
+    def _invalidate_sidecar(self) -> None:
+        if self.path is not None:
+            self.path.with_name(self.path.name + ".flat").unlink(missing_ok=True)
 
     def _append_device_rows(self, rows: np.ndarray) -> None:
         """Append normalized rows into padded device capacity (no reload)."""
@@ -368,6 +390,7 @@ class UnifiedIndex:
                 meta.row_id = start + i
                 metas.append(meta)
                 records.append(meta.to_dict())
+            self._invalidate_sidecar()  # row count changes -> sidecar stale
             self._container.append_embeddings(rows)
             self._container.append_metadata(records)
             if thumbnails is not None:
