@@ -124,6 +124,75 @@ def default_pixel_embedder(size: int = 8) -> EmbedFn:
     return embed
 
 
+def dino_embedder(
+    model_path: str | None = None, dtype: str = "bfloat16", batch_pad: int = 8
+) -> EmbedFn:
+    """DINO ViT-S/16 embedding function (the reference's dedup tower,
+    ``video_frame_filter.py:24-33``) — preprocessing + tower in one jit.
+
+    Loads converted ``facebook/dino-vits16`` weights from ``model_path``
+    when present (parity with reference dedup decisions); random init
+    otherwise (still a consistent near-duplicate metric).
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.dino import (
+        DINO_IMAGE_MEAN,
+        DINO_IMAGE_STD,
+        DINOConfig,
+        DINOTower,
+        convert_hf_vit_params,
+    )
+    from ..ops.preprocess import normalize_images, resize_bilinear
+
+    cfg = DINOConfig.vit_s_16()
+    params = None
+    if model_path is not None:
+        try:
+            import transformers
+
+            hf = transformers.ViTModel.from_pretrained(
+                str(model_path), local_files_only=True, add_pooling_layer=False
+            )
+            params = convert_hf_vit_params(hf.state_dict(), cfg)
+        except Exception:
+            params = None
+    compute = jnp.float32 if dtype == "float32" else jnp.bfloat16
+    tower = DINOTower(cfg, dtype=compute)
+    if params is None:
+        params = tower.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
+        )["params"]
+
+    @jax.jit
+    def _embed(params, batch):
+        x = resize_bilinear(batch, cfg.image_size, cfg.image_size,
+                            method="bicubic")
+        x = normalize_images(x, mean=DINO_IMAGE_MEAN, std=DINO_IMAGE_STD,
+                             dtype=compute, use_pallas=False)
+        out = tower.apply({"params": params}, x).astype(jnp.float32)
+        return out
+
+    def embed(batch: np.ndarray) -> np.ndarray:
+        b = len(batch)
+        b_pad = -(-max(b, batch_pad) // batch_pad) * batch_pad
+        if b_pad != b:
+            batch = np.concatenate(
+                [batch, np.zeros((b_pad - b, *batch.shape[1:]), batch.dtype)]
+            )
+        import jax.numpy as jnp
+
+        return np.asarray(
+            _embed(params, jnp.asarray(batch, jnp.float32))
+        )[:b].astype(np.float32)
+
+    return embed
+
+
 class FrameFilter:
     """Keyframe extraction + refinement over batched device ops."""
 

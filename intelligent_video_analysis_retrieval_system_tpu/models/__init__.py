@@ -15,6 +15,7 @@ from .clip import (
     CLIPVisionTower,
 )
 from .convert import convert_hf_clip_params, load_clip
+from .dino import DINOConfig, DINOTower, convert_hf_vit_params
 from .tokenizer import CLIPTokenizer, SimpleTokenizer
 
 __all__ = [
@@ -26,6 +27,9 @@ __all__ = [
     "CLIPVisionTower",
     "convert_hf_clip_params",
     "load_clip",
+    "DINOConfig",
+    "DINOTower",
+    "convert_hf_vit_params",
     "CLIPTokenizer",
     "SimpleTokenizer",
 ]

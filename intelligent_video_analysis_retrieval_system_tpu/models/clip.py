@@ -149,24 +149,41 @@ class MultiHeadAttention(nn.Module):
         return dense("out_proj")(out)
 
 
+def _activation(name: str):
+    if name == "quick_gelu":
+        return quick_gelu
+    if name == "gelu":
+        return functools_gelu_exact
+    if name == "gelu_tanh":
+        return jax.nn.gelu
+    raise ValueError(f"unknown activation {name!r}")
+
+
+def functools_gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact (erf) GELU — HF ViT/DINO's default."""
+    return jax.nn.gelu(x, approximate=False)
+
+
 class TransformerBlock(nn.Module):
     num_heads: int
     mlp_ratio: int
     dtype: Any = jnp.float32
     precision: lax.Precision = lax.Precision.DEFAULT
+    act: str = "quick_gelu"
+    ln_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
         d = x.shape[-1]
         # Pre-LN residual blocks; LayerNorm in f32 (param_dtype default f32).
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
+        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln_1")(x)
         x = x + MultiHeadAttention(
             self.num_heads, dtype=self.dtype, precision=self.precision, name="attn"
         )(h, mask)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
+        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln_2")(x)
         h = nn.Dense(d * self.mlp_ratio, dtype=self.dtype,
                      precision=self.precision, name="mlp_fc")(h)
-        h = quick_gelu(h)
+        h = _activation(self.act)(h)
         h = nn.Dense(d, dtype=self.dtype, precision=self.precision,
                      name="mlp_proj")(h)
         return x + h
@@ -179,6 +196,8 @@ class Transformer(nn.Module):
     dtype: Any = jnp.float32
     precision: lax.Precision = lax.Precision.DEFAULT
     remat: bool = False
+    act: str = "quick_gelu"
+    ln_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -188,7 +207,8 @@ class Transformer(nn.Module):
         for i in range(self.num_layers):
             x = block_cls(
                 self.num_heads, self.mlp_ratio, dtype=self.dtype,
-                precision=self.precision, name=f"layer_{i}"
+                precision=self.precision, act=self.act, ln_eps=self.ln_eps,
+                name=f"layer_{i}"
             )(x, mask)
         return x
 

@@ -193,3 +193,33 @@ class TestApplyFilters:
         assert FrameFilterConfig.gentle().blur_drop_percentile == 5.0
         assert FrameFilterConfig.ultra_gentle().blur_drop_percentile == 2.0
         assert FrameFilterConfig.similarity_only().blur_drop_percentile == 0.0
+
+
+class TestDINOEmbedder:
+    def test_dino_embedder_dedup_flow(self, tmp_path):
+        from intelligent_video_analysis_retrieval_system_tpu.ingest.frames import (
+            dino_embedder,
+        )
+
+        embed = dino_embedder(dtype="float32")
+        rng = np.random.default_rng(0)
+        base = rng.integers(0, 255, (48, 48, 3)).astype(np.uint8)
+        near = np.clip(base.astype(int) + rng.integers(-2, 3, base.shape),
+                       0, 255).astype(np.uint8)
+        far = rng.integers(0, 255, (48, 48, 3)).astype(np.uint8)
+        emb = embed(np.stack([base, near, far]))
+        assert emb.shape == (3, 384)
+        emb = emb / np.linalg.norm(emb, axis=-1, keepdims=True)
+        assert emb[0] @ emb[1] > 0.99 > emb[0] @ emb[2]
+
+    def test_dino_in_frame_filter(self, tmp_path):
+        from intelligent_video_analysis_retrieval_system_tpu.ingest.frames import (
+            dino_embedder,
+        )
+
+        write_scene_video(tmp_path / "v.mp4", scenes=2, frames_per_scene=10)
+        ff = FrameFilter(FrameFilterConfig(frame_batch=8),
+                         embed_fn=dino_embedder(dtype="float32"))
+        report = ff.extract_frames(tmp_path / "v.mp4", tmp_path / "kf",
+                                   tmp_path / "map")
+        assert 2 <= report.frames_kept <= 4

@@ -231,3 +231,67 @@ class TestTokenizer:
         tok = SimpleTokenizer(vocab_size=49408)
         ids = tok("người đang chạy")
         assert (ids != 0).sum() > 2
+
+
+class TestDINO:
+    @pytest.fixture(scope="class")
+    def tiny_torch_vit(self):
+        import torch
+        import transformers
+
+        torch.manual_seed(0)
+        hf_cfg = transformers.ViTConfig(
+            image_size=32, patch_size=8, hidden_size=48,
+            intermediate_size=192, num_hidden_layers=2,
+            num_attention_heads=4, hidden_act="gelu",
+            layer_norm_eps=1e-6,
+        )
+        return hf_cfg, transformers.ViTModel(hf_cfg, add_pooling_layer=False).eval()
+
+    def test_cls_embedding_matches_torch(self, tiny_torch_vit, rng):
+        import torch
+
+        from intelligent_video_analysis_retrieval_system_tpu.models.dino import (
+            DINOConfig,
+            DINOTower,
+            convert_hf_vit_params,
+        )
+
+        hf_cfg, torch_model = tiny_torch_vit
+        cfg = DINOConfig(image_size=32, patch_size=8, hidden_size=48,
+                         num_layers=2, num_heads=4)
+        params = convert_hf_vit_params(torch_model.state_dict(), cfg)
+        tower = DINOTower(cfg, precision=lax.Precision.HIGHEST)
+        px = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+        with torch.no_grad():
+            want = torch_model(
+                pixel_values=torch.tensor(px.transpose(0, 3, 1, 2))
+            ).last_hidden_state[:, 0].numpy()
+        got = np.asarray(tower.apply({"params": params}, jnp.asarray(px)))
+        cos = np.sum(got * want, -1) / (
+            np.linalg.norm(got, -1) * np.linalg.norm(want, -1)
+        )
+        assert cos.min() > 0.9999, cos
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+    def test_random_init_dedup_consistency(self, rng):
+        from intelligent_video_analysis_retrieval_system_tpu.models.dino import (
+            DINOConfig,
+            DINOTower,
+        )
+        from intelligent_video_analysis_retrieval_system_tpu.ops import (
+            l2_normalize,
+        )
+
+        cfg = DINOConfig.tiny_test()
+        tower = DINOTower(cfg)
+        px = rng.standard_normal((1, 32, 32, 3)).astype(np.float32)
+        variables = tower.init(jax.random.PRNGKey(0), jnp.asarray(px))
+        base = rng.standard_normal((32, 32, 3)).astype(np.float32)
+        batch = np.stack([base, base + 0.01 * rng.standard_normal(base.shape),
+                          rng.standard_normal(base.shape).astype(np.float32)])
+        emb = np.asarray(l2_normalize(
+            tower.apply(variables, jnp.asarray(batch))))
+        near = float(emb[0] @ emb[1])
+        far = float(emb[0] @ emb[2])
+        assert near > 0.99 > far
