@@ -104,8 +104,14 @@ def main() -> None:
         f"-> marginal {per_query_ms:.2f} ms/query"
     )
 
-    # secondary: ViT-L/14 image-tower embedding throughput (bf16, B=128)
+    # secondary: ViT-L/14 image-tower embedding throughput (bf16, B=128).
+    # Gated: the image-tower compile can take minutes on remote-compile
+    # tunnels; enable with IVARS_BENCH_FULL=1.
+    import os
+
     try:
+        if not os.environ.get("IVARS_BENCH_FULL"):
+            raise RuntimeError("set IVARS_BENCH_FULL=1 to enable")
         B = 128 if on_tpu else 8
         vtower = CLIPVisionTower(cfg.vision, dtype=jnp.bfloat16)
         px0 = jnp.asarray(

@@ -175,3 +175,83 @@ class CLIPTrainer:
                 jax.device_put(jnp.asarray(pixels), batch_sh),
                 jax.device_put(jnp.asarray(tokens), batch_sh),
             )
+
+    # -- checkpointing (orbax) ------------------------------------------------
+
+    def save_checkpoint(
+        self, ckpt_dir, params, opt_state, step: int, keep: int = 3
+    ) -> str:
+        """Atomic sharded checkpoint via orbax (the reference had no
+        training, hence no model checkpointing — the analogous subsystem
+        there was the index builder's journal, SURVEY.md §5.4)."""
+        import orbax.checkpoint as ocp
+
+        from pathlib import Path
+
+        ckpt_dir = Path(ckpt_dir).resolve()
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+        with ocp.CheckpointManager(
+            ckpt_dir, options=ocp.CheckpointManagerOptions(max_to_keep=keep)
+        ) as mgr:
+            mgr.save(
+                step,
+                args=ocp.args.Composite(
+                    params=ocp.args.StandardSave(params),
+                    opt_state=ocp.args.StandardSave(opt_state),
+                ),
+            )
+            mgr.wait_until_finished()
+        return str(ckpt_dir / str(step))
+
+    def restore_checkpoint(self, ckpt_dir, step: int | None = None):
+        """Restore (params, opt_state, step) with this trainer's shardings."""
+        import orbax.checkpoint as ocp
+
+        from pathlib import Path
+
+        ckpt_dir = Path(ckpt_dir).resolve()
+        with ocp.CheckpointManager(ckpt_dir) as mgr:
+            if step is None:
+                step = mgr.latest_step()
+            if step is None:
+                raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+            # build abstract targets carrying this trainer's shardings
+            ref_params, ref_opt = self.init(0)
+
+            def absify(tree):
+                return jax.tree_util.tree_map(
+                    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+                    if hasattr(x, "sharding") else x,
+                    tree,
+                )
+
+            restored = mgr.restore(
+                step,
+                args=ocp.args.Composite(
+                    params=ocp.args.StandardRestore(absify(ref_params)),
+                    opt_state=ocp.args.StandardRestore(absify(ref_opt)),
+                ),
+            )
+
+        # re-commit every leaf onto a mesh-wide sharding: orbax restores
+        # scalar leaves (e.g. optimizer step count) committed to a single
+        # device, which then clashes with the 8-device params in pjit.
+        replicated = NamedSharding(self.mesh, P())
+
+        def target_sharding(ref):
+            sh = getattr(ref, "sharding", None)
+            if isinstance(sh, NamedSharding) and sh.mesh == self.mesh:
+                return sh
+            return replicated
+
+        def replace(restored_tree, ref_tree):
+            return jax.tree_util.tree_map(
+                lambda r, ref: jax.device_put(r, target_sharding(ref)),
+                restored_tree, ref_tree,
+            )
+
+        return (
+            replace(restored["params"], ref_params),
+            replace(restored["opt_state"], ref_opt),
+            step,
+        )

@@ -139,3 +139,32 @@ class TestTraining:
         assert spec == P(None, "model")
         out = params["vision"]["transformer"]["layer_0"]["attn"]["out_proj"]["kernel"]
         assert out.sharding.spec == P("model", None)
+
+
+class TestCheckpointing:
+    def test_save_restore_roundtrip(self, train_mesh, rng, tmp_path):
+        cfg = CLIPConfig.tiny_test()
+        trainer = CLIPTrainer(cfg, train_mesh)
+        params, opt_state = trainer.init(0)
+        pixels = rng.standard_normal((8, 32, 32, 3)).astype(np.float32)
+        tokens = rng.integers(1, 500, (8, 16)).astype(np.int32)
+        tokens[:, -1] = 511
+        params, opt_state, _ = trainer.train_step(params, opt_state, pixels,
+                                                  tokens)
+        trainer.save_checkpoint(tmp_path / "ckpt", params, opt_state, step=1)
+        params2, opt2, step = trainer.restore_checkpoint(tmp_path / "ckpt")
+        assert step == 1
+        leaf = params["vision"]["transformer"]["layer_0"]["mlp_fc"]["kernel"]
+        leaf2 = params2["vision"]["transformer"]["layer_0"]["mlp_fc"]["kernel"]
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(leaf2))
+        assert leaf2.sharding.spec == leaf.sharding.spec  # TP layout survives
+        # restored state continues training
+        _, _, metrics = trainer.train_step(params2, opt2, pixels, tokens)
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_restore_missing_raises(self, train_mesh, tmp_path):
+        cfg = CLIPConfig.tiny_test()
+        trainer = CLIPTrainer(cfg, train_mesh)
+        (tmp_path / "empty").mkdir()
+        with pytest.raises(FileNotFoundError):
+            trainer.restore_checkpoint(tmp_path / "empty")

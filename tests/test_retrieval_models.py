@@ -189,3 +189,60 @@ class TestValidator:
         (kf / "v1" / "1.jpg").write_bytes(b"x")
         good = v.validate_keyframes_folder(kf)
         assert good.ok and good.checked["images"] == 1
+
+
+class TestEvaluation:
+    def test_recall_and_agreement_perfect(self):
+        from intelligent_video_analysis_retrieval_system_tpu.retrieval.evaluation import (
+            overlap_at_k,
+            rank_agreement,
+            recall_at_k,
+        )
+
+        ids = np.array([[3, 1, 2], [5, 4, 0]])
+        assert recall_at_k(ids, ids) == 1.0
+        assert rank_agreement(ids, ids) == 1.0
+        assert overlap_at_k(ids, ids) == 1.0
+
+    def test_partial_metrics(self):
+        from intelligent_video_analysis_retrieval_system_tpu.retrieval.evaluation import (
+            overlap_at_k,
+            rank_agreement,
+            recall_at_k,
+        )
+
+        truth = np.array([[1, 2, 3]])
+        swapped = np.array([[2, 1, 3]])
+        assert recall_at_k(swapped, truth) == 1.0
+        assert rank_agreement(swapped, truth) == pytest.approx(1 / 3)
+        missing = np.array([[1, 2, 9]])
+        assert recall_at_k(missing, truth) == pytest.approx(2 / 3)
+
+    def test_evaluate_backends_pallas_vs_oracle(self, rng):
+        import jax.numpy as jnp
+
+        from intelligent_video_analysis_retrieval_system_tpu.ops.topk import (
+            topk_exact_reference,
+            topk_search,
+        )
+        from intelligent_video_analysis_retrieval_system_tpu.retrieval.evaluation import (
+            evaluate_backends,
+        )
+
+        x = rng.standard_normal((3000, 32)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=-1, keepdims=True)
+        xd = jnp.asarray(x)
+        qs = x[rng.integers(0, 3000, 6)]
+
+        def candidate(q):
+            r = topk_search(xd, jnp.asarray(q), 10, use_pallas=True,
+                            interpret=True)
+            return np.asarray(r.scores), np.asarray(r.indices)
+
+        def oracle(q):
+            r = topk_exact_reference(xd, jnp.asarray(q), 10)
+            return np.asarray(r.scores), np.asarray(r.indices)
+
+        report = evaluate_backends(candidate, oracle, qs, k=10)
+        assert report.passes_parity()
+        assert report.score_max_abs_diff < 1e-4
