@@ -296,6 +296,116 @@ class LLMProcessor:
                     return []
         return []
 
+    # -- structured vision analysis (reference core.py:2489-2697) -------------
+
+    def analyze_frames_vision(
+        self, frames: Sequence[dict[str, Any]], question: str | None = None
+    ) -> dict[str, Any]:
+        """Structured per-frame visual analysis via the multimodal provider.
+
+        Returns {"frames": [{folder, image, description, objects, scene}],
+        "summary": str, "method": ...}. Degrades to metadata-only
+        descriptions without a provider (the reference's canned fallback).
+        """
+        frames = list(frames)[: self.config.max_images]
+        if self.complete_fn is not None:
+            try:
+                timeout = (
+                    self.config.timeout_base_s
+                    + self.config.timeout_per_image_s * len(frames)
+                )
+                return self._run_with_timeout(
+                    lambda: self._vision_structured(frames, question), timeout
+                )
+            except Exception:
+                self.system.logger.exception("vision analysis failed")
+        # offline fallback: metadata descriptions
+        described = []
+        index = self.system.index
+        for f in frames:
+            folder, image = f.get("folder"), f.get("image")
+            row = index.row_for(folder, image) if index else None
+            meta = index.get_metadata(row) if row is not None else None
+            described.append(
+                {
+                    "folder": folder,
+                    "image": image,
+                    "description": (
+                        f"keyframe at frame {meta.frame_id}"
+                        + (f", t={meta.pts_time:.1f}s" if meta.pts_time >= 0 else "")
+                        if meta
+                        else "unknown frame"
+                    ),
+                    "objects": [],
+                    "scene": "",
+                }
+            )
+        return {
+            "frames": described,
+            "summary": f"{len(described)} frame(s); no vision provider "
+            "configured — metadata descriptions only.",
+            "method": "metadata_fallback",
+        }
+
+    def _vision_structured(
+        self, frames: Sequence[dict[str, Any]], question: str | None
+    ) -> dict[str, Any]:
+        image_parts = self._frame_content(frames)
+        names = [f"{f.get('folder')}/{f.get('image')}" for f in frames]
+        prompt = (
+            "Analyze each attached keyframe. Respond with STRICT JSON: "
+            '{"frames": [{"name": str, "description": str, '
+            '"objects": [str], "scene": str}], "summary": str}. '
+            f"Frame names in order: {names}."
+        )
+        if question:
+            prompt += f" Focus on: {question}"
+        reply = self.complete_fn(
+            [
+                {"role": "system", "content": _SYSTEM_PROMPT},
+                {
+                    "role": "user",
+                    "content": [{"type": "text", "text": prompt}, *image_parts],
+                },
+            ]
+        )
+        raw = reply.get("content") or "{}"
+        # tolerate fenced JSON
+        raw = raw.strip()
+        if raw.startswith("```"):
+            raw = raw.strip("`")
+            raw = raw[raw.find("{") :]
+        try:
+            parsed = json.loads(raw[raw.find("{") : raw.rfind("}") + 1])
+        except (json.JSONDecodeError, ValueError):
+            return {
+                "frames": [
+                    {"folder": f.get("folder"), "image": f.get("image"),
+                     "description": raw[:500], "objects": [], "scene": ""}
+                    for f in frames
+                ],
+                "summary": raw[:500],
+                "method": "vision_unstructured",
+            }
+        out_frames = []
+        parsed_frames = parsed.get("frames", [])
+        for i, f in enumerate(frames):
+            p = parsed_frames[i] if i < len(parsed_frames) else {}
+            out_frames.append(
+                {
+                    "folder": f.get("folder"),
+                    "image": f.get("image"),
+                    "description": p.get("description", ""),
+                    "objects": p.get("objects", []),
+                    "scene": p.get("scene", ""),
+                }
+            )
+        return {
+            "frames": out_frames,
+            "summary": parsed.get("summary", ""),
+            "method": "vision_structured",
+        }
+
     # -- pipeline shims (reference core.py:2901-2946) -------------------------
 
     def expand_query(self, query: str) -> list[str]:

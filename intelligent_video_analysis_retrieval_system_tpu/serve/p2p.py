@@ -216,6 +216,7 @@ class NetworkServer:
         self.discovery = NetworkDiscovery(port, node_name=self.node_name)
         self.enable_discovery = enable_discovery
         self.shared_indexes: dict[str, "UnifiedIndex"] = {}
+        self.shared_folders: dict[str, "Path"] = {}
         self._lock = threading.RLock()
         self._thread: threading.Thread | None = None
         self._loop = None
@@ -241,6 +242,21 @@ class NetworkServer:
             index = self.shared_indexes.pop(index_id, None)
         if index is not None:
             index.close()
+
+    # -- shared folders (reference api.py:1188-1270) -----------------------
+
+    def register_folder(self, folder_id: str, path: str) -> None:
+        from pathlib import Path
+
+        p = Path(path).resolve()
+        if not p.is_dir():
+            raise NotADirectoryError(p)
+        with self._lock:
+            self.shared_folders[folder_id] = p
+
+    def remove_folder(self, folder_id: str) -> None:
+        with self._lock:
+            self.shared_folders.pop(folder_id, None)
 
     # -- lifecycle ------------------------------------------------------------
 
@@ -292,6 +308,9 @@ class NetworkServer:
         app.router.add_get(
             "/api/indexes/{index_id}/metadata/{row_id}", self._index_metadata
         )
+        app.router.add_get("/api/folders", self._list_folders)
+        app.router.add_get("/api/folders/{folder_id}/files", self._folder_files)
+        app.router.add_get("/api/folders/{folder_id}/file", self._folder_file)
 
         async def start():
             self._runner = web.AppRunner(app)
@@ -444,6 +463,57 @@ class NetworkServer:
             return web.json_response({"error": "row out of range"}, status=404)
         return web.json_response({"metadata": meta.to_dict()})
 
+    # -- shared folder handlers ---------------------------------------------
+
+    async def _list_folders(self, request):
+        from aiohttp import web
+
+        with self._lock:
+            items = [
+                {"folder_id": fid, "path": str(p)}
+                for fid, p in self.shared_folders.items()
+            ]
+        return web.json_response({"folders": items})
+
+    def _resolve_shared(self, request):
+        folder_id = request.match_info["folder_id"]
+        with self._lock:
+            return folder_id, self.shared_folders.get(folder_id)
+
+    async def _folder_files(self, request):
+        from aiohttp import web
+
+        _, root = self._resolve_shared(request)
+        if root is None:
+            return web.json_response({"error": "unknown folder"}, status=404)
+        files = []
+        for p in sorted(root.rglob("*")):
+            if p.is_file():
+                files.append(
+                    {
+                        "path": str(p.relative_to(root)),
+                        "bytes": p.stat().st_size,
+                    }
+                )
+            if len(files) >= 10000:
+                break
+        return web.json_response({"files": files})
+
+    async def _folder_file(self, request):
+        from aiohttp import web
+
+        _, root = self._resolve_shared(request)
+        if root is None:
+            return web.json_response({"error": "unknown folder"}, status=404)
+        rel = request.query.get("path", "")
+        target = (root / rel).resolve()
+        # path traversal protection: target must stay inside the share
+        if root.resolve() not in target.parents and target != root.resolve():
+            return web.json_response({"error": "forbidden path"}, status=403)
+        if not target.is_file():
+            return web.json_response({"error": "file not found"}, status=404)
+        return web.FileResponse(target)
+
 
 class NetworkClient:
     """Synchronous HTTP client for peer servers (reference api.py:1311-1810)."""
@@ -503,6 +573,31 @@ class NetworkClient:
         base = f"http://{host}:{port}"
         info = self._get(base, f"/api/indexes/{index_id}/info")
         return RemoteUnifiedIndex(self, base, index_id, info)
+
+    def list_remote_folders(self, host: str, port: int) -> list[dict[str, Any]]:
+        return self._get(f"http://{host}:{port}", "/api/folders")["folders"]
+
+    def list_folder_files(
+        self, host: str, port: int, folder_id: str
+    ) -> list[dict[str, Any]]:
+        return self._get(
+            f"http://{host}:{port}", f"/api/folders/{folder_id}/files"
+        )["files"]
+
+    def download_file(
+        self, host: str, port: int, folder_id: str, rel_path: str, dest: str
+    ) -> str:
+        from pathlib import Path
+        from urllib.parse import quote
+
+        data = self._get_bytes(
+            f"http://{host}:{port}",
+            f"/api/folders/{folder_id}/file?path={quote(rel_path)}",
+        )
+        dest_path = Path(dest)
+        dest_path.parent.mkdir(parents=True, exist_ok=True)
+        dest_path.write_bytes(data)
+        return str(dest_path)
 
     def search_all(
         self, servers: list[tuple[str, int, str]], qvec: np.ndarray, top_k: int

@@ -408,33 +408,109 @@ def _dumps(obj: Any) -> str:
 _CONSOLE_HTML = """<!doctype html>
 <html><head><meta charset="utf-8"><title>IVARS-TPU Console</title>
 <style>
- body{font-family:system-ui;margin:2rem;max-width:900px}
- input{width:60%;padding:.5rem} button{padding:.5rem 1rem}
- .hit{display:inline-block;margin:.5rem;text-align:center;font-size:.8rem}
- .hit img{display:block;width:160px;border-radius:4px}
+ :root{--fg:#1a1a2e;--mut:#777;--acc:#3452c4;--bg:#f7f8fb;--card:#fff}
+ body{font-family:system-ui;margin:0;background:var(--bg);color:var(--fg)}
+ header{background:var(--card);padding:.8rem 1.5rem;border-bottom:1px solid #e3e6ef;
+        display:flex;gap:1.5rem;align-items:center}
+ header h1{font-size:1.05rem;margin:0}
+ nav button{border:0;background:none;padding:.45rem .9rem;cursor:pointer;
+            border-radius:6px;font-size:.95rem;color:var(--mut)}
+ nav button.on{background:var(--acc);color:#fff}
+ main{max-width:1040px;margin:1.2rem auto;padding:0 1rem}
+ .panel{display:none}.panel.on{display:block}
+ .row{display:flex;gap:.6rem;margin-bottom:1rem}
+ input[type=text]{flex:1;padding:.55rem .8rem;border:1px solid #ccd2e0;
+        border-radius:8px;font-size:1rem}
+ select{padding:.45rem;border-radius:8px;border:1px solid #ccd2e0}
+ button.go{background:var(--acc);color:#fff;border:0;border-radius:8px;
+           padding:.55rem 1.2rem;cursor:pointer}
+ .meta{color:var(--mut);font-size:.85rem;margin:.3rem 0 .8rem}
+ .grid{display:grid;grid-template-columns:repeat(auto-fill,minmax(170px,1fr));gap:.8rem}
+ .hit{background:var(--card);border-radius:10px;padding:.5rem;text-align:center;
+      font-size:.78rem;box-shadow:0 1px 3px rgba(20,30,60,.08)}
+ .hit img{width:100%;border-radius:6px;aspect-ratio:1;object-fit:cover}
+ .hit .s{color:var(--acc);font-weight:600}
+ #chatlog{background:var(--card);border-radius:10px;padding:1rem;min-height:220px;
+          max-height:420px;overflow:auto;margin-bottom:.8rem}
+ .msg{margin:.4rem 0;padding:.5rem .8rem;border-radius:10px;max-width:85%}
+ .me{background:var(--acc);color:#fff;margin-left:auto;width:fit-content}
+ .bot{background:#eef0f7;width:fit-content}
+ pre{background:var(--card);border-radius:10px;padding:1rem;overflow:auto;
+     font-size:.8rem}
 </style></head>
 <body>
-<h2>IVARS-TPU search console</h2>
-<p><input id="q" placeholder="a red car at night…">
-<button onclick="go()">Search</button> <span id="meta"></span></p>
-<div id="out"></div>
+<header><h1>IVARS-TPU</h1>
+<nav>
+ <button class="on" data-p="search">Search</button>
+ <button data-p="image">Image search</button>
+ <button data-p="chat">Chat</button>
+ <button data-p="stats">Stats</button>
+</nav></header>
+<main>
+<section id="search" class="panel on">
+ <div class="row"><input id="q" type="text" placeholder="a red car at night… / người đang chạy…">
+ <select id="mode"><option>clip_only</option><option>hybrid</option>
+ <option>llm_enhanced</option></select>
+ <button class="go" onclick="doSearch()">Search</button></div>
+ <div class="meta" id="smeta"></div><div class="grid" id="sout"></div>
+</section>
+<section id="image" class="panel">
+ <div class="row"><input type="file" id="file" accept="image/*">
+ <button class="go" onclick="doImage()">Find similar</button></div>
+ <div class="meta" id="imeta"></div><div class="grid" id="iout"></div>
+</section>
+<section id="chat" class="panel">
+ <div id="chatlog"></div>
+ <div class="row"><input id="cmsg" type="text" placeholder="ask about the videos…">
+ <button class="go" onclick="doChat()">Send</button></div>
+</section>
+<section id="stats" class="panel"><pre id="statout">loading…</pre></section>
+</main>
 <script>
-async function go(){
-  const q = document.getElementById('q').value;
-  const r = await fetch('/api/search', {method:'POST',
-    headers:{'content-type':'application/json'},
-    body: JSON.stringify({query:q, limit:20})});
-  const d = await r.json();
-  document.getElementById('meta').textContent =
-    d.success ? d.count+' hits in '+d.latency_ms+' ms' : JSON.stringify(d.error);
-  const out = document.getElementById('out'); out.innerHTML='';
-  (d.results||[]).forEach(h=>{
-    const div = document.createElement('div'); div.className='hit';
-    div.innerHTML = `<img src="/api/thumbnail/${h.folder}/${h.image}">`+
-      `${h.folder}/${h.image}<br>${h.similarity_score.toFixed(3)}`;
-    out.appendChild(div);
-  });
+document.querySelectorAll('nav button').forEach(b=>b.onclick=()=>{
+  document.querySelectorAll('nav button').forEach(x=>x.classList.remove('on'));
+  document.querySelectorAll('.panel').forEach(x=>x.classList.remove('on'));
+  b.classList.add('on');document.getElementById(b.dataset.p).classList.add('on');
+  if(b.dataset.p==='stats')loadStats();
+});
+function card(h){
+  return `<div class="hit"><img src="/api/thumbnail/${h.folder}/${h.image}"
+   onerror="this.style.display='none'">${h.folder}/${h.image}<br>
+   <span class="s">${h.similarity_score.toFixed(3)}</span></div>`;
 }
-document.getElementById('q').addEventListener('keydown',e=>{if(e.key==='Enter')go()});
+async function post(url, body){
+  const r=await fetch(url,{method:'POST',headers:{'content-type':'application/json'},
+    body:JSON.stringify(body)});return r.json();
+}
+async function doSearch(){
+  const d=await post('/api/search',{query:q.value,limit:24,mode:mode.value});
+  smeta.textContent=d.success?`${d.count} hits in ${d.latency_ms} ms`
+    :JSON.stringify(d.error);
+  sout.innerHTML=(d.results||[]).map(card).join('');
+}
+async function doImage(){
+  const f=file.files[0];if(!f)return;
+  const b64=await new Promise(res=>{const r=new FileReader();
+    r.onload=()=>res(r.result.split(',')[1]);r.readAsDataURL(f);});
+  const d=await post('/api/image_search',{image_base64:b64,limit:24});
+  imeta.textContent=d.success?`${d.count} hits`:JSON.stringify(d.error);
+  iout.innerHTML=(d.results||[]).map(card).join('');
+}
+async function doChat(){
+  const m=cmsg.value;if(!m)return;cmsg.value='';
+  chatlog.innerHTML+=`<div class="msg me">${m}</div>`;
+  const d=await post('/api/chat',{message:m});
+  chatlog.innerHTML+=`<div class="msg bot">${d.response||'(no reply)'}</div>`;
+  if((d.search_results||[]).length)
+    chatlog.innerHTML+=`<div class="grid">${d.search_results.slice(0,6)
+      .map(card).join('')}</div>`;
+  chatlog.scrollTop=chatlog.scrollHeight;
+}
+async function loadStats(){
+  const r=await fetch('/api/stats');statout.textContent=
+    JSON.stringify(await r.json(),null,2);
+}
+q.addEventListener('keydown',e=>{if(e.key==='Enter')doSearch()});
+cmsg.addEventListener('keydown',e=>{if(e.key==='Enter')doChat()});
 </script></body></html>
 """

@@ -224,3 +224,43 @@ class TestLLMProcessor:
         out = agent_system.chat("tell me about the videos")
         assert out["response"] == "hello from agent"
         agent_system.llm_processor = None
+
+
+class TestVisionAnalysis:
+    def test_offline_metadata_fallback(self, agent_system):
+        proc = LLMProcessor(agent_system, complete_fn=None)
+        out = proc.analyze_frames_vision(
+            [{"folder": "vid0", "image": "1.jpg"}]
+        )
+        assert out["method"] == "metadata_fallback"
+        assert "frame 1" in out["frames"][0]["description"]
+
+    def test_structured_vision(self, agent_system):
+        reply = {
+            "content": json.dumps({
+                "frames": [{"name": "vid0/1.jpg",
+                            "description": "a colorful test pattern",
+                            "objects": ["noise"], "scene": "synthetic"}],
+                "summary": "one synthetic frame",
+            }),
+            "tool_calls": None,
+        }
+        provider = make_fake_provider([reply])
+        proc = LLMProcessor(agent_system, complete_fn=provider)
+        out = proc.analyze_frames_vision(
+            [{"folder": "vid0", "image": "1.jpg"}], question="what is shown?"
+        )
+        assert out["method"] == "vision_structured"
+        assert out["frames"][0]["objects"] == ["noise"]
+        # the image was attached to the request
+        content = provider.calls[0]["messages"][-1]["content"]
+        assert any(p.get("type") == "image_url" for p in content)
+
+    def test_unparseable_reply_degrades(self, agent_system):
+        provider = make_fake_provider([
+            {"content": "it is a picture of things", "tool_calls": None},
+        ])
+        proc = LLMProcessor(agent_system, complete_fn=provider)
+        out = proc.analyze_frames_vision([{"folder": "vid0", "image": "1.jpg"}])
+        assert out["method"] == "vision_unstructured"
+        assert "picture" in out["summary"]

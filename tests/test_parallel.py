@@ -168,3 +168,34 @@ class TestCheckpointing:
         (tmp_path / "empty").mkdir()
         with pytest.raises(FileNotFoundError):
             trainer.restore_checkpoint(tmp_path / "empty")
+
+
+class TestDistributedHelpers:
+    def test_initialize_noop_single_process(self):
+        from intelligent_video_analysis_retrieval_system_tpu.parallel.distributed import (
+            initialize_distributed,
+            is_multi_host,
+        )
+
+        info = initialize_distributed()
+        assert info["process_count"] == 1
+        assert not is_multi_host()
+
+    def test_host_row_range_single_host(self, index_mesh):
+        from intelligent_video_analysis_retrieval_system_tpu.parallel.distributed import (
+            host_row_range,
+        )
+
+        start, end = host_row_range(1000, index_mesh)
+        assert (start, end) == (0, 1000)  # one process owns everything
+
+    def test_make_global_sharded_array(self, index_mesh, rng):
+        from intelligent_video_analysis_retrieval_system_tpu.parallel.distributed import (
+            make_global_sharded_array,
+        )
+
+        rows = rng.standard_normal((1024, 16)).astype(np.float32)
+        arr = make_global_sharded_array(rows, 1024, index_mesh)
+        assert arr.shape == (1024, 16)
+        assert arr.sharding.spec == P("index", None)
+        np.testing.assert_array_equal(np.asarray(arr), rows)

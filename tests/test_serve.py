@@ -205,7 +205,10 @@ class TestRESTServer:
     def test_console_served(self, served_system):
         _, _, port = served_system
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/", timeout=10) as r:
-            assert b"search console" in r.read()
+            page = r.read()
+        assert b"IVARS-TPU" in page
+        for tab in (b"Search", b"Image search", b"Chat", b"Stats"):
+            assert tab in page
 
     def test_websocket_events(self, served_system):
         import asyncio
@@ -337,3 +340,56 @@ class TestP2P:
         finally:
             a.stop_discovery()
             assert not a.is_running
+
+
+class TestSharedFolders:
+    def test_folder_share_list_download(self, served_system, tmp_path):
+        from intelligent_video_analysis_retrieval_system_tpu.serve.p2p import (
+            NetworkClient,
+            NetworkServer,
+        )
+
+        share_root = tmp_path / "share"
+        (share_root / "sub").mkdir(parents=True)
+        (share_root / "a.txt").write_text("hello")
+        (share_root / "sub" / "b.bin").write_bytes(b"\x01\x02")
+        port = free_port()
+        server = NetworkServer("127.0.0.1", port, enable_discovery=False)
+        server.register_folder("stuff", str(share_root))
+        server.start_server()
+        try:
+            client = NetworkClient()
+            folders = client.list_remote_folders("127.0.0.1", port)
+            assert folders[0]["folder_id"] == "stuff"
+            files = client.list_folder_files("127.0.0.1", port, "stuff")
+            assert {f["path"] for f in files} == {"a.txt", "sub/b.bin"}
+            dest = tmp_path / "dl" / "b.bin"
+            client.download_file("127.0.0.1", port, "stuff", "sub/b.bin",
+                                 str(dest))
+            assert dest.read_bytes() == b"\x01\x02"
+        finally:
+            server.stop_server()
+
+    def test_path_traversal_blocked(self, served_system, tmp_path):
+        from intelligent_video_analysis_retrieval_system_tpu.serve.p2p import (
+            NetworkServer,
+        )
+
+        share_root = tmp_path / "share2"
+        share_root.mkdir()
+        (tmp_path / "secret.txt").write_text("secret")
+        port = free_port()
+        server = NetworkServer("127.0.0.1", port, enable_discovery=False)
+        server.register_folder("s", str(share_root))
+        server.start_server()
+        try:
+            status, body = http_json(
+                f"http://127.0.0.1:{port}/api/folders/s/file?path=../secret.txt"
+            )
+            assert status == 403
+            status, _ = http_json(
+                f"http://127.0.0.1:{port}/api/folders/s/file?path=nope.txt"
+            )
+            assert status == 404
+        finally:
+            server.stop_server()
