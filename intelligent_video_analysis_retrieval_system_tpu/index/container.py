@@ -46,8 +46,13 @@ __all__ = ["IndexContainer", "ContainerStats"]
 FORMAT_VERSION = "2.0"
 MAGIC = "IVARS-TPU-RVDB"
 
-_DTYPE_CODES = {"bfloat16": 0, "float16": 1, "float32": 2}
-_STORE_DTYPES = {"bfloat16": np.uint16, "float16": np.float16, "float32": np.float32}
+_DTYPE_CODES = {"bfloat16": 0, "float16": 1, "float32": 2, "int8": 3}
+_STORE_DTYPES = {
+    "bfloat16": np.uint16,
+    "float16": np.float16,
+    "float32": np.float32,
+    "int8": np.int8,
+}
 
 
 def _compress(data: bytes) -> bytes:
@@ -131,6 +136,11 @@ class IndexContainer:
             "embeddings", shape=(0, dim), maxshape=(None, dim), dtype=store,
             chunks=(chunk_rows, dim),
         )
+        if dtype == "int8":  # per-row symmetric quantization scales
+            f.create_dataset(
+                "embedding_scales", shape=(0,), maxshape=(None,),
+                dtype=np.float32, chunks=(chunk_rows,),
+            )
         blob = dict(shape=(0,), maxshape=(None,), dtype=np.uint8,
                     chunks=(1 << 20,))
         off = dict(shape=(1,), maxshape=(None,), dtype=np.int64, chunks=(4096,))
@@ -147,6 +157,10 @@ class IndexContainer:
             "journal/hashes",
             shape=(0,), maxshape=(None,),
             dtype=h5py.string_dtype(encoding="utf-8"), chunks=(4096,),
+        )
+        f.create_dataset(
+            "journal/deleted", shape=(0,), maxshape=(None,), dtype=np.int64,
+            chunks=(4096,),
         )
         f.create_group("maps")
         f.create_group("system")
@@ -170,22 +184,55 @@ class IndexContainer:
         return int(self._f["embeddings"].shape[0])
 
     def append_embeddings(self, rows: np.ndarray) -> tuple[int, int]:
-        """Append (M, dim) rows; returns (start_row, end_row)."""
+        """Append (M, dim) f32 rows; returns (start_row, end_row).
+
+        For ``int8`` containers the rows are quantized here (per-row
+        symmetric scales stored alongside).
+        """
         ds = self._f["embeddings"]
         rows = np.asarray(rows)
         if rows.ndim != 2 or rows.shape[1] != self.dim:
             raise ValueError(f"expected (M, {self.dim}), got {rows.shape}")
-        stored = self._to_storage(rows)
         start = ds.shape[0]
-        ds.resize((start + len(rows), self.dim))
-        ds[start:] = stored
+        if self.dtype == "int8":
+            from ..ops.quant import quantize_rows_int8
+
+            q, scales = quantize_rows_int8(rows.astype(np.float32))
+            ds.resize((start + len(rows), self.dim))
+            ds[start:] = q
+            sds = self._f["embedding_scales"]
+            sds.resize((start + len(rows),))
+            sds[start:] = scales
+        else:
+            stored = self._to_storage(rows)
+            ds.resize((start + len(rows), self.dim))
+            ds[start:] = stored
         return start, start + len(rows)
+
+    def read_quantized(
+        self, start: int = 0, end: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """int8 rows + scales (int8 containers only)."""
+        if self.dtype != "int8":
+            raise ValueError("read_quantized requires an int8 container")
+        ds = self._f["embeddings"]
+        end = ds.shape[0] if end is None else end
+        rows = np.empty((end - start, self.dim), np.int8)
+        scales = np.empty((end - start,), np.float32)
+        if end > start:
+            ds.read_direct(rows, np.s_[start:end])
+            self._f["embedding_scales"].read_direct(scales, np.s_[start:end])
+        return rows, scales
 
     def read_embeddings(
         self, start: int = 0, end: int | None = None, as_float32: bool = False
     ) -> np.ndarray:
         """Bulk-read rows. Default returns the raw storage view (bf16 bits as
-        uint16) for zero-conversion device upload; ``as_float32`` converts."""
+        uint16) for zero-conversion device upload; ``as_float32`` converts
+        (dequantizing int8 containers via their stored scales)."""
+        if as_float32 and self.dtype == "int8":
+            rows, scales = self.read_quantized(start, end)
+            return rows.astype(np.float32) * scales[:, None]
         ds = self._f["embeddings"]
         end = ds.shape[0] if end is None else end
         out = np.empty((end - start, self.dim), dtype=ds.dtype)
@@ -212,6 +259,14 @@ class IndexContainer:
 
             return native.bf16_to_f32(stored)
         return stored.astype(np.float32)
+
+    def read_embeddings_f32_any(self, start: int = 0, end: int | None = None
+                                ) -> np.ndarray:
+        """f32 rows regardless of storage dtype (dequantizes int8)."""
+        if self.dtype == "int8":
+            rows, scales = self.read_quantized(start, end)
+            return rows.astype(np.float32) * scales[:, None]
+        return self.read_embeddings(start, end, as_float32=True)
 
     # -- blob sections (thumbnails / images / metadata) --------------------
 
@@ -297,6 +352,24 @@ class IndexContainer:
         start = ds.shape[0]
         ds.resize((start + len(hashes),))
         ds[start:] = hashes
+
+    # -- tombstone delete log (append-only, crash-safe) --------------------
+
+    def append_deleted(self, row_ids: list[int]) -> None:
+        if "journal/deleted" not in self._f:  # containers from older builds
+            self._f.create_dataset(
+                "journal/deleted", shape=(0,), maxshape=(None,),
+                dtype=np.int64, chunks=(4096,),
+            )
+        ds = self._f["journal/deleted"]
+        start = ds.shape[0]
+        ds.resize((start + len(row_ids),))
+        ds[start:] = np.asarray(row_ids, dtype=np.int64)
+
+    def deleted_rows(self) -> set[int]:
+        if "journal/deleted" not in self._f:
+            return set()
+        return {int(r) for r in self._f["journal/deleted"][:]}
 
     # -- frame maps --------------------------------------------------------
 

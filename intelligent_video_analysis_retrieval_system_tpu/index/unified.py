@@ -68,9 +68,13 @@ class UnifiedIndex:
         self._lock = threading.RLock()
         # device state
         self._dev_x = None          # padded (cap, dim) jnp array
+        self._dev_scales = None     # (cap,) f32 — int8 quantized mode only
         self._n_valid = 0
         self._capacity = 0
         self._device_put = device_put
+        # tombstones
+        self._deleted: set[int] = set()
+        self._dev_deleted = None    # (cap, 1) int8 device mask (lazy)
         # host metadata cache
         self._metadata: list[KeyframeMetadata] = []
         self._row_by_key: dict[tuple[str, str], int] = {}
@@ -124,6 +128,7 @@ class UnifiedIndex:
                 self._container.close()
                 self._container = None
             self._dev_x = None
+            self._dev_scales = None
             self._n_valid = 0
             self._capacity = 0
             self._metadata = []
@@ -142,21 +147,57 @@ class UnifiedIndex:
         assert self._container is not None
         n = self._container.num_rows
         self._n_valid = n
+        self._dev_scales = None
         if n == 0:
             self._dev_x = None
             self._capacity = 0
             return
-        raw = self._read_rows_fast(n)
-        if self.config.normalize:
-            raw = raw / np.maximum(
-                np.linalg.norm(raw, axis=-1, keepdims=True), 1e-12
-            )
-        cap = _ceil_to(n, TILE_N)
-        host = np.zeros((cap, raw.shape[1]), dtype=np.float32)
-        host[:n] = raw
-        dtype = jnp.bfloat16 if self._container.dtype == "bfloat16" else jnp.float32
-        self._dev_x = jnp.asarray(host, dtype)
-        self._capacity = cap
+        if self._container.dtype == "int8":
+            # int8 fast path: upload quantized rows directly; row
+            # normalization folds into the per-row scale (dividing a row by
+            # its norm == dividing its scale by the norm)
+            rows, scales = self._container.read_quantized()
+            if self.config.normalize:
+                int_norms = np.linalg.norm(
+                    rows.astype(np.float32), axis=-1
+                )
+                scales = np.where(
+                    int_norms > 0, 1.0 / np.maximum(int_norms, 1e-12), scales
+                ).astype(np.float32)
+            cap = _ceil_to(n, TILE_N)
+            host = np.zeros((cap, rows.shape[1]), np.int8)
+            host[:n] = rows
+            host_s = np.zeros((cap,), np.float32)
+            host_s[:n] = scales
+            self._dev_x = jnp.asarray(host)
+            self._dev_scales = jnp.asarray(host_s)
+            self._capacity = cap
+        else:
+            raw = self._read_rows_fast(n)
+            if self.config.normalize:
+                raw = raw / np.maximum(
+                    np.linalg.norm(raw, axis=-1, keepdims=True), 1e-12
+                )
+            cap = _ceil_to(n, TILE_N)
+            host = np.zeros((cap, raw.shape[1]), dtype=np.float32)
+            host[:n] = raw
+            dtype = jnp.bfloat16 if self._container.dtype == "bfloat16" else jnp.float32
+            self._dev_x = jnp.asarray(host, dtype)
+            self._capacity = cap
+        # tombstones from the append-only delete log
+        self._deleted = self._container.deleted_rows()
+        self._dev_deleted = None
+        if self._deleted:
+            self._rebuild_deleted_mask()
+
+    def _rebuild_deleted_mask(self) -> None:
+        import jax.numpy as jnp
+
+        mask = np.zeros((self._capacity, 1), np.int8)
+        for row in self._deleted:
+            if 0 <= row < self._capacity:
+                mask[row, 0] = 1
+        self._dev_deleted = jnp.asarray(mask)
 
     def _read_rows_fast(self, n: int) -> np.ndarray:
         """Embedding rows as f32: mmap'd flat sidecar when fresh, else the
@@ -188,7 +229,11 @@ class UnifiedIndex:
         m = len(rows)
         if m == 0:
             return
-        if self._dev_x is None or self._n_valid + m > self._capacity:
+        if (
+            self._dev_x is None
+            or self._n_valid + m > self._capacity
+            or self._dev_scales is not None  # int8: re-quantize on upload
+        ):
             self._upload_embeddings()
             return
         dtype = self._dev_x.dtype
@@ -231,12 +276,25 @@ class UnifiedIndex:
             q = np.atleast_2d(np.asarray(query_vectors, dtype=np.float32))
             q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
             fetch = min(self._n_valid, top_k * over_fetch if filter_fn else top_k)
-            result: TopKResult = topk_search(
-                self._dev_x,
-                jnp.asarray(q, self._dev_x.dtype),
-                fetch,
-                n_valid=self._n_valid,
-            )
+            if self._dev_scales is not None:  # int8 quantized mode
+                from ..ops.quant import topk_search_int8
+
+                result: TopKResult = topk_search_int8(
+                    self._dev_x,
+                    self._dev_scales,
+                    jnp.asarray(q, jnp.float32),
+                    fetch,
+                    n_valid=self._n_valid,
+                    deleted=self._dev_deleted,
+                )
+            else:
+                result = topk_search(
+                    self._dev_x,
+                    jnp.asarray(q, self._dev_x.dtype),
+                    fetch,
+                    n_valid=self._n_valid,
+                    deleted=self._dev_deleted,
+                )
             scores = np.asarray(result.scores, dtype=np.float32)
             indices = np.asarray(result.indices)
 
@@ -244,6 +302,8 @@ class UnifiedIndex:
         for b in range(len(q)):
             hits: list[SearchResult] = []
             for score, row in zip(scores[b], indices[b]):
+                if not np.isfinite(score):
+                    break  # -inf tail: masked/deleted fillers (k > live rows)
                 if row < 0 or row >= len(self._metadata):
                     continue
                 meta = self._metadata[row]
@@ -338,7 +398,7 @@ class UnifiedIndex:
             if offset == 0:
                 continue
             idx = row_id + offset
-            if 0 <= idx < len(self._metadata):
+            if 0 <= idx < len(self._metadata) and idx not in self._deleted:
                 m = self._metadata[idx]
                 if m.folder == center.folder:
                     context.append(
@@ -404,11 +464,116 @@ class UnifiedIndex:
             self._append_device_rows(rows)
         return {"appended": len(rows), "ntotal": self._n_valid}
 
+    # -- deletion (tombstones + compaction) ------------------------------------
+
+    @property
+    def num_deleted(self) -> int:
+        return len(self._deleted)
+
+    @property
+    def num_live(self) -> int:
+        return self._n_valid - len(self._deleted)
+
+    def delete_rows(self, row_ids: Sequence[int]) -> dict[str, Any]:
+        """Tombstone rows: excluded from all searches immediately, logged
+        durably, removed physically by :meth:`compact`.
+
+        Beyond-reference capability: the reference punted deletes to a full
+        rebuild above a 10% churn threshold (``unified_index.py:415-478``);
+        here a delete is O(1) amortized (append to the log + device mask
+        update) and search stays exact via in-kernel masking.
+        """
+        assert self._container is not None, "index not loaded"
+        if self._container.mode == "r":
+            raise PermissionError("index opened read-only")
+        fresh = [
+            int(r) for r in row_ids
+            if 0 <= int(r) < self._n_valid and int(r) not in self._deleted
+        ]
+        if not fresh:
+            return {"deleted": 0, "num_live": self.num_live}
+        with self._lock:
+            self._container.append_deleted(fresh)
+            self._container.flush_checkpoint()
+            self._deleted.update(fresh)
+            self._rebuild_deleted_mask()
+        return {"deleted": len(fresh), "num_live": self.num_live}
+
+    def delete_keys(self, keys: Sequence[tuple[str, str]]) -> dict[str, Any]:
+        rows = [
+            self._row_by_key[key] for key in keys if key in self._row_by_key
+        ]
+        return self.delete_rows(rows)
+
+    def is_deleted(self, row_id: int) -> bool:
+        return row_id in self._deleted
+
+    def compact(self, output_path: str | Path | None = None) -> dict[str, Any]:
+        """Physically drop tombstoned rows into a fresh container.
+
+        Writes a new file (atomic rename over the original by default),
+        remapping row ids; then reloads. Assets (thumbnails/images) of live
+        rows are preserved.
+        """
+        assert self._container is not None and self.path is not None
+        if not self._deleted:
+            return {"compacted": 0, "ntotal": self._n_valid}
+        src = self._container
+        dst_path = Path(output_path) if output_path else self.path.with_name(
+            self.path.name + ".compact"
+        )
+        from .container import IndexContainer
+
+        keep = [r for r in range(src.num_rows) if r not in self._deleted]
+        with IndexContainer(
+            dst_path, mode="w", dim=src.dim, dtype=src.dtype
+        ) as dst:
+            CHUNK_ROWS = 8192
+            for start in range(0, len(keep), CHUNK_ROWS):
+                rows = keep[start : start + CHUNK_ROWS]
+                # bulk-read the covering range, then select (avoids per-row
+                # HDF5 reads; tombstones are sparse so the range is tight)
+                lo, hi = rows[0], rows[-1] + 1
+                block = src.read_embeddings(lo, hi, as_float32=True)
+                emb = block[np.asarray(rows) - lo]
+                dst.append_embeddings(emb)
+                records = []
+                for new_id, old in enumerate(rows, start=start):
+                    record = src.get_metadata(old)
+                    record["row_id"] = new_id
+                    records.append(record)
+                dst.append_metadata(records)
+                if src.num_thumbnails:
+                    dst.append_thumbnails([src.get_thumbnail(r) for r in rows])
+                if src.num_images:
+                    dst.append_images([src.get_image(r) for r in rows])
+            # carry journal hashes + maps + system config
+            dst.append_journal(sorted(src.journal_hashes()))
+            for folder in src.map_folders():
+                dst.put_map(folder, src.get_map(folder))
+            build_info = src.get_system("build")
+            if build_info:
+                dst.put_system("build", build_info)
+            dst.flush_checkpoint({"compacted_from": str(self.path)})
+        removed = len(self._deleted)
+        mode = self._container.mode
+        in_place = output_path is None
+        if in_place:
+            self._container.close()
+            self._container = None
+            self._invalidate_sidecar()
+            dst_path.replace(self.path)
+            self.load_unified_index(self.path, mode="a" if mode != "r" else "r")
+        return {"compacted": removed, "ntotal": self._n_valid,
+                "path": str(self.path if in_place else dst_path)}
+
     # -- stats ----------------------------------------------------------------
 
     def get_stats(self) -> dict[str, Any]:
         stats: dict[str, Any] = {
             "ntotal": self._n_valid,
+            "num_live": self.num_live,
+            "num_deleted": self.num_deleted,
             "dim": self.dim,
             "capacity": self._capacity,
             "load_time_s": self.load_time_s,

@@ -114,6 +114,24 @@ def _chunk_max_kernel(n_valid_ref, x_ref, q_ref, out_ref):
     out_ref[:] = jnp.max(scores.reshape(-1, CHUNK, b), axis=1)
 
 
+def _chunk_max_masked_kernel(n_valid_ref, x_ref, q_ref, dead_ref, out_ref):
+    """Chunk-max with a per-row tombstone mask (deleted rows -> -inf BEFORE
+    selection — masking after would let dead chunks displace live ones)."""
+    import jax.experimental.pallas as pl
+
+    scores = jnp.dot(
+        x_ref[:], q_ref[:].T, preferred_element_type=jnp.float32
+    )
+    row = pl.program_id(0) * x_ref.shape[0] + jax.lax.broadcasted_iota(
+        jnp.int32, scores.shape, 0
+    )
+    # Mosaic lacks i8 vector compares — widen the mask first
+    alive = (row < n_valid_ref[0]) & (dead_ref[:].astype(jnp.int32) == 0)
+    scores = jnp.where(alive, scores, -jnp.inf)
+    b = scores.shape[1]
+    out_ref[:] = jnp.max(scores.reshape(-1, CHUNK, b), axis=1)
+
+
 @functools.lru_cache(maxsize=128)
 def _build_searcher(
     n_pad: int,
@@ -122,10 +140,13 @@ def _build_searcher(
     k: int,
     interpret: bool,
     precision: lax.Precision,
+    with_mask: bool = False,
 ):
     """Compile-once fused searcher for a static (n_pad, d, b, k) signature.
 
-    Returns jitted ``f(x, q, n_valid) -> TopKResult`` with dynamic n_valid.
+    Returns jitted ``f(x, q, n_valid[, deleted]) -> TopKResult`` with
+    dynamic n_valid. ``with_mask`` adds a (n_pad, 1) int8 tombstone input
+    (~0.1% extra HBM read vs the matrix itself).
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -135,14 +156,19 @@ def _build_searcher(
     chunks_per_tile = TILE_N // CHUNK
     k_chunks = min(k, num_chunks)
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # n_valid (1,) i32
+        pl.BlockSpec((TILE_N, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((b_pad, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    if with_mask:
+        in_specs.append(
+            pl.BlockSpec((TILE_N, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
     sweep = pl.pallas_call(
-        _chunk_max_kernel,
+        _chunk_max_masked_kernel if with_mask else _chunk_max_kernel,
         grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # n_valid (1,) i32
-            pl.BlockSpec((TILE_N, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b_pad, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (chunks_per_tile, b_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
@@ -151,14 +177,24 @@ def _build_searcher(
     )
 
     @jax.jit
-    def search(x: jnp.ndarray, q: jnp.ndarray, n_valid: jnp.ndarray) -> TopKResult:
+    def search(
+        x: jnp.ndarray,
+        q: jnp.ndarray,
+        n_valid: jnp.ndarray,
+        deleted: jnp.ndarray | None = None,
+    ) -> TopKResult:
         n_valid_arr = jnp.asarray(n_valid, jnp.int32).reshape(1)
-        chunk_max = sweep(n_valid_arr, x, q)                   # (NC, B)
+        if with_mask:
+            chunk_max = sweep(n_valid_arr, x, q, deleted)      # (NC, B)
+        else:
+            chunk_max = sweep(n_valid_arr, x, q)
         _, chunk_ids = lax.top_k(chunk_max.T, k_chunks)        # (B, kc)
         row_ids = (
             chunk_ids[:, :, None] * CHUNK + jnp.arange(CHUNK)[None, None, :]
         ).reshape(b_pad, k_chunks * CHUNK)
         valid = row_ids < n_valid
+        if with_mask:
+            valid &= deleted[row_ids, 0] == 0
         cand = x[jnp.where(valid, row_ids, 0)]                 # (B, kcC, D)
         scores = jnp.einsum(
             "bd,bcd->bc",
@@ -188,6 +224,7 @@ def topk_search(
     use_pallas: bool | None = None,
     interpret: bool = False,
     precision: lax.Precision = lax.Precision.HIGHEST,
+    deleted: jnp.ndarray | None = None,
 ) -> TopKResult:
     """Exact top-k inner-product search of queries ``q`` over rows of ``x``.
 
@@ -198,6 +235,10 @@ def topk_search(
     rows); otherwise it is padded here. ``use_pallas=None`` auto-selects the
     Pallas sweep on TPU and the jnp oracle elsewhere; ``interpret=True``
     forces the Pallas interpreter (CPU tests of the kernel path).
+
+    ``deleted``: optional (N,) or (N_pad, 1) int8 tombstone mask — rows
+    with a nonzero entry never appear in results (exact; masked before
+    chunk selection).
     """
     b = q.shape[0]
     n_live = int(x.shape[0]) if n_valid is None else int(n_valid)
@@ -209,18 +250,43 @@ def topk_search(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if not (use_pallas or interpret):
-        return topk_exact_reference(x[:n_live], q, k, precision=precision)
+        xs = x[:n_live]
+        if deleted is not None:
+            mask = jnp.asarray(deleted).reshape(-1)[:n_live]
+            return _topk_reference_masked(xs, q, k, mask, precision)
+        return topk_exact_reference(xs, q, k, precision=precision)
 
     x_p = x if x.shape[0] % TILE_N == 0 else pad_database(x)
     q_p = pad_queries(q)
+    dead = None
+    if deleted is not None:
+        dead = jnp.asarray(deleted, jnp.int8).reshape(-1, 1)
+        if dead.shape[0] != x_p.shape[0]:
+            pad_rows = x_p.shape[0] - dead.shape[0]
+            dead = jnp.concatenate(
+                [dead, jnp.zeros((pad_rows, 1), jnp.int8)], axis=0
+            )
     search = _build_searcher(
         int(x_p.shape[0]), int(x_p.shape[1]), int(q_p.shape[0]), int(k),
-        bool(interpret), precision,
+        bool(interpret), precision, with_mask=dead is not None,
     )
-    res = search(x_p, q_p, jnp.int32(n_live))
+    res = search(x_p, q_p, jnp.int32(n_live), dead) if dead is not None else (
+        search(x_p, q_p, jnp.int32(n_live))
+    )
     if q_p.shape[0] != b:
         res = TopKResult(res.scores[:b], res.indices[:b])
     return res
+
+
+@functools.partial(jax.jit, static_argnames=("k", "precision"))
+def _topk_reference_masked(x, q, k, deleted_mask, precision):
+    scores = jnp.einsum(
+        "bd,nd->bn", q.astype(jnp.float32), x.astype(jnp.float32),
+        precision=precision,
+    )
+    scores = jnp.where(deleted_mask[None, :] == 0, scores, -jnp.inf)
+    top_scores, top_ids = lax.top_k(scores, min(k, x.shape[0]))
+    return TopKResult(top_scores, top_ids.astype(jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "precision"))

@@ -405,3 +405,223 @@ class TestPortable:
         (pkg / "manifest.json").write_text('{"format_version": "1.0"}')
         report = pi.validate_package(pkg)
         assert not report["ok"]
+
+
+class TestDeletion:
+    def test_kernel_mask_interpret(self, rng):
+        import jax.numpy as jnp
+
+        from intelligent_video_analysis_retrieval_system_tpu.ops.topk import (
+            topk_exact_reference,
+            topk_search,
+        )
+
+        n = 3000
+        x = rng.standard_normal((n, 32)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=-1, keepdims=True)
+        q = x[:3]
+        deleted = np.zeros(n, np.int8)
+        deleted[[0, 1, 2, 100]] = 1  # delete the self-matches
+        got = topk_search(jnp.asarray(x), jnp.asarray(q), 5,
+                          use_pallas=True, interpret=True,
+                          deleted=jnp.asarray(deleted))
+        ids = np.asarray(got.indices)
+        assert not np.isin(ids, [0, 1, 2, 100]).any()
+        # equals oracle over the surviving rows
+        keep = np.nonzero(deleted == 0)[0]
+        want = topk_exact_reference(jnp.asarray(x[keep]), jnp.asarray(q), 5)
+        np.testing.assert_array_equal(ids, keep[np.asarray(want.indices)])
+
+    def test_delete_search_excludes(self, tmp_path):
+        index, _ = build_small(tmp_path)
+        img = np.asarray(
+            Image.open(tmp_path / "keyframes" / "video1" / "3.jpg")
+            .convert("RGB").resize((32, 32), Image.BICUBIC), np.uint8
+        )
+        q = fake_embed(img[None])[0]
+        assert index.search(q, top_k=1)[0].metadata.image == "3.jpg"
+        row = index.row_for("video1", "3.jpg")
+        out = index.delete_rows([row])
+        assert out["deleted"] == 1
+        hits = index.search(q, top_k=3)
+        assert all(h.metadata.row_id != row for h in hits)
+        assert index.num_live == 11
+        index.close()
+
+    def test_delete_survives_reload(self, tmp_path):
+        index, _ = build_small(tmp_path)
+        row = index.row_for("video0", "0.jpg")
+        index.delete_rows([row])
+        index.close()
+        again = UnifiedIndex(UnifiedIndexConfig(dtype="float32")
+                             ).load_unified_index(tmp_path / "index.rvdb")
+        assert again.is_deleted(row)
+        assert again.num_deleted == 1
+        hits = again.search(np.ones(DIM, np.float32), top_k=12)
+        assert all(h.metadata.row_id != row for h in hits)
+        again.close()
+
+    def test_delete_keys_and_double_delete(self, tmp_path):
+        index, _ = build_small(tmp_path)
+        out = index.delete_keys([("video0", "1.jpg"), ("video0", "nope.jpg")])
+        assert out["deleted"] == 1
+        out2 = index.delete_keys([("video0", "1.jpg")])
+        assert out2["deleted"] == 0  # idempotent
+        index.close()
+
+    def test_readonly_delete_rejected(self, tmp_path):
+        index, _ = build_small(tmp_path)
+        index.close()
+        ro = UnifiedIndex().load_unified_index(tmp_path / "index.rvdb", mode="r")
+        with pytest.raises(PermissionError):
+            ro.delete_rows([0])
+        ro.close()
+
+    def test_temporal_context_skips_deleted(self, tmp_path):
+        index, _ = build_small(tmp_path)
+        row2 = index.row_for("video0", "2.jpg")
+        row3 = index.row_for("video0", "3.jpg")
+        index.delete_rows([row2])
+        ctx = index.get_temporal_context(row3, window=1)
+        assert all(c["row_id"] != row2 for c in ctx)
+        index.close()
+
+    def test_compact_in_place(self, tmp_path):
+        index, _ = build_small(tmp_path)
+        rows = [index.row_for("video0", "0.jpg"),
+                index.row_for("video1", "5.jpg")]
+        index = UnifiedIndex(UnifiedIndexConfig(dtype="float32",
+                                                thumbnail_size=32))
+        index.load_unified_index(tmp_path / "index.rvdb", mode="a")
+        index.delete_rows(rows)
+        out = index.compact()
+        assert out["compacted"] == 2
+        assert index.ntotal == 10
+        assert index.num_deleted == 0
+        # keys and assets survive with remapped rows
+        assert index.row_for("video0", "0.jpg") is None
+        r = index.row_for("video0", "1.jpg")
+        assert r is not None
+        assert index.get_thumbnail(r)[:2] == b"\xff\xd8"
+        assert index.get_metadata(r).row_id == r
+        # search still self-retrieves
+        img = np.asarray(
+            Image.open(tmp_path / "keyframes" / "video1" / "3.jpg")
+            .convert("RGB").resize((32, 32), Image.BICUBIC), np.uint8
+        )
+        hits = index.search(fake_embed(img[None])[0], top_k=1)
+        assert hits[0].metadata.image == "3.jpg"
+        index.close()
+
+    def test_compact_noop_without_deletes(self, tmp_path):
+        index, _ = build_small(tmp_path)
+        out = index.compact()
+        assert out["compacted"] == 0
+        index.close()
+
+
+class TestInt8Mode:
+    def test_quantize_roundtrip(self, rng):
+        from intelligent_video_analysis_retrieval_system_tpu.ops.quant import (
+            dequantize_rows_int8,
+            quantize_rows_int8,
+        )
+
+        x = rng.standard_normal((50, 32)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=-1, keepdims=True)
+        q, s = quantize_rows_int8(x)
+        back = dequantize_rows_int8(q, s)
+        np.testing.assert_allclose(back, x, atol=1.5 / 127)
+
+    def test_int8_search_matches_exact_ranking(self, rng):
+        import jax.numpy as jnp
+
+        from intelligent_video_analysis_retrieval_system_tpu.ops.quant import (
+            pad_rows_int8,
+            quantize_rows_int8,
+            topk_search_int8,
+        )
+        from intelligent_video_analysis_retrieval_system_tpu.ops.topk import (
+            topk_exact_reference,
+        )
+        from intelligent_video_analysis_retrieval_system_tpu.retrieval.evaluation import (
+            recall_at_k,
+        )
+
+        n = 5000
+        x = rng.standard_normal((n, 64)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=-1, keepdims=True)
+        q = x[rng.integers(0, n, 4)] + 0.02 * rng.standard_normal((4, 64)).astype(np.float32)
+        xi, xs = pad_rows_int8(*quantize_rows_int8(x))
+        got = topk_search_int8(jnp.asarray(xi), jnp.asarray(xs),
+                               jnp.asarray(q), 10, n_valid=n,
+                               use_pallas=True, interpret=True)
+        want = topk_exact_reference(jnp.asarray(x), jnp.asarray(q), 10)
+        # quantized database: recall@10 must be essentially perfect and the
+        # top-1 identical for near-duplicate queries
+        assert recall_at_k(np.asarray(got.indices), np.asarray(want.indices)) >= 0.95
+        np.testing.assert_array_equal(
+            np.asarray(got.indices)[:, 0], np.asarray(want.indices)[:, 0]
+        )
+
+    def test_int8_deleted_mask(self, rng):
+        import jax.numpy as jnp
+
+        from intelligent_video_analysis_retrieval_system_tpu.ops.quant import (
+            pad_rows_int8,
+            quantize_rows_int8,
+            topk_search_int8,
+        )
+
+        n = 1000
+        x = rng.standard_normal((n, 32)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=-1, keepdims=True)
+        xi, xs = pad_rows_int8(*quantize_rows_int8(x))
+        deleted = np.zeros(n, np.int8)
+        deleted[0] = 1
+        got = topk_search_int8(jnp.asarray(xi), jnp.asarray(xs),
+                               jnp.asarray(x[:1]), 3, n_valid=n,
+                               deleted=jnp.asarray(deleted),
+                               use_pallas=True, interpret=True)
+        assert 0 not in np.asarray(got.indices)[0]
+
+    def test_int8_container_end_to_end(self, tmp_path):
+        kf, _ = make_keyframes(tmp_path)
+        builder = RAGBuilder(
+            fake_embed, DIM, input_size=32,
+            config=UnifiedIndexConfig(dtype="int8", thumbnail_size=32),
+        )
+        index, report = builder.build_index(kf, tmp_path / "q.rvdb")
+        assert report.processed == 12
+        img = np.asarray(
+            Image.open(tmp_path / "keyframes" / "video1" / "3.jpg")
+            .convert("RGB").resize((32, 32), Image.BICUBIC), np.uint8
+        )
+        hits = index.search(fake_embed(img[None])[0], top_k=3)
+        assert hits[0].metadata.image == "3.jpg"
+        assert hits[0].similarity_score > 0.97
+        index.close()
+        # reload path
+        again = UnifiedIndex(UnifiedIndexConfig(dtype="int8")
+                             ).load_unified_index(tmp_path / "q.rvdb")
+        hits2 = again.search(fake_embed(img[None])[0], top_k=3)
+        assert hits2[0].metadata.image == "3.jpg"
+        again.close()
+
+    def test_int8_delete_flow(self, tmp_path):
+        kf, _ = make_keyframes(tmp_path)
+        builder = RAGBuilder(
+            fake_embed, DIM, input_size=32,
+            config=UnifiedIndexConfig(dtype="int8", thumbnail_size=32),
+        )
+        index, _ = builder.build_index(kf, tmp_path / "q.rvdb")
+        img = np.asarray(
+            Image.open(tmp_path / "keyframes" / "video0" / "2.jpg")
+            .convert("RGB").resize((32, 32), Image.BICUBIC), np.uint8
+        )
+        qv = fake_embed(img[None])[0]
+        row = index.row_for("video0", "2.jpg")
+        index.delete_rows([row])
+        hits = index.search(qv, top_k=3)
+        assert all(h.metadata.row_id != row for h in hits)
+        index.close()
