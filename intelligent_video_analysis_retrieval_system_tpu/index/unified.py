@@ -62,8 +62,15 @@ class UnifiedIndex:
         self,
         config: UnifiedIndexConfig | None = None,
         device_put: bool | None = None,
+        mesh: Any | None = None,
     ) -> None:
+        """``mesh``: a ``jax.sharding.Mesh`` with an "index" axis — rows
+        shard across its devices and searches merge over ICI (the
+        multi-chip path; single-device otherwise). int8 containers fall
+        back to single-device for now."""
         self.config = config or UnifiedIndexConfig()
+        self.mesh = mesh
+        self._sharded = None  # parallel.ShardedIndexSearcher when mesh set
         self._container: IndexContainer | None = None
         self._lock = threading.RLock()
         # device state
@@ -129,6 +136,7 @@ class UnifiedIndex:
                 self._container = None
             self._dev_x = None
             self._dev_scales = None
+            self._sharded = None
             self._n_valid = 0
             self._capacity = 0
             self._metadata = []
@@ -148,9 +156,30 @@ class UnifiedIndex:
         n = self._container.num_rows
         self._n_valid = n
         self._dev_scales = None
+        self._sharded = None
         if n == 0:
             self._dev_x = None
             self._capacity = 0
+            return
+        if self.mesh is not None and self._container.dtype != "int8":
+            # multi-chip: rows shard over the mesh's "index" axis
+            from ..parallel.sharded_search import ShardedIndexSearcher
+
+            raw = self._read_rows_fast(n)
+            if self.config.normalize:
+                raw = raw / np.maximum(
+                    np.linalg.norm(raw, axis=-1, keepdims=True), 1e-12
+                )
+            dtype = (
+                jnp.bfloat16 if self._container.dtype == "bfloat16"
+                else jnp.float32
+            )
+            self._sharded = ShardedIndexSearcher(self.mesh, dtype=dtype)
+            self._deleted = self._container.deleted_rows()
+            self._sharded.load(raw, deleted_rows=self._deleted)
+            self._capacity = int(self._sharded._x.shape[0])
+            self._dev_x = None
+            self._dev_deleted = None
             return
         if self._container.dtype == "int8":
             # int8 fast path: upload quantized rows directly; row
@@ -231,6 +260,7 @@ class UnifiedIndex:
             return
         if (
             self._dev_x is None
+            or self._sharded is not None      # mesh: re-shard on upload
             or self._n_valid + m > self._capacity
             or self._dev_scales is not None  # int8: re-quantize on upload
         ):
@@ -271,15 +301,17 @@ class UnifiedIndex:
         import jax.numpy as jnp
 
         with self._lock:
-            if self._dev_x is None or self._n_valid == 0:
+            if (self._dev_x is None and self._sharded is None) or self._n_valid == 0:
                 return [[] for _ in range(len(np.atleast_2d(query_vectors)))]
             q = np.atleast_2d(np.asarray(query_vectors, dtype=np.float32))
             q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
             fetch = min(self._n_valid, top_k * over_fetch if filter_fn else top_k)
-            if self._dev_scales is not None:  # int8 quantized mode
+            if self._sharded is not None:  # multi-chip mesh backend
+                result: TopKResult = self._sharded.search(q, fetch)
+            elif self._dev_scales is not None:  # int8 quantized mode
                 from ..ops.quant import topk_search_int8
 
-                result: TopKResult = topk_search_int8(
+                result = topk_search_int8(
                     self._dev_x,
                     self._dev_scales,
                     jnp.asarray(q, jnp.float32),
@@ -496,7 +528,10 @@ class UnifiedIndex:
             self._container.append_deleted(fresh)
             self._container.flush_checkpoint()
             self._deleted.update(fresh)
-            self._rebuild_deleted_mask()
+            if self._sharded is not None:
+                self._sharded.set_deleted(self._deleted)
+            else:
+                self._rebuild_deleted_mask()
         return {"deleted": len(fresh), "num_live": self.num_live}
 
     def delete_keys(self, keys: Sequence[tuple[str, str]]) -> dict[str, Any]:

@@ -312,15 +312,20 @@ def topk_masked_reference(
     k: int,
     n_valid: jnp.ndarray,
     precision: lax.Precision = lax.Precision.HIGHEST,
+    deleted: jnp.ndarray | None = None,
 ) -> TopKResult:
-    """Oracle with a *dynamic* live-row count: rows >= n_valid are masked
-    to -inf BEFORE selection (the sharded searcher's per-shard fallback)."""
+    """Oracle with a *dynamic* live-row count (and optional tombstones):
+    dead rows are masked to -inf BEFORE selection (the sharded searcher's
+    per-shard fallback)."""
     scores = jnp.einsum(
         "bd,nd->bn", q.astype(jnp.float32), x.astype(jnp.float32),
         precision=precision,
     )
     col = jnp.arange(x.shape[0])[None, :]
-    scores = jnp.where(col < n_valid, scores, -jnp.inf)
+    alive = col < n_valid
+    if deleted is not None:
+        alive &= jnp.asarray(deleted).reshape(-1)[None, :] == 0
+    scores = jnp.where(alive, scores, -jnp.inf)
     top_scores, top_ids = lax.top_k(scores, min(k, x.shape[0]))
     return TopKResult(top_scores, top_ids.astype(jnp.int32))
 

@@ -46,37 +46,43 @@ def build_sharded_searcher(
     k: int,
     use_pallas: bool,
     interpret: bool = False,
+    with_mask: bool = False,
 ):
     """Compile a replicated-output sharded searcher for static shapes.
 
-    Returns ``f(x_sharded, q, n_valid) -> TopKResult`` where ``x_sharded``
-    is (n_pad, D) sharded rows-wise over ``axis`` and results are replicated.
+    Returns ``f(x_sharded, q, n_valid[, deleted_sharded]) -> TopKResult``
+    where ``x_sharded`` is (n_pad, D) sharded rows-wise over ``axis`` (and
+    ``deleted_sharded`` is (n_pad, 1) int8 sharded the same way); results
+    are replicated.
     """
     n_dev = mesh.shape[axis]
     shard_rows = n_pad // n_dev
     assert n_pad % n_dev == 0
 
-    def shard_fn(x_shard: jnp.ndarray, q: jnp.ndarray, n_valid: jnp.ndarray):
+    def shard_fn(x_shard, q, n_valid, dead_shard=None):
         my = lax.axis_index(axis)
         offset = my * shard_rows
         # rows of this shard that are live; masking must happen BEFORE the
         # local selection or an all-padding shard would crowd out real hits
         local_valid = jnp.clip(n_valid - offset, 0, shard_rows)
         if use_pallas or interpret:
-            from ..ops.topk import _build_searcher
+            from ..ops.topk import _build_searcher, pad_queries
 
             search = _build_searcher(
                 shard_rows, x_shard.shape[1], _pad_b(q.shape[0]), k,
-                interpret, lax.Precision.HIGHEST,
+                interpret, lax.Precision.HIGHEST, with_mask=with_mask,
             )
-            from ..ops.topk import pad_queries
-
-            local = search(x_shard, pad_queries(q), local_valid)
+            local = (
+                search(x_shard, pad_queries(q), local_valid, dead_shard)
+                if with_mask
+                else search(x_shard, pad_queries(q), local_valid)
+            )
             local = TopKResult(local.scores[: q.shape[0]],
                                local.indices[: q.shape[0]])
         else:
             local = topk_masked_reference(
-                x_shard, q, min(k, shard_rows), local_valid
+                x_shard, q, min(k, shard_rows), local_valid,
+                deleted=dead_shard,
             )
         scores = local.scores
         gids = local.indices + offset
@@ -92,7 +98,10 @@ def build_sharded_searcher(
         top_ids = jnp.take_along_axis(flat_ids, pos, axis=1)
         return top_scores, top_ids.astype(jnp.int32)
 
-    in_specs = (P(axis, None), P(), P())
+    if with_mask:
+        in_specs = (P(axis, None), P(), P(), P(axis, None))
+    else:
+        in_specs = (P(axis, None), P(), P())
     out_specs = (P(), P())
     mapped = jax.shard_map(
         shard_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
@@ -102,9 +111,12 @@ def build_sharded_searcher(
 
 
 @functools.lru_cache(maxsize=32)
-def _searcher_cache(mesh_key, axis, n_pad, k, use_pallas, interpret):
+def _searcher_cache(mesh_key, axis, n_pad, k, use_pallas, interpret,
+                    with_mask=False):
     mesh = _MESHES[mesh_key]
-    return build_sharded_searcher(mesh, axis, n_pad, k, use_pallas, interpret)
+    return build_sharded_searcher(
+        mesh, axis, n_pad, k, use_pallas, interpret, with_mask=with_mask
+    )
 
 
 _MESHES: dict[int, Mesh] = {}
@@ -119,6 +131,7 @@ def sharded_topk(
     axis: str = "index",
     use_pallas: bool | None = None,
     interpret: bool = False,
+    deleted_sharded: jnp.ndarray | None = None,
 ) -> TopKResult:
     """Replicated exact top-k over a row-sharded database."""
     if use_pallas is None:
@@ -126,9 +139,12 @@ def sharded_topk(
     _MESHES[id(mesh)] = mesh
     fn = _searcher_cache(
         id(mesh), axis, int(x_sharded.shape[0]), int(k), bool(use_pallas),
-        bool(interpret),
+        bool(interpret), deleted_sharded is not None,
     )
-    scores, ids = fn(x_sharded, q, jnp.int32(n_valid))
+    if deleted_sharded is not None:
+        scores, ids = fn(x_sharded, q, jnp.int32(n_valid), deleted_sharded)
+    else:
+        scores, ids = fn(x_sharded, q, jnp.int32(n_valid))
     return TopKResult(scores, ids)
 
 
@@ -146,12 +162,13 @@ class ShardedIndexSearcher:
         self.dtype = dtype
         self.n_valid = 0
         self._x = None
+        self._dead = None
 
     @property
     def n_devices(self) -> int:
         return self.mesh.shape[self.axis]
 
-    def load(self, x: np.ndarray) -> None:
+    def load(self, x: np.ndarray, deleted_rows: set[int] | None = None) -> None:
         """Shard (N, D) rows across the mesh axis."""
         n, d = x.shape
         n_pad = _ceil_to(max(n, 1), self.n_devices * TILE_N)
@@ -160,6 +177,22 @@ class ShardedIndexSearcher:
         sharding = NamedSharding(self.mesh, P(self.axis, None))
         self._x = jax.device_put(jnp.asarray(host, self.dtype), sharding)
         self.n_valid = n
+        self._dead = None
+        if deleted_rows:
+            self.set_deleted(deleted_rows)
+
+    def set_deleted(self, deleted_rows: set[int]) -> None:
+        """Install (or clear) the tombstone mask, sharded like the rows."""
+        if not deleted_rows:
+            self._dead = None
+            return
+        assert self._x is not None
+        mask = np.zeros((int(self._x.shape[0]), 1), np.int8)
+        for row in deleted_rows:
+            if 0 <= row < mask.shape[0]:
+                mask[row, 0] = 1
+        sharding = NamedSharding(self.mesh, P(self.axis, None))
+        self._dead = jax.device_put(jnp.asarray(mask), sharding)
 
     def append(self, rows: np.ndarray) -> None:
         """Append rows (re-shards; cheap relative to reload for now)."""
@@ -179,6 +212,7 @@ class ShardedIndexSearcher:
         return sharded_topk(
             self.mesh, self._x, qd, k, self.n_valid, axis=self.axis,
             use_pallas=use_pallas, interpret=interpret,
+            deleted_sharded=self._dead,
         )
 
     def stats(self) -> dict[str, Any]:

@@ -7,6 +7,7 @@ distribution lives in ``parallel`` (ICI collectives), not here.
 """
 
 from .handlers import RateLimiter, RequestHandler, format_results
+from .batching import QueryBatcher
 from .rest import RetrievalServer
 from .p2p import (
     NetworkDiscovery,
@@ -17,6 +18,7 @@ from .p2p import (
 
 __all__ = [
     "RateLimiter",
+    "QueryBatcher",
     "RequestHandler",
     "format_results",
     "RetrievalServer",

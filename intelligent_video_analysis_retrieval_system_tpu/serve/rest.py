@@ -64,6 +64,16 @@ class RetrievalServer:
             "api.rate_limit_per_minute", 100
         )
         self.handler = RequestHandler(RateLimiter(limit))
+        self.batcher = None
+        if system.config.get("api.batching", False):
+            from .batching import QueryBatcher
+
+            self.batcher = QueryBatcher(
+                system,
+                window_ms=float(system.config.get("api.batching_window_ms", 3.0)),
+                max_batch=int(system.config.get("api.batching_max_batch", 64)),
+            )
+            self.batcher.start()
         self.app = web.Application(client_max_size=64 * 1024 * 1024)
         self._setup_routes()
         self._runner: web.AppRunner | None = None
@@ -142,7 +152,21 @@ class RetrievalServer:
             include_temporal=payload.get("include_temporal", False),
         )
         t0 = time.perf_counter()
-        results = await self._run_sync(self.system.search, payload["query"], options)
+        # micro-batched fast path for plain clip_only queries under load
+        if (
+            self.batcher is not None
+            and self.batcher.is_running
+            and options.mode == "clip_only"
+            and not options.folder_filter
+            and not options.include_temporal
+        ):
+            results = await self._run_sync(
+                self.batcher.search, payload["query"], options.limit
+            )
+        else:
+            results = await self._run_sync(
+                self.system.search, payload["query"], options
+            )
         return web.json_response(
             {
                 "success": True,
@@ -394,6 +418,8 @@ class RetrievalServer:
             self._runner = None
 
     def stop(self) -> None:
+        if self.batcher is not None:
+            self.batcher.stop()
         if self._loop is not None and self._loop.is_running():
             self._loop.call_soon_threadsafe(self._loop.stop)
         if self._thread is not None:

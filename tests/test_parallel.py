@@ -199,3 +199,72 @@ class TestDistributedHelpers:
         assert arr.shape == (1024, 16)
         assert arr.sharding.spec == P("index", None)
         np.testing.assert_array_equal(np.asarray(arr), rows)
+
+
+class TestMeshBackedIndex:
+    def _build(self, tmp_path):
+        from PIL import Image
+
+        from intelligent_video_analysis_retrieval_system_tpu.index import (
+            RAGBuilder,
+            UnifiedIndexConfig,
+        )
+
+        rng = np.random.default_rng(6)
+        kf = tmp_path / "keyframes" / "v"
+        kf.mkdir(parents=True)
+        for n in range(10):
+            Image.fromarray(rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+                            ).save(kf / f"{n}.jpg")
+
+        def embed(batch):
+            g = batch.reshape(len(batch), 4, 8, 4, 8, 3).mean(axis=(2, 4))
+            g = g.reshape(len(batch), 48)[:, :32].astype(np.float32) + 1e-3
+            return g / np.linalg.norm(g, axis=-1, keepdims=True)
+
+        builder = RAGBuilder(embed, 32, input_size=32,
+                             config=UnifiedIndexConfig(dtype="float32",
+                                                       thumbnail_size=32))
+        index, _ = builder.build_index(tmp_path / "keyframes",
+                                       tmp_path / "i.rvdb")
+        index.close()
+        return embed
+
+    def test_mesh_index_matches_single_device(self, index_mesh, tmp_path):
+        from intelligent_video_analysis_retrieval_system_tpu.index import (
+            UnifiedIndex,
+            UnifiedIndexConfig,
+        )
+
+        embed = self._build(tmp_path)
+        single = UnifiedIndex(UnifiedIndexConfig(dtype="float32")
+                              ).load_unified_index(tmp_path / "i.rvdb")
+        meshed = UnifiedIndex(UnifiedIndexConfig(dtype="float32"),
+                              mesh=index_mesh
+                              ).load_unified_index(tmp_path / "i.rvdb")
+        assert meshed._sharded is not None
+        q = np.ones(32, np.float32)
+        a = [(h.metadata.row_id, round(h.similarity_score, 5))
+             for h in single.search(q, top_k=5)]
+        b = [(h.metadata.row_id, round(h.similarity_score, 5))
+             for h in meshed.search(q, top_k=5)]
+        assert a == b
+        single.close()
+        meshed.close()
+
+    def test_mesh_index_deletes(self, index_mesh, tmp_path):
+        from intelligent_video_analysis_retrieval_system_tpu.index import (
+            UnifiedIndex,
+            UnifiedIndexConfig,
+        )
+
+        self._build(tmp_path)
+        meshed = UnifiedIndex(UnifiedIndexConfig(dtype="float32"),
+                              mesh=index_mesh)
+        meshed.load_unified_index(tmp_path / "i.rvdb", mode="a")
+        q = np.ones(32, np.float32)
+        top = meshed.search(q, top_k=1)[0].metadata.row_id
+        meshed.delete_rows([top])
+        hits = meshed.search(q, top_k=5)
+        assert all(h.metadata.row_id != top for h in hits)
+        meshed.close()

@@ -393,3 +393,89 @@ class TestSharedFolders:
             assert status == 404
         finally:
             server.stop_server()
+
+
+class TestQueryBatcher:
+    def test_batches_concurrent_requests(self, served_system):
+        from concurrent.futures import ThreadPoolExecutor
+
+        from intelligent_video_analysis_retrieval_system_tpu.serve.batching import (
+            QueryBatcher,
+        )
+
+        _, system, _ = served_system
+        batcher = QueryBatcher(system, window_ms=50.0, max_batch=16)
+        batcher.start()
+        try:
+            queries = [f"scene number {i}" for i in range(8)]
+            with ThreadPoolExecutor(8) as pool:
+                futures = [pool.submit(batcher.search, q, 3) for q in queries]
+                results = [f.result(timeout=30) for f in futures]
+            assert all(len(r) == 3 for r in results)
+            assert batcher.stats.requests == 8
+            # concurrency + 50ms window must have produced real batches
+            assert batcher.stats.max_batch_seen >= 2
+            assert batcher.stats.batches < 8
+        finally:
+            batcher.stop()
+        assert not batcher.is_running
+
+    def test_batched_matches_unbatched(self, served_system):
+        from intelligent_video_analysis_retrieval_system_tpu.serve.batching import (
+            QueryBatcher,
+        )
+        from intelligent_video_analysis_retrieval_system_tpu.system import (
+            SearchOptions,
+        )
+
+        _, system, _ = served_system
+        batcher = QueryBatcher(system, window_ms=1.0)
+        batcher.start()
+        try:
+            got = batcher.search("a colorful pattern", 4)
+        finally:
+            batcher.stop()
+        want = system.search("a colorful pattern",
+                             SearchOptions(limit=4, use_cache=False))
+        assert [(r["folder"], r["image"]) for r in got] == [
+            (r["folder"], r["image"]) for r in want
+        ]
+
+    def test_not_started_raises(self, served_system):
+        from intelligent_video_analysis_retrieval_system_tpu.serve.batching import (
+            QueryBatcher,
+        )
+
+        _, system, _ = served_system
+        batcher = QueryBatcher(system)
+        with pytest.raises(RuntimeError):
+            batcher.search("x")
+
+    def test_server_batching_path(self, tmp_path):
+        """Server with api.batching=true serves correct results."""
+        rng = np.random.default_rng(9)
+        folder = tmp_path / "keyframes" / "v"
+        folder.mkdir(parents=True)
+        for n in range(4):
+            Image.fromarray(rng.integers(0, 255, (48, 48, 3)).astype(np.uint8)
+                            ).save(folder / f"{n}.jpg")
+        cfg = Config(config_file=None, base_dir=tmp_path, create_dirs=True,
+                     overrides={"index": {"dtype": "float32"},
+                                "api": {"batching": True}})
+        system = EnhancedRetrievalSystem(
+            cfg, embedder=CLIPEmbedder(config=CLIPConfig.tiny_test(),
+                                       compute_dtype="float32"))
+        system.build_system(tmp_path / "keyframes")
+        port = free_port()
+        server = system.start_server(host="127.0.0.1", port=port, block=False)
+        try:
+            assert server.batcher is not None and server.batcher.is_running
+            status, body = http_json(
+                f"http://127.0.0.1:{port}/api/search",
+                {"query": "something", "limit": 2},
+            )
+            assert status == 200 and body["count"] == 2
+            assert server.batcher.stats.requests >= 1
+        finally:
+            server.stop()
+            system.cleanup()
