@@ -55,6 +55,10 @@ class FrameFilterConfig:
     min_scene_length: int = 5
     in_scene_similarity: float = 0.95
     dedup_window: int = 5
+    # alternative stage-2 similarity mode: per-scene density clustering with
+    # centroid-nearest representatives (filter_research_update.py:113-155)
+    use_clustering: bool = False
+    cluster_eps: float = 0.05
     # presets mirroring the reference CLI modes (filter.py:648-739)
     @classmethod
     def gentle(cls) -> "FrameFilterConfig":
@@ -364,13 +368,16 @@ class FrameFilter:
                 emb = np.asarray(
                     self.embed_fn(pixels[survivor_idx]), dtype=np.float32
                 )
-                smask = np.asarray(
-                    windowed_dedup_mask(
-                        jnp.asarray(emb),
-                        threshold=cfg.in_scene_similarity,
-                        window=cfg.dedup_window,
+                if cfg.use_clustering:
+                    smask = self._cluster_dedup(emb, cfg)
+                else:
+                    smask = np.asarray(
+                        windowed_dedup_mask(
+                            jnp.asarray(emb),
+                            threshold=cfg.in_scene_similarity,
+                            window=cfg.dedup_window,
+                        )
                     )
-                )
                 dropped_s = int((~smask).sum())
                 keep[survivor_idx[~smask]] = False
 
@@ -393,6 +400,30 @@ class FrameFilter:
                 output_map_dir or map_dir if not in_place else map_dir,
             )
         return report
+
+    @staticmethod
+    def _cluster_dedup(emb: np.ndarray, cfg: FrameFilterConfig) -> np.ndarray:
+        """Scene-aware density clustering: split frames into scenes by
+        adjacent cosine, then keep one centroid-nearest representative per
+        in-scene cluster (filter_research_update semantics)."""
+        import jax.numpy as jnp
+
+        from ..ops.dedup import cluster_representatives_mask
+        from ..ops.normalize import l2_normalize
+
+        n = len(emb)
+        normed = np.asarray(l2_normalize(jnp.asarray(emb)))
+        adjacent = np.sum(normed[:-1] * normed[1:], axis=-1) if n > 1 else []
+        boundaries = [0] + [
+            i + 1 for i, sim in enumerate(adjacent) if sim < cfg.scene_threshold
+        ] + [n]
+        keep = np.zeros(n, bool)
+        for start, end in zip(boundaries[:-1], boundaries[1:]):
+            if end > start:
+                keep[start:end] = cluster_representatives_mask(
+                    emb[start:end], eps=cfg.cluster_eps
+                )
+        return keep
 
     def _load_uniform(self, paths: list[Path]) -> np.ndarray:
         """Decode images to a uniform (N, S, S, 3) stack (S = max dim 256)."""

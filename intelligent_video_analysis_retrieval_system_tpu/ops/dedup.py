@@ -22,7 +22,12 @@ from jax import lax
 
 from .normalize import l2_normalize
 
-__all__ = ["sequential_dedup", "sequential_dedup_carry", "windowed_dedup_mask"]
+__all__ = [
+    "sequential_dedup",
+    "sequential_dedup_carry",
+    "windowed_dedup_mask",
+    "cluster_representatives_mask",
+]
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -101,3 +106,63 @@ def windowed_dedup_mask(
 
     (_, _), keeps = lax.scan(step, (init_buf, init_pos), emb)
     return keeps
+
+
+def cluster_representatives_mask(
+    embeddings, eps: float = 0.05, min_cluster: int = 1
+):
+    """Density-style dedup: cluster frames whose cosine distance is within
+    ``eps`` (single-linkage connected components — the same neighborhoods
+    DBSCAN(eps, min_samples=2) merges in the reference,
+    ``filter_research_update.py:113-134``) and keep one representative per
+    cluster: the frame nearest the cluster centroid
+    (``filter_research_update.py:136-155``).
+
+    The O(N²) similarity matrix computes on device (one matmul); the
+    component walk is host-side (scenes are small). Returns a numpy keep
+    mask.
+    """
+    import numpy as np
+
+    n = int(embeddings.shape[0])
+    if n == 0:
+        return np.zeros((0,), bool)
+    if n == 1:
+        return np.ones((1,), bool)
+    emb = l2_normalize(jnp.asarray(embeddings, jnp.float32))
+    sims = np.asarray(emb @ emb.T, np.float32)
+    adj = (1.0 - sims) <= eps
+
+    # union-find over the adjacency
+    parent = list(range(n))
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    rows, cols = np.nonzero(np.triu(adj, k=1))
+    for a, b in zip(rows.tolist(), cols.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    clusters: dict[int, list[int]] = {}
+    for i in range(n):
+        clusters.setdefault(find(i), []).append(i)
+
+    keep = np.zeros(n, bool)
+    emb_np = np.asarray(emb)
+    for members in clusters.values():
+        if len(members) < min_cluster:
+            continue
+        if len(members) == 1:
+            keep[members[0]] = True
+            continue
+        sub = emb_np[members]
+        centroid = sub.mean(axis=0)
+        centroid /= max(np.linalg.norm(centroid), 1e-12)
+        rep = members[int(np.argmax(sub @ centroid))]
+        keep[rep] = True
+    return keep

@@ -311,6 +311,7 @@ class NetworkServer:
         app.router.add_get("/api/folders", self._list_folders)
         app.router.add_get("/api/folders/{folder_id}/files", self._folder_files)
         app.router.add_get("/api/folders/{folder_id}/file", self._folder_file)
+        app.router.add_post("/api/folders/{folder_id}/upload", self._folder_upload)
 
         async def start():
             self._runner = web.AppRunner(app)
@@ -514,6 +515,29 @@ class NetworkServer:
             return web.json_response({"error": "file not found"}, status=404)
         return web.FileResponse(target)
 
+    async def _folder_upload(self, request):
+        """Peer file upload (reference api.py:1036+): body = raw bytes,
+        ?path= destination relative path inside the shared folder."""
+        from aiohttp import web
+
+        _, root = self._resolve_shared(request)
+        if root is None:
+            return web.json_response({"error": "unknown folder"}, status=404)
+        rel = request.query.get("path", "")
+        if not rel:
+            return web.json_response({"error": "path query required"}, status=400)
+        target = (root / rel).resolve()
+        if root.resolve() not in target.parents:
+            return web.json_response({"error": "forbidden path"}, status=403)
+        data = await request.read()
+        target.parent.mkdir(parents=True, exist_ok=True)
+        tmp = target.with_name(target.name + ".part")
+        tmp.write_bytes(data)
+        tmp.replace(target)
+        return web.json_response(
+            {"uploaded": str(target.relative_to(root)), "bytes": len(data)}
+        )
+
 
 class NetworkClient:
     """Synchronous HTTP client for peer servers (reference api.py:1311-1810)."""
@@ -598,6 +622,25 @@ class NetworkClient:
         dest_path.parent.mkdir(parents=True, exist_ok=True)
         dest_path.write_bytes(data)
         return str(dest_path)
+
+    def upload_file(
+        self, host: str, port: int, folder_id: str, rel_path: str,
+        local_path: str,
+    ) -> dict[str, Any]:
+        import urllib.request
+        from pathlib import Path
+        from urllib.parse import quote
+
+        data = Path(local_path).read_bytes()
+        req = urllib.request.Request(
+            f"http://{host}:{port}/api/folders/{folder_id}/upload"
+            f"?path={quote(rel_path)}",
+            data=data,
+            method="POST",
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            return json.loads(resp.read().decode("utf-8"))
 
     def search_all(
         self, servers: list[tuple[str, int, str]], qvec: np.ndarray, top_k: int

@@ -223,3 +223,52 @@ class TestDINOEmbedder:
         report = ff.extract_frames(tmp_path / "v.mp4", tmp_path / "kf",
                                    tmp_path / "map")
         assert 2 <= report.frames_kept <= 4
+
+
+class TestClusterDedup:
+    def test_cluster_representatives_mask(self):
+        from intelligent_video_analysis_retrieval_system_tpu.ops.dedup import (
+            cluster_representatives_mask,
+        )
+
+        rng = np.random.default_rng(0)
+        a = rng.standard_normal(32).astype(np.float32)
+        b = rng.standard_normal(32).astype(np.float32)
+        cluster_a = np.stack([a + 0.001 * rng.standard_normal(32) for _ in range(4)])
+        cluster_b = np.stack([b + 0.001 * rng.standard_normal(32) for _ in range(3)])
+        emb = np.concatenate([cluster_a, cluster_b]).astype(np.float32)
+        keep = cluster_representatives_mask(emb, eps=0.05)
+        # exactly one representative per cluster
+        assert keep[:4].sum() == 1
+        assert keep[4:].sum() == 1
+
+    def test_singletons_kept(self):
+        from intelligent_video_analysis_retrieval_system_tpu.ops.dedup import (
+            cluster_representatives_mask,
+        )
+
+        rng = np.random.default_rng(1)
+        emb = rng.standard_normal((5, 32)).astype(np.float32)  # all distinct
+        keep = cluster_representatives_mask(emb, eps=0.05)
+        assert keep.all()
+        assert cluster_representatives_mask(np.zeros((0, 8), np.float32)).shape == (0,)
+
+    def test_apply_filters_clustering_mode(self, tmp_path):
+        rng = np.random.default_rng(5)
+        folder = tmp_path / "keyframes" / "vid"
+        folder.mkdir(parents=True)
+        base = rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+        for n in range(5):  # 5 near-identical frames = one cluster
+            jitter = np.clip(base.astype(int) + rng.integers(-2, 3, base.shape),
+                             0, 255).astype(np.uint8)
+            Image.fromarray(jitter).save(folder / f"{n}.jpg", quality=95)
+        other = rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+        Image.fromarray(other).save(folder / "5.jpg", quality=95)
+        ff = FrameFilter(FrameFilterConfig(
+            blur_drop_percentile=0.0, edge_drop_percentile=0.0,
+            use_clustering=True, cluster_eps=0.1, scene_threshold=0.5,
+        ))
+        report = ff.apply_filters(tmp_path / "keyframes",
+                                  output_dir=tmp_path / "out")
+        # one representative for the cluster + the distinct frame
+        assert report.per_folder["vid"]["out"] == 2

@@ -479,3 +479,34 @@ class TestQueryBatcher:
         finally:
             server.stop()
             system.cleanup()
+
+
+class TestFolderUpload:
+    def test_upload_roundtrip(self, served_system, tmp_path):
+        from intelligent_video_analysis_retrieval_system_tpu.serve.p2p import (
+            NetworkClient,
+            NetworkServer,
+        )
+
+        share_root = tmp_path / "up"
+        share_root.mkdir()
+        src = tmp_path / "local.bin"
+        src.write_bytes(b"payload-123")
+        port = free_port()
+        server = NetworkServer("127.0.0.1", port, enable_discovery=False)
+        server.register_folder("inbox", str(share_root))
+        server.start_server()
+        try:
+            client = NetworkClient()
+            out = client.upload_file("127.0.0.1", port, "inbox",
+                                     "sub/dest.bin", str(src))
+            assert out["bytes"] == 11
+            assert (share_root / "sub" / "dest.bin").read_bytes() == b"payload-123"
+            # traversal blocked on upload too
+            import urllib.error
+
+            with pytest.raises(urllib.error.HTTPError):
+                client.upload_file("127.0.0.1", port, "inbox",
+                                   "../escape.bin", str(src))
+        finally:
+            server.stop_server()
