@@ -1,0 +1,42 @@
+"""Sharded multi-device search demo (works on a virtual CPU mesh).
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python examples/distributed_search.py
+"""
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    if jax.device_count() < 2:
+        jax.config.update("jax_platforms", "cpu")  # may still be 1; fine
+
+    import jax.numpy as jnp
+
+    from intelligent_video_analysis_retrieval_system_tpu.parallel import (
+        MeshSpec,
+        ShardedIndexSearcher,
+        create_mesh,
+    )
+
+    n_dev = jax.device_count()
+    mesh = create_mesh(MeshSpec(axis_names=("index",), shape=(n_dev,)))
+    print(f"mesh: {n_dev} devices on axis 'index'")
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((100_000, 256)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=-1, keepdims=True)
+
+    searcher = ShardedIndexSearcher(mesh, dtype=jnp.float32)
+    searcher.load(x)
+    print("stats:", searcher.stats())
+
+    q = x[:4]  # self-queries: expect ids 0..3 at rank 1
+    res = searcher.search(q, k=5)
+    print("top-1 ids:", np.asarray(res.indices)[:, 0])
+
+
+if __name__ == "__main__":
+    main()

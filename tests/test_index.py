@@ -625,3 +625,85 @@ class TestInt8Mode:
         hits = index.search(qv, top_k=3)
         assert all(h.metadata.row_id != row for h in hits)
         index.close()
+
+
+class TestRobustness:
+    def test_concurrent_search_during_append(self, tmp_path):
+        """Thread safety: searches racing incremental appends stay valid."""
+        import threading
+
+        index, _ = build_small(tmp_path)
+        errors = []
+        stop = threading.Event()
+
+        def searcher():
+            q = np.ones(DIM, np.float32)
+            while not stop.is_set():
+                try:
+                    hits = index.search(q, top_k=5)
+                    assert 1 <= len(hits) <= 5
+                    assert all(
+                        0 <= h.metadata.row_id < index.ntotal for h in hits
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    errors.append(exc)
+                    return
+
+        threads = [threading.Thread(target=searcher) for _ in range(3)]
+        for t in threads:
+            t.start()
+        rng = np.random.default_rng(0)
+        for i in range(5):
+            vec = rng.standard_normal((1, DIM)).astype(np.float32)
+            vec /= np.linalg.norm(vec)
+            index.incremental_update(
+                vec,
+                [KeyframeMetadata(folder="live", image=f"{i}.jpg", frame_id=i)],
+            )
+        stop.set()
+        for t in threads:
+            t.join(timeout=10)
+        assert not errors, errors
+        assert index.ntotal == 17
+        index.close()
+
+    def test_builder_crash_mid_build_resumes(self, tmp_path):
+        """Simulated crash: torn container (embeddings ahead of metadata)
+        repairs on reopen and the resumed build completes the corpus."""
+        kf, _ = make_keyframes(tmp_path, folders=1, frames=8)
+        builder = RAGBuilder(
+            fake_embed, DIM, input_size=32,
+            config=UnifiedIndexConfig(chunk_size=4, dtype="float32"),
+        )
+        index, _ = builder.build_index(kf, tmp_path / "i.rvdb")
+        index.close()
+        # tear the file: extra embeddings row without metadata/journal
+        with IndexContainer(tmp_path / "i.rvdb", "a") as c:
+            c.append_embeddings(np.ones((1, DIM), np.float32))
+            assert not c.consistency_report()["ok"]
+        index2, report = builder.build_index(
+            kf, tmp_path / "i.rvdb", resume=True
+        )
+        assert index2.ntotal == 8
+        assert index2._container.consistency_report()["ok"]
+        assert report.skipped_resume == 8  # no re-embedding of intact files
+        index2.close()
+
+    def test_unicode_folder_names(self, tmp_path):
+        kf = tmp_path / "keyframes" / "phim_việt_🎬"
+        kf.mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        for n in range(3):
+            Image.fromarray(rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+                            ).save(kf / f"{n}.jpg")
+        builder = RAGBuilder(fake_embed, DIM, input_size=32,
+                             config=UnifiedIndexConfig(dtype="float32"))
+        index, report = builder.build_index(tmp_path / "keyframes",
+                                            tmp_path / "u.rvdb")
+        assert report.processed == 3
+        hits = index.search(np.ones(DIM, np.float32), top_k=1)
+        assert hits[0].metadata.folder == "phim_việt_🎬"
+        index.close()
+        again = UnifiedIndex().load_unified_index(tmp_path / "u.rvdb")
+        assert again.row_for("phim_việt_🎬", "1.jpg") is not None
+        again.close()
