@@ -101,6 +101,9 @@ def _build_parser() -> argparse.ArgumentParser:
 
     st = sub.add_parser("stats", help="index statistics")
     st.add_argument("index_path")
+
+    cp = sub.add_parser("compact", help="drop tombstoned rows from an index")
+    cp.add_argument("index_path")
     return p
 
 
@@ -329,6 +332,18 @@ def cmd_validate(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_compact(args) -> int:
+    from .index import UnifiedIndex
+
+    index = UnifiedIndex()
+    index.load_unified_index(args.index_path, mode="a")
+    out = index.compact()
+    print(f"compacted {out['compacted']} tombstoned rows; "
+          f"{out['ntotal']} live rows remain")
+    index.close()
+    return 0
+
+
 def cmd_stats(args) -> int:
     from .index import UnifiedIndex
 
@@ -349,6 +364,7 @@ _COMMANDS = {
     "doctor": cmd_doctor,
     "validate": cmd_validate,
     "stats": cmd_stats,
+    "compact": cmd_compact,
 }
 
 

@@ -364,6 +364,27 @@ class UnifiedIndex:
         return self.search_vectors(query_vector[None] if query_vector.ndim == 1
                                    else query_vector, top_k, filter_fn)[0]
 
+    def search_by_row(
+        self,
+        row_id: int,
+        top_k: int = 20,
+        exclude_self: bool = True,
+        filter_fn: Callable[[KeyframeMetadata], bool] | None = None,
+    ) -> list[SearchResult]:
+        """Frames similar to an indexed frame (reference
+        ``FAISSRetriever.search_by_id``, ``core.py:932``)."""
+        assert self._container is not None, "index not loaded"
+        if not 0 <= row_id < self._n_valid:
+            raise IndexError(f"row {row_id} out of range [0, {self._n_valid})")
+        qvec = self._container.read_embeddings(row_id, row_id + 1,
+                                               as_float32=True)[0]
+        hits = self.search(qvec, top_k + (1 if exclude_self else 0), filter_fn)
+        if exclude_self:
+            hits = [h for h in hits if h.metadata.row_id != row_id][:top_k]
+            for rank, h in enumerate(hits):
+                h.rank = rank + 1
+        return hits
+
     def augmented_search(
         self,
         query_vector: np.ndarray,

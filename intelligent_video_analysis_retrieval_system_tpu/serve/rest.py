@@ -94,6 +94,7 @@ class RetrievalServer:
         app.router.add_get("/api/metadata/{folder}/{image}", self._metadata)
         app.router.add_get("/api/thumbnail/{folder}/{image}", self._thumbnail)
         app.router.add_get("/api/image/{folder}/{image}", self._image)
+        app.router.add_get("/api/similar/{folder}/{image}", self._similar)
         app.router.add_get("/api/stats", self._stats)
         app.router.add_post("/api/export", self._export)
         app.router.add_get("/ws", self._websocket)
@@ -283,6 +284,31 @@ class RetrievalServer:
                                      status=404)
         return web.Response(body=data, content_type="image/jpeg")
 
+    async def _similar(self, request: "web.Request") -> "web.Response":
+        """Frames similar to an indexed keyframe (search_by_row)."""
+        folder = request.match_info["folder"]
+        image = request.match_info["image"]
+        index = self.system.index
+        if index is None:
+            return web.json_response(error_envelope("no index loaded", 404), status=404)
+        row = index.row_for(folder, image)
+        if row is None:
+            return web.json_response(
+                error_envelope(f"unknown keyframe {folder}/{image}", 404), status=404
+            )
+        try:
+            limit = min(int(request.query.get("limit", 10)), 100)
+        except ValueError:
+            limit = 10
+        hits = await self._run_sync(index.search_by_row, row, limit)
+        return web.json_response(
+            {
+                "success": True,
+                "count": len(hits),
+                "results": [h.to_dict("standard") for h in hits],
+            }
+        )
+
     async def _stats(self, request: "web.Request") -> "web.Response":
         stats = await self._run_sync(self.system.get_system_stats)
         return web.json_response({"success": True, "stats": stats}, dumps=_dumps)
@@ -375,6 +401,63 @@ class RetrievalServer:
         if event == "system_stats":
             stats = await self._run_sync(self.system.get_system_stats)
             return {"event": "system_stats", "success": True, "stats": stats}
+        if event == "image_search":
+            ok, err = self.handler.validate_request("image_search", data, client)
+            if not ok:
+                return {"event": "error", **error_envelope(err)}
+            try:
+                import numpy as np
+                from PIL import Image
+
+                raw = base64.b64decode(data["image_base64"])
+                img = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
+            except Exception:
+                return {"event": "error",
+                        **error_envelope("image_base64 not decodable")}
+            options = SearchOptions(limit=data.get("limit", 20))
+            results = await self._run_sync(
+                self.system.search_by_image, img, options
+            )
+            return {
+                "event": "result",
+                "success": True,
+                "count": len(results),
+                "results": format_results(results, data.get("detail_level",
+                                                            "standard")),
+            }
+        if event == "metadata_query":
+            ok, err = self.handler.validate_request("metadata", data, client)
+            if not ok:
+                return {"event": "error", **error_envelope(err)}
+            index = self.system.index
+            row = (
+                index.row_for(data["folder"], data["image"])
+                if index is not None else None
+            )
+            if row is None:
+                return {"event": "error",
+                        **error_envelope("unknown keyframe", 404)}
+            return {
+                "event": "metadata",
+                "success": True,
+                "metadata": index.get_metadata(row).to_dict(),
+            }
+        if event == "semantic_search":
+            # reference alias: semantic search == llm_enhanced text search
+            ok, err = self.handler.validate_request("search", data, client)
+            if not ok:
+                return {"event": "error", **error_envelope(err)}
+            options = SearchOptions(mode="llm_enhanced",
+                                    limit=data.get("limit", 20))
+            results = await self._run_sync(self.system.search, data["query"],
+                                           options)
+            return {
+                "event": "result",
+                "success": True,
+                "count": len(results),
+                "results": format_results(results, data.get("detail_level",
+                                                            "standard")),
+            }
         return {"event": "error", **error_envelope(f"unknown event: {event}")}
 
     # -- lifecycle -------------------------------------------------------------

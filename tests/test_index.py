@@ -707,3 +707,16 @@ class TestRobustness:
         again = UnifiedIndex().load_unified_index(tmp_path / "u.rvdb")
         assert again.row_for("phim_việt_🎬", "1.jpg") is not None
         again.close()
+
+
+class TestSearchByRow:
+    def test_similar_excludes_self(self, tmp_path):
+        index, _ = build_small(tmp_path)
+        row = index.row_for("video0", "2.jpg")
+        hits = index.search_by_row(row, top_k=3)
+        assert len(hits) == 3
+        assert all(h.metadata.row_id != row for h in hits)
+        assert hits[0].rank == 1
+        with pytest.raises(IndexError):
+            index.search_by_row(999)
+        index.close()

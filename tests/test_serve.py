@@ -510,3 +510,45 @@ class TestFolderUpload:
                                    "../escape.bin", str(src))
         finally:
             server.stop_server()
+
+
+class TestSimilarAndWSEvents:
+    def test_similar_endpoint(self, served_system):
+        _, _, port = served_system
+        status, body = http_json(
+            f"http://127.0.0.1:{port}/api/similar/vid0/1.jpg?limit=3"
+        )
+        assert status == 200 and body["count"] == 3
+        assert all(r["image"] != "1.jpg" for r in body["results"])
+        status, _ = http_json(f"http://127.0.0.1:{port}/api/similar/vid0/x.jpg")
+        assert status == 404
+
+    def test_ws_image_and_metadata_events(self, served_system):
+        import asyncio
+
+        import aiohttp
+
+        root, _, port = served_system
+        raw = (root / "keyframes" / "vid0" / "3.jpg").read_bytes()
+
+        async def run():
+            async with aiohttp.ClientSession() as session:
+                async with session.ws_connect(f"http://127.0.0.1:{port}/ws") as ws:
+                    await ws.send_json({"event": "image_search", "data": {
+                        "image_base64": base64.b64encode(raw).decode(),
+                        "limit": 2}})
+                    out = await ws.receive_json()
+                    assert out["event"] == "result"
+                    assert out["results"][0]["image"] == "3.jpg"
+                    await ws.send_json({"event": "metadata_query", "data": {
+                        "folder": "vid0", "image": "2.jpg"}})
+                    meta = await ws.receive_json()
+                    assert meta["event"] == "metadata"
+                    assert meta["metadata"]["frame_id"] == 2
+                    await ws.send_json({"event": "semantic_search", "data": {
+                        "query": "a scene", "limit": 2}})
+                    sem = await ws.receive_json()
+                    assert sem["event"] == "result" and sem["count"] == 2
+            return True
+
+        assert asyncio.run(run())
