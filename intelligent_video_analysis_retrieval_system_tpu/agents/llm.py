@@ -24,7 +24,7 @@ import base64
 import json
 import threading
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import TYPE_CHECKING, Any, Callable, Sequence
 
 from .tools import AgentTool, get_agent_tools, to_openai_tools

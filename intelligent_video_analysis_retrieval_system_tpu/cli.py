@@ -22,7 +22,6 @@ import argparse
 import json
 import sys
 import time
-from pathlib import Path
 
 
 def _build_parser() -> argparse.ArgumentParser:

@@ -22,7 +22,6 @@ dependency; ``system.facade`` wires the CLIP tower in.
 from __future__ import annotations
 
 import concurrent.futures as cf
-import hashlib
 import io
 import time
 from dataclasses import dataclass, field
@@ -32,7 +31,7 @@ from typing import Any, Callable, Sequence
 import numpy as np
 
 from ..retrieval.results import KeyframeMetadata
-from ..utils.files import FileManager, IMAGE_EXTENSIONS, natural_key
+from ..utils.files import FileManager, natural_key
 from .container import IndexContainer
 from .unified import UnifiedIndex, UnifiedIndexConfig
 
@@ -56,16 +55,6 @@ class BuildReport:
 
     def as_dict(self) -> dict[str, Any]:
         return {k: getattr(self, k) for k in self.__dataclass_fields__}  # type: ignore[attr-defined]
-
-
-def _file_hash(path: Path) -> str:
-    """Content hash (first 16 hex chars of sha256, reference convention
-    ``unified_index.py:733-757``)."""
-    h = hashlib.sha256()
-    with path.open("rb") as f:
-        for block in iter(lambda: f.read(1 << 20), b""):
-            h.update(block)
-    return h.hexdigest()[:16]
 
 
 def _hash_all(paths: list[Path], threads: int) -> list[str | None]:

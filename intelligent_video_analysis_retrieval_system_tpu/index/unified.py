@@ -22,13 +22,12 @@ from __future__ import annotations
 
 import threading
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Any, Callable, Sequence
 
 import numpy as np
 
-from ..ops.normalize import l2_normalize
 from ..ops.topk import TILE_N, TopKResult, topk_search
 from ..retrieval.results import KeyframeMetadata, SearchResult
 from .container import IndexContainer

@@ -30,7 +30,6 @@ from ..index.builder import RAGBuilder
 from ..index.metadata import MetadataManager
 from ..index.portable import PortableIndex
 from ..index.unified import UnifiedIndex, UnifiedIndexConfig
-from ..retrieval.results import KeyframeMetadata, SearchResult
 from ..retrieval.translator import UniversalQueryTranslator
 from ..retrieval.validator import DataConsistencyValidator
 from ..utils.cache import CacheManager
