@@ -269,3 +269,34 @@ class TestDedup:
     def test_empty(self):
         assert sequential_dedup(jnp.zeros((0, 8))).shape == (0,)
         assert windowed_dedup_mask(jnp.zeros((0, 8))).shape == (0,)
+
+
+class TestKernelDims:
+    @pytest.mark.parametrize("d", [384, 512, 200])
+    def test_non_768_dims_interpret(self, rng, d):
+        # DINO-S (384), ViT-B (512), and a deliberately unaligned dim (200)
+        n = TILE_N + 99
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=-1, keepdims=True)
+        q = x[:3]
+        got = topk_search(jnp.asarray(x), jnp.asarray(q), 7,
+                          use_pallas=True, interpret=True)
+        want = topk_exact_reference(jnp.asarray(x), jnp.asarray(q), 7)
+        np.testing.assert_array_equal(got.indices, want.indices)
+
+    def test_large_k_chunk_cap(self, rng):
+        # k larger than the number of chunks: k_chunks caps at num_chunks.
+        # Indices may legitimately swap at last-ulp score ties (the two
+        # paths accumulate in different orders), so compare scores plus
+        # set-equality of ids rather than exact positions.
+        n = TILE_N  # 16 chunks
+        x = rng.standard_normal((n, 32)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=-1, keepdims=True)
+        got = topk_search(jnp.asarray(x), jnp.asarray(x[:2]), 500,
+                          use_pallas=True, interpret=True)
+        want = topk_exact_reference(jnp.asarray(x), jnp.asarray(x[:2]), 500)
+        np.testing.assert_allclose(got.scores, want.scores, atol=1e-6)
+        for b in range(2):
+            assert set(np.asarray(got.indices)[b].tolist()) == set(
+                np.asarray(want.indices)[b].tolist()
+            )
