@@ -442,6 +442,15 @@ class IndexContainer:
 
     def _truncate_rows(self, target: int) -> None:
         self._f["embeddings"].resize((target, self.dim))
+        if self.dtype == "int8" and "embedding_scales" in self._f:
+            self._f["embedding_scales"].resize((target,))
+        # roll the hash journal back too: builder appends one hash per row,
+        # so journal entries beyond the surviving rows belong to truncated
+        # data — leaving them would make resume skip those source files
+        # forever (silent data loss instead of re-processing)
+        journal = self._f["journal/hashes"]
+        if journal.shape[0] > target:
+            journal.resize((target,))
         for section in ("thumbnails", "images", "metadata"):
             offs = self._f[f"{section}/offsets"]
             count = offs.shape[0] - 1

@@ -106,6 +106,11 @@ class FastLoader:
         index._dev_x = jnp.zeros((cap, dim), dtype)
         index._capacity = cap
         index._n_valid = 0
+        # tombstones apply from the start (the manual device-state path
+        # bypasses _upload_embeddings, which normally loads the delete log)
+        index._deleted = container.deleted_rows()
+        if index._deleted:
+            index._rebuild_deleted_mask()
 
         def loader() -> None:
             loaded = 0

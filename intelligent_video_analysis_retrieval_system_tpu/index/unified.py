@@ -505,8 +505,22 @@ class UnifiedIndex:
             self._invalidate_sidecar()  # row count changes -> sidecar stale
             self._container.append_embeddings(rows)
             self._container.append_metadata(records)
+            # keep the thumbnail section consistent: a thumbnail-bearing
+            # container must gain one (possibly empty) entry per row, or
+            # repair_to_consistent would later truncate these rows away
+            has_thumbs = self._container.num_thumbnails > 0
             if thumbnails is not None:
-                self._container.append_thumbnails(thumbnails)
+                if len(thumbnails) != len(rows):
+                    raise ValueError(
+                        f"{len(thumbnails)} thumbnails for {len(rows)} rows"
+                    )
+                if not has_thumbs and start > 0:
+                    # container never stored thumbnails; ignore to keep 0
+                    pass
+                else:
+                    self._container.append_thumbnails(thumbnails)
+            elif has_thumbs:
+                self._container.append_thumbnails([b""] * len(rows))
             if file_hashes:
                 self._container.append_journal(file_hashes)
             self._container.flush_checkpoint()

@@ -3,7 +3,9 @@
 Replaces the reference's per-image ``imagehash.phash`` (PIL + scipy,
 ``filter_research_update.py:97-99``). Same algorithm family: grayscale ->
 32x32 resize -> 2D DCT-II -> top-left 8x8 low-frequency block -> bits =
-coefficient > median (DC excluded from the median, as imagehash does).
+coefficient > median over all 64 low-frequency coefficients (including
+DC — imagehash.phash's semantics; the dedup threshold 5 carried from the
+reference was tuned for that cut).
 
 The DCT is two matmuls with the orthonormal DCT basis — MXU work — so the
 whole corpus hashes in a handful of batched launches. Hashes are returned as
@@ -43,9 +45,9 @@ def _phash_impl(gray32: jnp.ndarray) -> jnp.ndarray:
     # batched 2D DCT: C @ img @ C^T
     coeffs = jnp.einsum("ij,bjk,lk->bil", c, gray32, c)
     low = coeffs[:, :_LOW_FREQ, :_LOW_FREQ].reshape(-1, _LOW_FREQ * _LOW_FREQ)
-    # median over AC coefficients (exclude DC term at [0,0])
-    ac = low[:, 1:]
-    med = jnp.median(ac, axis=1, keepdims=True)
+    # median over ALL 64 low-frequency coefficients, DC included — matching
+    # imagehash.phash so the reference-tuned threshold transfers
+    med = jnp.median(low, axis=1, keepdims=True)
     return (low > med).astype(jnp.uint8)
 
 

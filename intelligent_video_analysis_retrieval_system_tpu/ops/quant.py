@@ -12,10 +12,11 @@ choose it for corpus size, not speed. Scheme:
   matmul against the bf16 query, scale by ``s_row`` before the chunk-max
   reduce — identical streaming structure to the exact kernel (``ops.topk``);
   (a pure int8 x int8 -> i32 MXU variant measured slower on v5e);
-- phase 2: gather candidate int8 rows, dequantize, rescore against the
-  **full-precision f32 query** — so the only approximation left is the
-  database row quantization itself (measured recall@10 vs exact is ~1.0
-  for CLIP-like embeddings; verify per-corpus with
+- phase 2: gather candidate int8 rows, dequantize, rescore with the SAME
+  bf16-rounded query as phase 1 (a precision mismatch between phases would
+  break the chunk-containment guarantee) — approximations are the int8 row
+  quantization and the bf16 query rounding (measured recall@10 vs exact is
+  ~1.0 for CLIP-like embeddings; verify per-corpus with
   ``retrieval.evaluation.evaluate_backends``).
 
 Supports the same dynamic ``n_valid`` and tombstone mask as the exact
@@ -107,9 +108,14 @@ def _build_int8_searcher(n_pad: int, d: int, b_pad: int, k: int,
     @jax.jit
     def search(x_i8, x_scales, q, n_valid, deleted):
         n_valid_arr = jnp.asarray(n_valid, jnp.int32).reshape(1)
+        # round the query to bf16 ONCE and use it in BOTH phases — scoring
+        # phase 1 with a bf16 query but rescoring with f32 would let chunk
+        # selection exclude a true top-k row (up to ~0.4% score skew); with
+        # one metric the chunk-containment proof holds up to summation-order
+        # ulps, same as the exact bf16 kernel
+        q_b = q.astype(jnp.bfloat16)
         chunk_max = sweep(
-            n_valid_arr, x_i8, x_scales.reshape(-1, 1),
-            q.astype(jnp.bfloat16), deleted,
+            n_valid_arr, x_i8, x_scales.reshape(-1, 1), q_b, deleted,
         )
         _, chunk_ids = lax.top_k(chunk_max.T, k_chunks)
         row_ids = (
@@ -119,7 +125,7 @@ def _build_int8_searcher(n_pad: int, d: int, b_pad: int, k: int,
         safe = jnp.where(valid, row_ids, 0)
         cand = x_i8[safe].astype(jnp.float32) * x_scales[safe][:, :, None]
         scores = jnp.einsum(
-            "bd,bcd->bc", q.astype(jnp.float32), cand,
+            "bd,bcd->bc", q_b.astype(jnp.float32), cand,
             precision=lax.Precision.HIGHEST,
         )
         scores = jnp.where(valid, scores, -jnp.inf)

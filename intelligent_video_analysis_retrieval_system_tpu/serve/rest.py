@@ -582,9 +582,12 @@ document.querySelectorAll('nav button').forEach(b=>b.onclick=()=>{
   b.classList.add('on');document.getElementById(b.dataset.p).classList.add('on');
   if(b.dataset.p==='stats')loadStats();
 });
+function esc(s){const d=document.createElement('div');d.textContent=String(s);
+  return d.innerHTML;}
 function card(h){
-  return `<div class="hit"><img src="/api/thumbnail/${h.folder}/${h.image}"
-   onerror="this.style.display='none'">${h.folder}/${h.image}<br>
+  const f=encodeURIComponent(h.folder),i=encodeURIComponent(h.image);
+  return `<div class="hit"><img src="/api/thumbnail/${f}/${i}"
+   onerror="this.style.display='none'">${esc(h.folder)}/${esc(h.image)}<br>
    <span class="s">${h.similarity_score.toFixed(3)}</span></div>`;
 }
 async function post(url, body){
@@ -607,9 +610,9 @@ async function doImage(){
 }
 async function doChat(){
   const m=cmsg.value;if(!m)return;cmsg.value='';
-  chatlog.innerHTML+=`<div class="msg me">${m}</div>`;
+  chatlog.innerHTML+=`<div class="msg me">${esc(m)}</div>`;
   const d=await post('/api/chat',{message:m});
-  chatlog.innerHTML+=`<div class="msg bot">${d.response||'(no reply)'}</div>`;
+  chatlog.innerHTML+=`<div class="msg bot">${esc(d.response||'(no reply)')}</div>`;
   if((d.search_results||[]).length)
     chatlog.innerHTML+=`<div class="grid">${d.search_results.slice(0,6)
       .map(card).join('')}</div>`;

@@ -219,10 +219,16 @@ class EnhancedRetrievalSystem:
     def _rebuild_metadata(self) -> None:
         if self.index is None or self.index.ntotal == 0:
             return
-        feats = self.index._container.read_embeddings(as_float32=True)
         # similarity graphs are O(folder^2) matmuls — cheap on device, but
-        # skip for very large indexes (graph is an enrichment, not core)
+        # skip for very large indexes (graph is an enrichment, not core).
+        # Gate BEFORE the bulk read: materializing a 4M x 768 f32 matrix on
+        # host just to discard it would cost ~12 GB per load.
         build_similarity = self.index.ntotal <= 200_000
+        feats = (
+            self.index._container.read_embeddings(as_float32=True)
+            if build_similarity
+            else None
+        )
         self.metadata.build_metadata(
             list(self.index._metadata), feats, build_similarity=build_similarity
         )
@@ -249,12 +255,24 @@ class EnhancedRetrievalSystem:
             self.perf.record_error("search_query")
             return []
 
+    @staticmethod
+    def _cache_mode_key(options: SearchOptions) -> str:
+        """Cache key must cover every result-shaping option — a bare
+        (query, mode, limit) key serves folder-filtered results to
+        unfiltered requests and vice versa."""
+        return (
+            f"{options.mode}|f={options.folder_filter}|t={options.include_temporal}"
+            f"|w={options.temporal_window}|e={options.include_explanations}"
+            f"|m={options.min_similarity}|tr={options.translate}"
+        )
+
     def _search_impl(self, query: str, options: SearchOptions) -> list[dict[str, Any]]:
         query = query.strip()
         if not query or self.index is None:
             return []
+        mode_key = self._cache_mode_key(options)
         if options.use_cache:
-            cached = self.cache.get_cached_results(query, options.mode, options.limit)
+            cached = self.cache.get_cached_results(query, mode_key, options.limit)
             if cached is not None:
                 return cached
 
@@ -282,7 +300,7 @@ class EnhancedRetrievalSystem:
 
         results = self._post_process(results, options, translation)
         if options.use_cache:
-            self.cache.cache_query_results(query, options.mode, options.limit, results)
+            self.cache.cache_query_results(query, mode_key, options.limit, results)
         return results
 
     def _encode_query(self, text: str) -> np.ndarray:
@@ -344,11 +362,11 @@ class EnhancedRetrievalSystem:
         translation: Any,
     ) -> list[dict]:
         out = []
-        for rank, r in enumerate(results):
+        for r in results:
             if r.get("similarity_score", 0.0) < options.min_similarity:
                 continue
             r = dict(r)
-            r["rank"] = rank + 1
+            r["rank"] = len(out) + 1  # contiguous ranks AFTER filtering
             if options.include_temporal and self.index is not None:
                 row = self.index.row_for(r.get("folder", ""), r.get("image", ""))
                 if row is not None:

@@ -182,13 +182,18 @@ class CacheManager:
         if blob is None:
             return  # unserializable values live in memory only
         kind, payload = blob
-        tmp = self._disk_path(k).with_suffix(".tmp")
+        # unique tmp names: two threads writing the same key must not race
+        # on one tmp file (the loser's replace() would raise)
+        nonce = f"{threading.get_ident()}.{time.monotonic_ns()}"
+        target = self._disk_path(k)
+        tmp = target.with_name(f"{target.name}.{nonce}.tmp")
         tmp.write_bytes(payload)
-        tmp.replace(self._disk_path(k))
+        tmp.replace(target)
         meta = {"kind": kind, "expires_at": time.time() + ttl}
-        mt = self._disk_meta_path(k).with_suffix(".tmp")
+        meta_target = self._disk_meta_path(k)
+        mt = meta_target.with_name(f"{meta_target.name}.{nonce}.tmp")
         mt.write_text(json.dumps(meta), encoding="utf-8")
-        mt.replace(self._disk_meta_path(k))
+        mt.replace(meta_target)
 
     def _disk_get(self, k: str) -> Any:
         if self.cache_dir is None:
