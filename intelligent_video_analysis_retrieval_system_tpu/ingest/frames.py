@@ -48,6 +48,11 @@ class FrameFilterConfig:
     jpeg_quality: int = 95
     use_phash_prefilter: bool = False
     phash_threshold: int = 5           # filter_research_update.py:43
+    # host-side shrink edge before device upload for dedup embedding/phash
+    # (full-res frames only matter for the written JPEGs; shipping them to
+    # the device wastes host->HBM bandwidth — dedup embedders downsample
+    # anyway). Set to the embedder's input size for DINO (224); 0 disables.
+    dedup_resize: int = 64
     # stage 2 (filter.py:16-21,178-316)
     blur_drop_percentile: float = 10.0
     edge_drop_percentile: float = 10.0
@@ -125,6 +130,9 @@ def default_pixel_embedder(size: int = 8) -> EmbedFn:
         return np.asarray(_embed(jnp.asarray(batch, jnp.float32)),
                           dtype=np.float32)
 
+    # jittable device-side path: lets extract_frames fuse embed+dedup into
+    # one dispatch per batch and fetch only the keep mask
+    embed.device_fn = lambda batch: _embed(batch.astype(jnp.float32))
     return embed
 
 
@@ -194,6 +202,7 @@ def dino_embedder(
             _embed(params, jnp.asarray(batch, jnp.float32))
         )[:b].astype(np.float32)
 
+    embed.device_fn = lambda batch: _embed(params, batch.astype(jnp.float32))
     return embed
 
 
@@ -245,28 +254,73 @@ class FrameFilter:
         last_hash: np.ndarray | None = None
         kept_n = 0
         map_rows: list[dict[str, Any]] = []
+
+        # fused fast path: when the embedder exposes a jittable device_fn,
+        # embed + dedup-scan run as ONE device dispatch per batch and only
+        # the (B,) keep mask is fetched — per-batch host<->device roundtrips
+        # dominate ingest on tunneled backends
+        device_fn = getattr(self.embed_fn, "device_fn", None)
+        fused_step = None
+        if device_fn is not None:
+            import jax
+
+            @jax.jit
+            def fused_step(batch, carry):  # noqa: F811
+                emb = device_fn(batch).astype(jnp.float32)
+                keep, new_carry = sequential_dedup_carry(
+                    emb, carry, threshold=cfg.dedup_threshold
+                )
+                return keep, new_carry
         for indices, frames in reader:
             report.frames_seen += len(frames)
             batch = frames
             batch_indices = indices
+            # shrink on host before any device upload: device ops only need
+            # the small view; full-res frames stay host-side for JPEG output
+            small = self._host_shrink(batch, cfg.dedup_resize)
             if cfg.use_phash_prefilter:
                 hashes = np.asarray(perceptual_hash(jnp.asarray(
-                    batch.astype(np.float32))))
+                    small.astype(np.float32))))
                 keep_hash = self._phash_keep(hashes, last_hash, cfg.phash_threshold)
                 if keep_hash.any():
                     last_hash = hashes[np.nonzero(keep_hash)[0][-1]]
                 report.phash_dropped += int((~keep_hash).sum())
                 batch = batch[keep_hash]
+                small = small[keep_hash]
                 batch_indices = batch_indices[keep_hash]
                 if len(batch) == 0:
                     continue
-            emb = np.asarray(self.embed_fn(batch), dtype=np.float32)
-            if carry is None:
-                carry = jnp.zeros((emb.shape[1],), jnp.float32)
-            keep, carry = sequential_dedup_carry(
-                jnp.asarray(emb), carry, threshold=cfg.dedup_threshold
-            )
-            keep = np.asarray(keep)
+            # pad to the fixed batch size: a different trailing-batch shape
+            # would force a fresh device compile (seconds each on
+            # remote-compile backends)
+            b = len(small)
+            if b < cfg.frame_batch:
+                pad = np.repeat(small[-1:], cfg.frame_batch - b, axis=0)
+                emb_in = np.concatenate([small, pad])
+            else:
+                emb_in = small
+            # keep the padded shape through the dedup scan too (fixed-shape
+            # compile); pad rows duplicate the last frame, so they can never
+            # be "kept" and never perturb the carry
+            if fused_step is not None:
+                import jax
+
+                if carry is None:
+                    dim = jax.eval_shape(
+                        device_fn,
+                        jax.ShapeDtypeStruct(emb_in.shape, jnp.dtype(emb_in.dtype)),
+                    ).shape[1]
+                    carry = jnp.zeros((dim,), jnp.float32)
+                keep_dev, carry = fused_step(jnp.asarray(emb_in), carry)
+                keep = np.asarray(keep_dev)[:b]
+            else:
+                emb = np.asarray(self.embed_fn(emb_in), dtype=np.float32)
+                if carry is None:
+                    carry = jnp.zeros((emb.shape[1],), jnp.float32)
+                keep, carry = sequential_dedup_carry(
+                    jnp.asarray(emb), carry, threshold=cfg.dedup_threshold
+                )
+                keep = np.asarray(keep)[:b]
             for i in np.nonzero(keep)[0]:
                 frame_idx = int(batch_indices[i])
                 bgr = cv2.cvtColor(batch[i], cv2.COLOR_RGB2BGR)
@@ -302,6 +356,19 @@ class FrameFilter:
         return [
             self.extract_frames(p, keyframes_dir, map_dir) for p in video_paths
         ]
+
+    @staticmethod
+    def _host_shrink(batch: np.ndarray, edge: int) -> np.ndarray:
+        """cv2 downscale on host (SIMD, ~0.1 ms/frame) — cuts device-upload
+        bytes by ~(H*W)/(edge^2) for the dedup path."""
+        if not edge or (batch.shape[1] <= edge and batch.shape[2] <= edge):
+            return batch
+        import cv2
+
+        out = np.empty((len(batch), edge, edge, 3), batch.dtype)
+        for i, frame in enumerate(batch):
+            out[i] = cv2.resize(frame, (edge, edge), interpolation=cv2.INTER_AREA)
+        return out
 
     @staticmethod
     def _phash_keep(
