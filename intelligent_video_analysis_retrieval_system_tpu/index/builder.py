@@ -198,11 +198,21 @@ class RAGBuilder:
         self, output_path: Path, resume: bool
     ) -> tuple[IndexContainer, set[str]]:
         if resume and output_path.is_file():
-            container = IndexContainer(
-                output_path, mode="a", dim=self.embed_dim, dtype=self.config.dtype
-            )
-            container.repair_to_consistent()
-            return container, container.journal_hashes()
+            try:
+                container = IndexContainer(
+                    output_path, mode="a", dim=self.embed_dim,
+                    dtype=self.config.dtype,
+                )
+                container.repair_to_consistent()
+                return container, container.journal_hashes()
+            except (OSError, ValueError):
+                # a hard kill mid-HDF5-write can corrupt the file beyond
+                # opening (bad superblock); quarantine it and rebuild fresh
+                # rather than failing the build
+                quarantine = output_path.with_name(
+                    output_path.name + f".corrupt-{int(time.time())}"
+                )
+                output_path.replace(quarantine)
         output_path.parent.mkdir(parents=True, exist_ok=True)
         if output_path.is_file():
             output_path.unlink()

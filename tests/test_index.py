@@ -720,3 +720,79 @@ class TestSearchByRow:
         with pytest.raises(IndexError):
             index.search_by_row(999)
         index.close()
+
+
+class TestFaultInjection:
+    def test_kill_builder_process_and_resume(self, tmp_path):
+        """Real crash: a child process building the index is SIGKILLed
+        mid-build; the reopened container repairs and the resumed build
+        completes the corpus with no duplicates and no lost files."""
+        import os
+        import signal
+        import subprocess
+        import sys
+        import textwrap
+        import time
+        from pathlib import Path
+
+        kf, _ = make_keyframes(tmp_path, folders=1, frames=30)
+        repo_root = str(Path(__file__).resolve().parent.parent)
+        tests_dir = str(Path(__file__).resolve().parent)
+        script = textwrap.dedent(f"""
+            import sys, time
+            sys.path.insert(0, {repo_root!r})
+            sys.path.insert(0, {tests_dir!r})
+            import jax; jax.config.update("jax_platforms", "cpu")
+            import numpy as np
+            from test_index import fake_embed, DIM
+            from intelligent_video_analysis_retrieval_system_tpu.index import (
+                RAGBuilder, UnifiedIndexConfig)
+
+            def slow_embed(batch):
+                time.sleep(0.35)  # widen the kill window per chunk
+                return fake_embed(batch)
+
+            builder = RAGBuilder(slow_embed, DIM, input_size=32,
+                                 config=UnifiedIndexConfig(
+                                     chunk_size=3, dtype="float32",
+                                     checkpoint_every_chunks=1,
+                                     thumbnail_size=32))
+            print("BUILD_START", flush=True)
+            builder.build_index({str(kf)!r}, {str(tmp_path / 'i.rvdb')!r})
+            print("BUILD_DONE", flush=True)
+        """)
+        proc = subprocess.Popen(
+            [sys.executable, "-c", script],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            cwd=repo_root,
+        )
+        # wait for the build to start, then let a few chunks land and KILL
+        assert proc.stdout.readline().strip() == "BUILD_START"
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if (tmp_path / "i.rvdb").exists() and (
+                tmp_path / "i.rvdb"
+            ).stat().st_size > 50_000:
+                break
+            time.sleep(0.1)
+        os.kill(proc.pid, signal.SIGKILL)
+        proc.wait(timeout=10)
+        assert proc.returncode != 0  # really died
+
+        # resume in-process: either the torn file repairs and the build
+        # completes incrementally, or (hard HDF5 corruption from the kill)
+        # the file is quarantined and a fresh build completes — both must
+        # end in a correct, complete index
+        builder = RAGBuilder(fake_embed, DIM, input_size=32,
+                             config=UnifiedIndexConfig(
+                                 chunk_size=3, dtype="float32",
+                                 thumbnail_size=32))
+        index, report = builder.build_index(kf, tmp_path / "i.rvdb",
+                                            resume=True)
+        assert index.ntotal == 30
+        assert index._container.consistency_report()["ok"]
+        # every keyframe present exactly once
+        keys = {(m.folder, m.image) for m in index._metadata}
+        assert len(keys) == 30
+        assert report.skipped_resume + report.processed == 30
+        index.close()
