@@ -125,6 +125,46 @@ class CLIPEmbedder:
             raise RuntimeError("CLIP self-test failed: non-finite embeddings")
         return ok
 
+    def load_params(self, params: Any, config: Any | None = None) -> None:
+        """Adopt externally-produced tower params (e.g. a CLIPTrainer
+        checkpoint after fine-tuning) — completes the train -> deploy loop.
+
+        ``params`` is the CLIPModel param tree ({vision, text, logit_scale});
+        ``config`` overrides the model config when the checkpoint's
+        architecture differs from the current one.
+        """
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        from ..models.clip import CLIPModel
+
+        with self._lock:
+            if config is not None:
+                self._config_override = config
+            if not self._loaded:
+                self.ensure_loaded()
+            if config is not None:
+                dtype = (
+                    jnp.float32 if self.compute_dtype == "float32"
+                    else jnp.bfloat16
+                )
+                precision = (
+                    lax.Precision.HIGHEST if self.parity_mode
+                    else lax.Precision.DEFAULT
+                )
+                self.config = config
+                self.model = CLIPModel(config, dtype=dtype, precision=precision)
+            # gather to single-device host values (trainer params may be
+            # mesh-sharded) and drop cached jitted encoders
+            self.params = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(np.asarray(x)), params
+            )
+            self.__dict__.pop("_encode_text_jit", None)
+            self.__dict__.pop("_encode_image_jit", None)
+            self.using_pretrained = True
+        self.self_test()
+
     @property
     def embed_dim(self) -> int:
         self.ensure_loaded()

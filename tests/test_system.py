@@ -272,3 +272,42 @@ class TestEmbedder:
         system.build_system(tmp_path / "keyframes")
         assert any(e.get("stage") == "done" for e in events)
         system.cleanup()
+
+
+class TestTrainDeployLoop:
+    def test_embedder_adopts_trainer_params(self, tmp_path, rng):
+        """Fine-tune with CLIPTrainer, load the params into the retrieval
+        embedder, and verify searches use the tuned weights."""
+        import jax
+
+        if jax.device_count() < 2:
+            pytest.skip("needs multi-device mesh")
+        from intelligent_video_analysis_retrieval_system_tpu.parallel import (
+            CLIPTrainer,
+            MeshSpec,
+            create_mesh,
+        )
+
+        mesh = create_mesh(MeshSpec(axis_names=("data", "model"), shape=(2, 4)))
+        cfg = CLIPConfig.tiny_test()
+        trainer = CLIPTrainer(cfg, mesh)
+        params, opt_state = trainer.init(0)
+        pixels = rng.standard_normal((8, 32, 32, 3)).astype(np.float32)
+        tokens = rng.integers(1, 500, (8, 16)).astype(np.int32)
+        tokens[:, -1] = 511
+        params, opt_state, _ = trainer.train_step(params, opt_state, pixels,
+                                                  tokens)
+
+        embedder = tiny_embedder()
+        before = embedder.encode_text(["a red car"])
+        embedder.load_params(params, config=cfg)
+        after = embedder.encode_text(["a red car"])
+        # tuned params genuinely differ from the random-init embedder's
+        assert not np.allclose(before, after, atol=1e-4)
+        assert after.shape == (1, 32)
+        np.testing.assert_allclose(np.linalg.norm(after, axis=-1), 1.0,
+                                   atol=1e-5)
+        # image path functional too
+        img = embedder.encode_images(
+            rng.integers(0, 255, (2, 32, 32, 3)).astype(np.uint8))
+        assert img.shape == (2, 32)
