@@ -300,3 +300,37 @@ class TestKernelDims:
             assert set(np.asarray(got.indices)[b].tolist()) == set(
                 np.asarray(want.indices)[b].tolist()
             )
+
+
+class TestFusedAttention:
+    def test_matches_einsum_reference(self, rng):
+        from intelligent_video_analysis_retrieval_system_tpu.ops.attention import (
+            fused_mha_qkv,
+        )
+
+        b, t, h, dh = 2, 16, 4, 8
+        d = h * dh
+        qkv = rng.standard_normal((b, t, 3 * d)).astype(np.float32)
+        got = np.asarray(
+            fused_mha_qkv(jnp.asarray(qkv), num_heads=h, interpret=True)
+        )
+        # reference einsum attention
+        q = qkv[:, :, :d].reshape(b, t, h, dh)
+        k = qkv[:, :, d:2*d].reshape(b, t, h, dh)
+        v = qkv[:, :, 2*d:].reshape(b, t, h, dh)
+        logits = np.einsum("bqhd,bkhd->bhqk", q * dh**-0.5, k)
+        w = np.exp(logits - logits.max(-1, keepdims=True))
+        w = w / w.sum(-1, keepdims=True)
+        want = np.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, t, d)
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_bf16_dtype_preserved(self, rng):
+        from intelligent_video_analysis_retrieval_system_tpu.ops.attention import (
+            fused_mha_qkv,
+        )
+
+        qkv = jnp.asarray(rng.standard_normal((1, 8, 96)).astype(np.float32),
+                          jnp.bfloat16)
+        out = fused_mha_qkv(qkv, num_heads=4, interpret=True)
+        assert out.dtype == jnp.bfloat16
+        assert out.shape == (1, 8, 32)
