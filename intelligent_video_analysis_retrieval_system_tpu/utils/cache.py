@@ -226,6 +226,15 @@ class CacheManager:
     def get_cached_results(self, query: str, mode: str, limit: int) -> list[dict] | None:
         return self.get(f"query::{mode}::{limit}::{query}")
 
+    def cache_agent_response(
+        self, message: str, response: dict, ttl_s: float = 1800.0
+    ) -> None:
+        """Agent-response cache (reference utils.py:2176-2272 helper pair)."""
+        self.set(f"agent::{message}", response, ttl_s=ttl_s)
+
+    def get_cached_agent_response(self, message: str) -> dict | None:
+        return self.get(f"agent::{message}")
+
     def get_stats(self) -> dict[str, Any]:
         with self._lock:
             stats = self.stats.as_dict()

@@ -222,3 +222,11 @@ class TestLazyPackage:
     def test_public_symbols_resolve(self):
         assert ivt.Config is Config
         assert "FrameFilter" in dir(ivt)
+
+
+class TestAgentCache:
+    def test_agent_response_helpers(self, tmp_path):
+        cache = CacheManager(cache_dir=tmp_path)
+        cache.cache_agent_response("hello", {"response": "hi", "method": "agent"})
+        assert cache.get_cached_agent_response("hello")["response"] == "hi"
+        assert cache.get_cached_agent_response("other") is None
