@@ -140,10 +140,9 @@ class MultiHeadAttention(nn.Module):
             # unmasked ViT attention on TPU: fused Pallas kernel that slices
             # heads inside VMEM — removes the 4 transposes + 2 reshapes the
             # einsum path pays (~60 ms per ViT-L/14 B=128 forward)
-            from ..ops.attention import fused_mha_qkv
+            from ..ops.attention import fused_mha
 
-            qkv = jnp.concatenate([q, k, v], axis=-1)
-            out = fused_mha_qkv(qkv, self.num_heads)
+            out = fused_mha(q, k, v, self.num_heads)
             return dense("out_proj")(out)
 
         def split(t):

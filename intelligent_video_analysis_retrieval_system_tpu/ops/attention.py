@@ -29,19 +29,19 @@ import jax.numpy as jnp
 __all__ = ["fused_mha_qkv"]
 
 
-def _mha_kernel(qkv_ref, out_ref, *, num_heads: int, head_dim: int):
-    d = num_heads * head_dim
-    qkv = qkv_ref[0]  # (T, 3D)
+def _mha_kernel(q_ref, k_ref, v_ref, out_ref, *, num_heads: int,
+                head_dim: int):
     scale = head_dim ** -0.5
+    q_all, k_all, v_all = q_ref[0], k_ref[0], v_ref[0]  # (T, D) each
     for h in range(num_heads):
         lo = h * head_dim
-        q = qkv[:, lo : lo + head_dim]
-        k = qkv[:, d + lo : d + lo + head_dim]
-        v = qkv[:, 2 * d + lo : 2 * d + lo + head_dim]
+        q = q_all[:, lo : lo + head_dim]
+        k = k_all[:, lo : lo + head_dim]
+        v = v_all[:, lo : lo + head_dim]
         scores = jnp.dot(
             q * scale, k.T, preferred_element_type=jnp.float32
         )  # (T, T) f32
-        weights = jax.nn.softmax(scores, axis=-1).astype(qkv.dtype)
+        weights = jax.nn.softmax(scores, axis=-1).astype(q_all.dtype)
         out_ref[0, :, lo : lo + head_dim] = jnp.dot(
             weights, v, preferred_element_type=jnp.float32
         ).astype(out_ref.dtype)
@@ -58,13 +58,11 @@ def _build_mha(b: int, t: int, num_heads: int, head_dim: int, dtype_name: str,
     kernel = functools.partial(
         _mha_kernel, num_heads=num_heads, head_dim=head_dim
     )
+    spec = pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         kernel,
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, t, 3 * d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[spec, spec, spec],
         out_specs=pl.BlockSpec((1, t, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t, d), dtype),
@@ -73,15 +71,30 @@ def _build_mha(b: int, t: int, num_heads: int, head_dim: int, dtype_name: str,
     return jax.jit(call)
 
 
+def fused_mha(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, num_heads: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, T, D) q/k/v projections -> (B, T, D) attention output (no mask).
+
+    Separate q/k/v inputs (not a concatenated QKV tensor): a host-level
+    concat would round-trip another (B, T, 3D) activation through HBM.
+    """
+    b, t, d = q.shape
+    head_dim = d // num_heads
+    call = _build_mha(
+        int(b), int(t), int(num_heads), int(head_dim), q.dtype.name,
+        bool(interpret),
+    )
+    return call(q, k, v)
+
+
 def fused_mha_qkv(
     qkv: jnp.ndarray, num_heads: int, interpret: bool = False
 ) -> jnp.ndarray:
-    """(B, T, 3D) fused QKV -> (B, T, D) attention output (no mask)."""
-    b, t, three_d = qkv.shape
-    d = three_d // 3
-    head_dim = d // num_heads
-    call = _build_mha(
-        int(b), int(t), int(num_heads), int(head_dim), qkv.dtype.name,
-        bool(interpret),
+    """Compatibility wrapper: (B, T, 3D) fused QKV -> (B, T, D)."""
+    d = qkv.shape[-1] // 3
+    return fused_mha(
+        qkv[..., :d], qkv[..., d : 2 * d], qkv[..., 2 * d :], num_heads,
+        interpret=interpret,
     )
-    return call(qkv)
