@@ -9,5 +9,15 @@ is fully functional offline.
 
 from .tools import AgentTool, get_agent_tools
 from .llm import LLMProcessor, LLMConfig
+from .manager import Agent, AgentManager, AgentTeam, SessionStore
 
-__all__ = ["AgentTool", "get_agent_tools", "LLMProcessor", "LLMConfig"]
+__all__ = [
+    "AgentTool",
+    "get_agent_tools",
+    "LLMProcessor",
+    "LLMConfig",
+    "Agent",
+    "AgentManager",
+    "AgentTeam",
+    "SessionStore",
+]

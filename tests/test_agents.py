@@ -264,3 +264,94 @@ class TestVisionAnalysis:
         out = proc.analyze_frames_vision([{"folder": "vid0", "image": "1.jpg"}])
         assert out["method"] == "vision_unstructured"
         assert "picture" in out["summary"]
+
+
+class TestAgentManager:
+    def test_create_agent_with_tool_subset(self, agent_system, tmp_path):
+        from intelligent_video_analysis_retrieval_system_tpu.agents import (
+            AgentManager,
+        )
+
+        mgr = AgentManager(agent_system, db_path=tmp_path / "agents.db")
+        agent = mgr.create_agent(
+            "searcher", description="finds frames",
+            tool_names=["search_keyframes"],
+        )
+        assert [t.name for t in agent.processor.tools] == ["search_keyframes"]
+        listed = mgr.list_agents()
+        assert listed[0]["name"] == "searcher"
+        assert not listed[0]["online"]  # no provider configured
+
+    def test_agent_run_persists_sessions(self, agent_system, tmp_path):
+        from intelligent_video_analysis_retrieval_system_tpu.agents import (
+            AgentManager,
+        )
+
+        mgr = AgentManager(agent_system, db_path=tmp_path / "agents.db")
+        agent = mgr.create_agent("helper")
+        out = agent.run("find a scene", session_id="s1")
+        assert out["method"] == "search"  # offline fallback
+        history = mgr.store.history("s1")
+        assert history[0]["role"] == "user"
+        assert history[1]["role"] == "assistant"
+        assert mgr.store.sessions() == ["s1"]
+        mgr.store.clear("s1")
+        assert mgr.store.sessions() == []
+
+    def test_system_prompt_persona_wrapped(self, agent_system):
+        from intelligent_video_analysis_retrieval_system_tpu.agents import (
+            AgentManager,
+        )
+
+        provider = make_fake_provider([
+            {"content": "persona reply", "tool_calls": None},
+        ])
+        mgr = AgentManager(agent_system, complete_fn=provider)
+        agent = mgr.create_agent("vn", system_prompt="Answer in Vietnamese.")
+        out = agent.run("hello there friend")
+        assert out["response"] == "persona reply"
+        sys_msg = provider.calls[0]["messages"][0]
+        assert sys_msg["content"].startswith("Answer in Vietnamese.")
+
+    def test_sequential_team_chains_answers(self, agent_system):
+        from intelligent_video_analysis_retrieval_system_tpu.agents import (
+            AgentManager,
+        )
+
+        provider = make_fake_provider([
+            {"content": "first answer", "tool_calls": None},
+        ])
+        mgr = AgentManager(agent_system, complete_fn=provider)
+        mgr.create_agent("a")
+        mgr.create_agent("b")
+        team = mgr.create_team("duo", ["a", "b"])
+        out = team.run("analyze the videos")
+        assert len(out["responses"]) == 2
+        # member b saw member a's answer in its task
+        second_call_user = provider.calls[1]["messages"][-1]["content"]
+        assert "first answer" in str(second_call_user)
+
+    def test_parallel_team(self, agent_system):
+        from intelligent_video_analysis_retrieval_system_tpu.agents import (
+            AgentManager,
+        )
+
+        mgr = AgentManager(agent_system)  # offline agents
+        mgr.create_agent("x")
+        mgr.create_agent("y")
+        team = mgr.create_team("pair", ["x", "y"], mode="parallel")
+        out = team.run("find scenes")
+        assert {r["agent"] for r in out["responses"]} == {"x", "y"}
+        assert mgr.get_stats()["total_runs"] == 2
+
+    def test_team_validation(self, agent_system):
+        from intelligent_video_analysis_retrieval_system_tpu.agents import (
+            AgentManager,
+        )
+
+        mgr = AgentManager(agent_system)
+        with pytest.raises(KeyError):
+            mgr.create_team("ghost", ["nope"])
+        mgr.create_agent("a")
+        with pytest.raises(ValueError):
+            mgr.create_team("bad", ["a"], mode="circular")
