@@ -185,6 +185,43 @@ class EnhancedRetrievalSystem:
             self.logger.info("build complete", **report.as_dict())
             return {"report": report.as_dict(), "index_path": str(output_path)}
 
+    def index_videos(
+        self,
+        videos: Sequence[str | Path],
+        output_path: str | Path | None = None,
+        filter_config: Any | None = None,
+        resume: bool = True,
+    ) -> dict[str, Any]:
+        """One-shot pipeline: videos -> keyframes -> searchable index.
+
+        Composes FrameFilter.extract_frames (batched decode + streaming
+        dedup) with build_system; keyframes and map CSVs land in the
+        configured paths so later incremental runs resume naturally.
+        """
+        from ..ingest import FrameFilter, FrameFilterConfig
+
+        keyframes_dir = self.config.path("keyframes_dir")
+        map_dir = self.config.path("map_dir")
+        ingest_cfg = filter_config
+        if ingest_cfg is None:
+            sec = self.config.section("ingest")
+            ingest_cfg = FrameFilterConfig(
+                dedup_threshold=sec.get("dedup_threshold", 0.98),
+                frame_batch=sec.get("frame_batch", 128),
+            )
+        ff = FrameFilter(ingest_cfg)
+        extract_reports = []
+        with self.perf.timer("index_videos_extract"):
+            for video in videos:
+                extract_reports.append(
+                    ff.extract_frames(video, keyframes_dir, map_dir).as_dict()
+                )
+        build = self.build_system(
+            keyframes_dir, map_dir=map_dir, output_path=output_path,
+            resume=resume,
+        )
+        return {"extract": extract_reports, **build}
+
     def load_system(self, index_path: str | Path, writable: bool = False) -> None:
         """Validated load + temporal/metadata rebuild
         (reference ``system.py:650-729,1491-1530``)."""

@@ -311,3 +311,34 @@ class TestTrainDeployLoop:
         img = embedder.encode_images(
             rng.integers(0, 255, (2, 32, 32, 3)).astype(np.uint8))
         assert img.shape == (2, 32)
+
+
+class TestIndexVideos:
+    def test_one_shot_video_pipeline(self, tmp_path):
+        cv2 = pytest.importorskip("cv2")
+
+        rng = np.random.default_rng(0)
+        video = tmp_path / "clip.mp4"
+        w = cv2.VideoWriter(str(video), cv2.VideoWriter_fourcc(*"mp4v"),
+                            25, (64, 64))
+        for _ in range(2):
+            img = rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+            for _ in range(15):
+                w.write(cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        w.release()
+
+        cfg = Config(config_file=None, base_dir=tmp_path, create_dirs=True,
+                     overrides={"index": {"dtype": "float32",
+                                          "thumbnail_size": 32},
+                                "ingest": {"frame_batch": 16}})
+        system = EnhancedRetrievalSystem(cfg, embedder=tiny_embedder())
+        out = system.index_videos([video])
+        assert out["extract"][0]["frames_seen"] == 30
+        assert system.index.ntotal == out["report"]["processed"]
+        assert 2 <= system.index.ntotal <= 5  # ~1 keyframe per scene
+        results = system.search("a scene", SearchOptions(limit=2))
+        assert len(results) == 2
+        # map CSV written so frame ids map to source frames
+        meta = system.index.get_metadata(0)
+        assert meta.fps == 25.0
+        system.cleanup()
