@@ -421,13 +421,16 @@ class IndexContainer:
 
     def consistency_report(self) -> dict[str, Any]:
         rows, thumbs, metas = self.num_rows, self.num_thumbnails, self.num_metadata
+        images = self.num_images
         issues = []
         if metas != rows:
             issues.append(f"metadata count {metas} != embedding rows {rows}")
         if thumbs not in (0, rows):
             issues.append(f"thumbnail count {thumbs} != rows {rows} (or 0)")
+        if images not in (0, rows):
+            issues.append(f"full-image count {images} != rows {rows} (or 0)")
         return {"ok": not issues, "issues": issues, "rows": rows,
-                "thumbnails": thumbs, "metadata": metas}
+                "thumbnails": thumbs, "images": images, "metadata": metas}
 
     def repair_to_consistent(self) -> int:
         """Truncate every section to the shortest consistent row count
@@ -436,6 +439,8 @@ class IndexContainer:
         counts = [rows, self.num_metadata]
         if self.num_thumbnails:
             counts.append(self.num_thumbnails)
+        if self.num_images:
+            counts.append(self.num_images)
         target = min(counts)
         self._truncate_rows(target)
         return target
@@ -451,12 +456,19 @@ class IndexContainer:
         journal = self._f["journal/hashes"]
         if journal.shape[0] > target:
             journal.resize((target,))
+        # drop tombstones pointing past the surviving rows — those row ids
+        # will be reused by future appends and must not be born-dead
+        if "journal/deleted" in self._f:
+            dead = self._f["journal/deleted"]
+            live = [int(r) for r in dead[:] if int(r) < target]
+            if len(live) != dead.shape[0]:
+                dead.resize((len(live),))
+                if live:
+                    dead[:] = np.asarray(live, dtype=np.int64)
         for section in ("thumbnails", "images", "metadata"):
             offs = self._f[f"{section}/offsets"]
             count = offs.shape[0] - 1
-            keep = min(count, target) if section != "images" else count
-            if section == "images" and count not in (0,):
-                keep = min(count, target)
+            keep = min(count, target)
             if keep < count:
                 end = int(offs[keep])
                 offs.resize((keep + 1,))

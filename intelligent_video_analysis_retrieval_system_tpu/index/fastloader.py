@@ -13,6 +13,7 @@ Parity with the reference ``FastLoader`` (``core.py:4093-4505``):
 
 from __future__ import annotations
 
+import functools
 import threading
 from pathlib import Path
 from typing import Callable
@@ -112,6 +113,13 @@ class FastLoader:
         if index._deleted:
             index._rebuild_deleted_mask()
 
+        # donated jitted updater: the buffer is updated in place rather
+        # than copied per chunk (an eager dynamic_update_slice would copy
+        # the whole padded buffer every chunk — O(total^2/chunk) traffic)
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def _update(buf, rows, start):
+            return jax.lax.dynamic_update_slice(buf, rows, (start, 0))
+
         def loader() -> None:
             loaded = 0
             while loaded < total:
@@ -121,9 +129,16 @@ class FastLoader:
                     rows = rows / np.maximum(
                         np.linalg.norm(rows, axis=-1, keepdims=True), 1e-12
                     )
+                # fixed chunk shape (pad the tail) -> one compile
+                if rows.shape[0] < chunk_rows:
+                    rows = np.concatenate([
+                        rows,
+                        np.zeros((chunk_rows - rows.shape[0], dim), np.float32),
+                    ])
                 with index._lock:
-                    index._dev_x = jax.lax.dynamic_update_slice(
-                        index._dev_x, jnp.asarray(rows, dtype), (loaded, 0)
+                    index._dev_x = _update(
+                        index._dev_x, jnp.asarray(rows, dtype),
+                        jnp.int32(loaded),
                     )
                     index._n_valid = end
                 loaded = end

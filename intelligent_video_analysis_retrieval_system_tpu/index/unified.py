@@ -81,6 +81,10 @@ class UnifiedIndex:
         # tombstones
         self._deleted: set[int] = set()
         self._dev_deleted = None    # (cap, 1) int8 device mask (lazy)
+        # monotonically increasing mutation counter: bumps on load/append/
+        # delete/compact so result caches keyed on it can never serve stale
+        # hits after the index changes
+        self.generation = 0
         # host metadata cache
         self._metadata: list[KeyframeMetadata] = []
         self._row_by_key: dict[tuple[str, str], int] = {}
@@ -154,6 +158,7 @@ class UnifiedIndex:
         assert self._container is not None
         n = self._container.num_rows
         self._n_valid = n
+        self.generation += 1
         self._dev_scales = None
         self._sharded = None
         if n == 0:
@@ -527,6 +532,7 @@ class UnifiedIndex:
             self._metadata.extend(metas)
             for meta in metas:
                 self._row_by_key[meta.key] = meta.row_id
+            self.generation += 1
             self._append_device_rows(rows)
         return {"appended": len(rows), "ntotal": self._n_valid}
 
@@ -562,6 +568,7 @@ class UnifiedIndex:
             self._container.append_deleted(fresh)
             self._container.flush_checkpoint()
             self._deleted.update(fresh)
+            self.generation += 1
             if self._sharded is not None:
                 self._sharded.set_deleted(self._deleted)
             else:

@@ -218,6 +218,7 @@ class FrameFilter:
         self.config = config or FrameFilterConfig()
         self.embed_fn = embed_fn or default_pixel_embedder()
         self.fm = file_manager or FileManager()
+        self._fused_steps: dict[tuple, Any] = {}
 
     # -- stage 1: extraction ------------------------------------------------
 
@@ -262,15 +263,23 @@ class FrameFilter:
         device_fn = getattr(self.embed_fn, "device_fn", None)
         fused_step = None
         if device_fn is not None:
-            import jax
+            # built once per (embedder, threshold) and cached on the filter:
+            # a fresh @jit closure per extract_frames call would recompile
+            # the whole embed+scan program for every video
+            fused_key = (id(device_fn), cfg.dedup_threshold)
+            fused_step = self._fused_steps.get(fused_key)
+            if fused_step is None:
+                import jax
 
-            @jax.jit
-            def fused_step(batch, carry):  # noqa: F811
-                emb = device_fn(batch).astype(jnp.float32)
-                keep, new_carry = sequential_dedup_carry(
-                    emb, carry, threshold=cfg.dedup_threshold
-                )
-                return keep, new_carry
+                @jax.jit
+                def fused_step(batch, carry):  # noqa: F811
+                    emb = device_fn(batch).astype(jnp.float32)
+                    keep, new_carry = sequential_dedup_carry(
+                        emb, carry, threshold=cfg.dedup_threshold
+                    )
+                    return keep, new_carry
+
+                self._fused_steps[fused_key] = fused_step
         for indices, frames in reader:
             report.frames_seen += len(frames)
             batch = frames
@@ -462,10 +471,11 @@ class FrameFilter:
             self._write_survivors(
                 keyframes_dir, folder, images, keep, output_dir, in_place
             )
-            self._rewrite_map(
-                folder, images, keep, map_dir,
-                output_map_dir or map_dir if not in_place else map_dir,
-            )
+            # in place: the source maps must track the filtered sources.
+            # copy mode: ONLY write maps to output_map_dir — the sources
+            # (and their maps) stay untouched.
+            map_dest = map_dir if in_place else output_map_dir
+            self._rewrite_map(folder, images, keep, map_dir, map_dest)
         return report
 
     @staticmethod

@@ -39,16 +39,22 @@ def initialize_distributed(
 
     With no arguments, reads the standard JAX env vars (set by TPU pod
     launchers) and no-ops on single-process setups.
+
+    NOTE: must run before any backend-initializing JAX call (including
+    jax.process_count()) — initialize() is attempted FIRST and a failure
+    because the runtime is already initialized is tolerated.
     """
-    already = jax.process_count() > 1
-    if not already and (
-        coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    ):
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
+    if coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        except RuntimeError:
+            # already initialized (or backends already up) — proceed with
+            # whatever topology the runtime has
+            pass
     return {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),
@@ -70,13 +76,20 @@ def host_row_range(n_rows: int, mesh: Mesh, axis: str = "index") -> tuple[int, i
     n_dev = mesh.shape[axis]
     rows_per_dev = -(-n_rows // n_dev)
     mesh_devices = mesh.devices.reshape(-1)
-    my_ids = {
-        i for i, d in enumerate(mesh_devices) if d.process_index == jax.process_index()
-    }
+    my_ids = sorted(
+        i for i, d in enumerate(mesh_devices)
+        if d.process_index == jax.process_index()
+    )
     if not my_ids:
         return (0, 0)
-    start = min(my_ids) * rows_per_dev
-    end = min((max(my_ids) + 1) * rows_per_dev, n_rows)
+    if my_ids != list(range(my_ids[0], my_ids[-1] + 1)):
+        raise ValueError(
+            "host's devices are not contiguous in the mesh's flat order "
+            f"({my_ids}); build the mesh with process-contiguous device "
+            "ordering (the default jax.devices() order) before sharding rows"
+        )
+    start = my_ids[0] * rows_per_dev
+    end = min((my_ids[-1] + 1) * rows_per_dev, n_rows)
     return (min(start, n_rows), end)
 
 

@@ -119,7 +119,12 @@ def _searcher_cache(mesh_key, axis, n_pad, k, use_pallas, interpret,
     )
 
 
-_MESHES: dict[int, Mesh] = {}
+# weak registry: meshes must not be pinned alive by the searcher cache
+# (long-lived servers recreate meshes; a strong id-keyed dict would leak
+# every one of them for process lifetime)
+import weakref
+
+_MESHES: "weakref.WeakValueDictionary[tuple, Mesh]" = weakref.WeakValueDictionary()
 
 
 def sharded_topk(
@@ -136,9 +141,15 @@ def sharded_topk(
     """Replicated exact top-k over a row-sharded database."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    _MESHES[id(mesh)] = mesh
+    # key includes mesh content, not just id(): a GC'd mesh's id can be
+    # reused by a different mesh, which must not hit the old searcher
+    mesh_key = (
+        id(mesh), mesh.axis_names, tuple(mesh.devices.shape),
+        tuple(d.id for d in mesh.devices.flat),
+    )
+    _MESHES[mesh_key] = mesh
     fn = _searcher_cache(
-        id(mesh), axis, int(x_sharded.shape[0]), int(k), bool(use_pallas),
+        mesh_key, axis, int(x_sharded.shape[0]), int(k), bool(use_pallas),
         bool(interpret), deleted_sharded is not None,
     )
     if deleted_sharded is not None:

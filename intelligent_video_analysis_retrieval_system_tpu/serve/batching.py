@@ -77,6 +77,15 @@ class QueryBatcher:
         if self._thread is not None:
             self._thread.join(timeout=5)
             self._thread = None
+        # fail fast for anything still queued — otherwise blocked callers
+        # hang for their full timeout
+        while True:
+            try:
+                pending = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            pending.error = "batcher stopped"
+            pending.done.set()
 
     @property
     def is_running(self) -> bool:

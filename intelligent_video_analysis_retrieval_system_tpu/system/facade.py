@@ -303,11 +303,19 @@ class EnhancedRetrievalSystem:
             f"|m={options.min_similarity}|tr={options.translate}"
         )
 
+    def _cache_index_key(self) -> str:
+        """Index identity + mutation generation: cached results must never
+        survive deletes/appends/compaction or an index swap."""
+        index = self.index
+        if index is None:
+            return "none"
+        return f"{index.path}#{index.generation}#{index.ntotal}"
+
     def _search_impl(self, query: str, options: SearchOptions) -> list[dict[str, Any]]:
         query = query.strip()
         if not query or self.index is None:
             return []
-        mode_key = self._cache_mode_key(options)
+        mode_key = f"{self._cache_mode_key(options)}::{self._cache_index_key()}"
         if options.use_cache:
             cached = self.cache.get_cached_results(query, mode_key, options.limit)
             if cached is not None:
