@@ -342,3 +342,32 @@ class TestIndexVideos:
         meta = system.index.get_metadata(0)
         assert meta.fps == 25.0
         system.cleanup()
+
+
+class TestCacheInvalidationOnMutation:
+    def test_delete_invalidates_cached_search(self, tmp_path, rng):
+        cfg = Config(config_file=None, base_dir=tmp_path, create_dirs=True,
+                     overrides={"index": {"dtype": "float32",
+                                          "thumbnail_size": 32}})
+        system = EnhancedRetrievalSystem(cfg, embedder=tiny_embedder())
+        folder = tmp_path / "keyframes" / "v"
+        folder.mkdir(parents=True)
+        for n in range(6):
+            Image.fromarray(rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+                            ).save(folder / f"{n}.jpg")
+        system.build_system(tmp_path / "keyframes")
+        # must load writable for deletes
+        system.load_system(tmp_path / "index" / "index.rvdb", writable=True)
+
+        first = system.search("a scene", SearchOptions(limit=3))
+        top_row = first[0]["row_id"] if "row_id" in first[0] else (
+            system.index.row_for(first[0]["folder"], first[0]["image"]))
+        system.index.delete_rows([top_row])
+        second = system.search("a scene", SearchOptions(limit=3))
+        # the cached first result (containing the deleted row) must NOT be
+        # served back; the new result excludes it
+        assert all(
+            system.index.row_for(r["folder"], r["image"]) != top_row
+            for r in second
+        )
+        system.cleanup()
