@@ -40,6 +40,12 @@ def _build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--batch", type=int, default=128)
     ex.add_argument("--phash", action="store_true",
                     help="enable perceptual-hash prefilter")
+    ex.add_argument("--dedup-resize", type=int, default=64,
+                    help="host-side shrink edge for dedup embeddings "
+                         "(0 disables; use 224 with a DINO embedder)")
+    ex.add_argument("--dino", action="store_true",
+                    help="use the DINO ViT-S/16 dedup tower "
+                         "(reference parity; slower)")
 
     fl = sub.add_parser("filter", help="refine extracted keyframes")
     fl.add_argument("keyframes_dir")
@@ -51,6 +57,9 @@ def _build_parser() -> argparse.ArgumentParser:
     fl.add_argument("--edge-percentile", type=float, default=10.0)
     fl.add_argument("--similarity", type=float, default=0.95)
     fl.add_argument("--window", type=int, default=5)
+    fl.add_argument("--cluster", action="store_true",
+                    help="density-cluster scenes and keep centroid-nearest "
+                         "representatives (filter_research_update parity)")
     preset = fl.add_mutually_exclusive_group()
     preset.add_argument("--gentle", action="store_true")
     preset.add_argument("--ultra-gentle", action="store_true")
@@ -65,7 +74,8 @@ def _build_parser() -> argparse.ArgumentParser:
     bd.add_argument("--no-resume", action="store_true")
     bd.add_argument("--chunk-size", type=int, default=1024)
     bd.add_argument("--dtype", default="bfloat16",
-                    choices=["bfloat16", "float16", "float32"])
+                    choices=["bfloat16", "float16", "float32", "int8"],
+                    help="int8 = capacity mode: 2x corpus per chip")
 
     se = sub.add_parser("search", help="query an index")
     se.add_argument("index_path")
@@ -117,8 +127,15 @@ def cmd_extract(args) -> int:
         frame_batch=args.batch,
         sample_every=args.sample_every,
         use_phash_prefilter=args.phash,
+        dedup_resize=args.dedup_resize if not args.dino else max(
+            args.dedup_resize, 224),
     )
-    ff = FrameFilter(cfg)
+    embed_fn = None
+    if args.dino:
+        from .ingest.frames import dino_embedder
+
+        embed_fn = dino_embedder()
+    ff = FrameFilter(cfg, embed_fn=embed_fn)
     for video in args.videos:
         report = ff.extract_frames(video, args.keyframes_dir, args.map_dir)
         print(
@@ -143,6 +160,7 @@ def cmd_filter(args) -> int:
             edge_drop_percentile=args.edge_percentile,
             in_scene_similarity=args.similarity,
             dedup_window=args.window,
+            use_clustering=args.cluster,
         )
     ff = FrameFilter(cfg)
     report = ff.apply_filters(

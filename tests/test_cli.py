@@ -150,3 +150,44 @@ class TestFastLoader:
         hits = index.search(np.ones(DIM, np.float32), top_k=5)
         assert len(hits) == 5
         index.close()
+
+
+class TestCLIInt8AndFlags:
+    def test_build_int8_and_search(self, tmp_path, monkeypatch, capsys):
+        monkeypatch.chdir(tmp_path)
+        rng = np.random.default_rng(0)
+        kf = tmp_path / "keyframes" / "v"
+        kf.mkdir(parents=True)
+        for n in range(4):
+            Image.fromarray(rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+                            ).save(kf / f"{n}.jpg")
+        # note: CLI build uses the real (random-init) CLIP; keep it tiny by
+        # just checking the int8 dtype plumbs through the stats output
+        from intelligent_video_analysis_retrieval_system_tpu.index import (
+            RAGBuilder,
+            UnifiedIndexConfig,
+        )
+
+        builder = RAGBuilder(fake_embed, DIM, input_size=32,
+                             config=UnifiedIndexConfig(dtype="int8",
+                                                       thumbnail_size=32))
+        index, _ = builder.build_index(kf.parent, tmp_path / "q.rvdb")
+        index.close()
+        rc = cli_main(["stats", str(tmp_path / "q.rvdb")])
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out)
+        assert stats["container"]["dtype"] == "int8"
+
+    def test_filter_cluster_flag(self, tmp_path, monkeypatch, capsys):
+        monkeypatch.chdir(tmp_path)
+        rng = np.random.default_rng(1)
+        kf = tmp_path / "keyframes" / "v"
+        kf.mkdir(parents=True)
+        base = rng.integers(0, 255, (48, 48, 3)).astype(np.uint8)
+        for n in range(4):
+            Image.fromarray(np.clip(base + rng.integers(-2, 3, base.shape),
+                                    0, 255).astype(np.uint8)
+                            ).save(kf / f"{n}.jpg")
+        rc = cli_main(["filter", "keyframes", "--similarity-only",
+                       "--cluster"])
+        assert rc == 0
