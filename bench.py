@@ -149,7 +149,7 @@ def main() -> None:
 
     baseline_ms = 39.0
     result = {
-        "metric": "e2e_text_query_latency_1M_index",
+        "metric": f"e2e_text_query_latency_{N//1000}k_index",
         "value": round(per_query_ms, 3),
         "unit": "ms",
         "vs_baseline": round(baseline_ms / per_query_ms, 2),
