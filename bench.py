@@ -148,8 +148,9 @@ def main() -> None:
         log(f"embed throughput skipped: {exc}")
 
     baseline_ms = 39.0
+    size = f"{N // 1_000_000}M" if N >= 1_000_000 else f"{N // 1000}k"
     result = {
-        "metric": f"e2e_text_query_latency_{N//1000}k_index",
+        "metric": f"e2e_text_query_latency_{size}_index",
         "value": round(per_query_ms, 3),
         "unit": "ms",
         "vs_baseline": round(baseline_ms / per_query_ms, 2),
