@@ -28,7 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.topk import TILE_N, TopKResult, topk_masked_reference
 
-__all__ = ["sharded_topk", "ShardedIndexSearcher"]
+__all__ = ["sharded_topk", "sharded_topk_int8", "ShardedIndexSearcher"]
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -37,6 +37,23 @@ def _ceil_to(x: int, m: int) -> int:
 
 def _pad_b(b: int) -> int:
     return _ceil_to(max(b, 8), 8)
+
+
+def _ici_merge(scores, gids, axis, n_dev, k, b):
+    """Gather every chip's (B, k_local) candidates over ICI, k-select locally.
+
+    The payload is tiny (``devices * B * k * 8`` bytes); every chip ends up
+    with the identical replicated result.
+    """
+    all_scores = lax.all_gather(scores, axis, axis=0)   # (ndev, B, k)
+    all_ids = lax.all_gather(gids, axis, axis=0)
+    k_local = scores.shape[1]
+    flat_scores = jnp.transpose(all_scores, (1, 0, 2)).reshape(b, n_dev * k_local)
+    flat_ids = jnp.transpose(all_ids, (1, 0, 2)).reshape(b, n_dev * k_local)
+    k_out = min(k, n_dev * k_local)
+    top_scores, pos = lax.top_k(flat_scores, k_out)
+    top_ids = jnp.take_along_axis(flat_ids, pos, axis=1)
+    return top_scores, top_ids.astype(jnp.int32)
 
 
 def build_sharded_searcher(
@@ -84,19 +101,8 @@ def build_sharded_searcher(
                 x_shard, q, min(k, shard_rows), local_valid,
                 deleted=dead_shard,
             )
-        scores = local.scores
-        gids = local.indices + offset
-        # ICI merge: gather every chip's candidates, k-select locally
-        all_scores = lax.all_gather(scores, axis, axis=0)   # (ndev, B, k)
-        all_ids = lax.all_gather(gids, axis, axis=0)
-        b = q.shape[0]
-        k_local = scores.shape[1]
-        flat_scores = jnp.transpose(all_scores, (1, 0, 2)).reshape(b, n_dev * k_local)
-        flat_ids = jnp.transpose(all_ids, (1, 0, 2)).reshape(b, n_dev * k_local)
-        k_out = min(k, n_dev * k_local)
-        top_scores, pos = lax.top_k(flat_scores, k_out)
-        top_ids = jnp.take_along_axis(flat_ids, pos, axis=1)
-        return top_scores, top_ids.astype(jnp.int32)
+        return _ici_merge(local.scores, local.indices + offset, axis,
+                          n_dev, k, q.shape[0])
 
     if with_mask:
         in_specs = (P(axis, None), P(), P(), P(axis, None))
@@ -159,6 +165,109 @@ def sharded_topk(
     return TopKResult(scores, ids)
 
 
+def build_sharded_searcher_int8(
+    mesh: Mesh,
+    axis: str,
+    n_pad: int,
+    k: int,
+    use_pallas: bool,
+    interpret: bool = False,
+):
+    """Compile a sharded searcher over an int8-quantized database.
+
+    Returns ``f(x_i8_sharded, scales_sharded, q, n_valid, dead_sharded)``
+    where ``x_i8_sharded`` is (n_pad, D) int8 and ``scales_sharded`` /
+    ``dead_sharded`` are (n_pad, 1) sharded the same rows-wise way. The
+    tombstone mask is always an input (matching the single-device int8
+    path); results are replicated. Capacity mode for multi-chip: int8 rows
+    halve HBM bytes per chip, so ~2x the corpus fits per mesh.
+    """
+    n_dev = mesh.shape[axis]
+    shard_rows = n_pad // n_dev
+    assert n_pad % n_dev == 0
+
+    def shard_fn(x_shard, s_shard, q, n_valid, dead_shard):
+        my = lax.axis_index(axis)
+        offset = my * shard_rows
+        local_valid = jnp.clip(n_valid - offset, 0, shard_rows)
+        k_local = min(k, shard_rows)
+        scales = s_shard.reshape(-1)
+        if use_pallas or interpret:
+            from ..ops.quant import _build_int8_searcher
+            from ..ops.topk import pad_queries
+
+            search = _build_int8_searcher(
+                shard_rows, x_shard.shape[1], _pad_b(q.shape[0]), k_local,
+                interpret,
+            )
+            local = search(x_shard, scales, pad_queries(q), local_valid,
+                           dead_shard)
+            local = TopKResult(local.scores[: q.shape[0]],
+                               local.indices[: q.shape[0]])
+        else:
+            from ..ops.quant import _int8_reference
+
+            # fold padding/local-validity into the tombstone mask so masking
+            # happens BEFORE the local selection (an all-padding shard must
+            # not crowd out real hits in the merge)
+            rows = jnp.arange(shard_rows, dtype=jnp.int32)
+            dead_all = (dead_shard.reshape(-1) != 0) | (rows >= local_valid)
+            local = _int8_reference(x_shard, scales, q, k_local,
+                                    deleted=dead_all.astype(jnp.int8))
+        return _ici_merge(local.scores, local.indices + offset, axis,
+                          n_dev, k, q.shape[0])
+
+    in_specs = (P(axis, None), P(axis, None), P(), P(), P(axis, None))
+    out_specs = (P(), P())
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=32)
+def _int8_searcher_cache(mesh_key, axis, n_pad, k, use_pallas, interpret):
+    mesh = _MESHES[mesh_key]
+    return build_sharded_searcher_int8(
+        mesh, axis, n_pad, k, use_pallas, interpret
+    )
+
+
+def sharded_topk_int8(
+    mesh: Mesh,
+    x_i8_sharded: jnp.ndarray,
+    scales_sharded: jnp.ndarray,
+    q: jnp.ndarray,
+    k: int,
+    n_valid: int,
+    axis: str = "index",
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+    deleted_sharded: jnp.ndarray | None = None,
+) -> TopKResult:
+    """Replicated top-k over a row-sharded int8-quantized database."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    mesh_key = (
+        id(mesh), mesh.axis_names, tuple(mesh.devices.shape),
+        tuple(d.id for d in mesh.devices.flat),
+    )
+    _MESHES[mesh_key] = mesh
+    fn = _int8_searcher_cache(
+        mesh_key, axis, int(x_i8_sharded.shape[0]), int(k),
+        bool(use_pallas), bool(interpret),
+    )
+    if deleted_sharded is None:
+        deleted_sharded = jnp.zeros((x_i8_sharded.shape[0], 1), jnp.int8)
+        deleted_sharded = jax.device_put(
+            deleted_sharded, NamedSharding(mesh, P(axis, None))
+        )
+    scores, ids = fn(x_i8_sharded, scales_sharded, q, jnp.int32(n_valid),
+                     deleted_sharded)
+    return TopKResult(scores, ids)
+
+
 class ShardedIndexSearcher:
     """Holds a row-sharded device database and serves replicated top-k.
 
@@ -173,6 +282,7 @@ class ShardedIndexSearcher:
         self.dtype = dtype
         self.n_valid = 0
         self._x = None
+        self._scales = None  # (n_pad, 1) f32 when int8-quantized
         self._dead = None
 
     @property
@@ -187,6 +297,33 @@ class ShardedIndexSearcher:
         host[:n] = x
         sharding = NamedSharding(self.mesh, P(self.axis, None))
         self._x = jax.device_put(jnp.asarray(host, self.dtype), sharding)
+        self._scales = None
+        self.n_valid = n
+        self._dead = None
+        if deleted_rows:
+            self.set_deleted(deleted_rows)
+
+    def load_int8(
+        self,
+        rows_i8: np.ndarray,
+        scales: np.ndarray,
+        deleted_rows: set[int] | None = None,
+    ) -> None:
+        """Shard int8-quantized rows + per-row scales across the mesh axis.
+
+        Capacity mode: half the HBM bytes per chip of bf16, so ~2x corpus per
+        mesh (reference's FAISS index has no multi-node quantized analogue —
+        it shards by running one whole index per LAN node, ``system.py:1715``).
+        """
+        n, d = rows_i8.shape
+        n_pad = _ceil_to(max(n, 1), self.n_devices * TILE_N)
+        host = np.zeros((n_pad, d), np.int8)
+        host[:n] = rows_i8
+        host_s = np.zeros((n_pad, 1), np.float32)
+        host_s[:n, 0] = scales
+        sharding = NamedSharding(self.mesh, P(self.axis, None))
+        self._x = jax.device_put(jnp.asarray(host), sharding)
+        self._scales = jax.device_put(jnp.asarray(host_s), sharding)
         self.n_valid = n
         self._dead = None
         if deleted_rows:
@@ -210,6 +347,16 @@ class ShardedIndexSearcher:
         if self._x is None:
             self.load(rows)
             return
+        if self._scales is not None:
+            from ..ops.quant import quantize_rows_int8
+
+            cur_q = np.asarray(self._x[: self.n_valid], np.int8)
+            cur_s = np.asarray(self._scales[: self.n_valid, 0], np.float32)
+            new_q, new_s = quantize_rows_int8(np.asarray(rows, np.float32))
+            self.load_int8(
+                np.concatenate([cur_q, new_q]), np.concatenate([cur_s, new_s])
+            )
+            return
         current = np.asarray(self._x[: self.n_valid], np.float32)
         self.load(np.concatenate([current, np.asarray(rows, np.float32)]))
 
@@ -218,8 +365,15 @@ class ShardedIndexSearcher:
         use_pallas: bool | None = None, interpret: bool = False,
     ) -> TopKResult:
         assert self._x is not None, "no database loaded"
-        qd = jnp.asarray(np.atleast_2d(q), self.dtype)
         k = min(k, max(self.n_valid, 1))
+        if self._scales is not None:
+            qd = jnp.asarray(np.atleast_2d(q), jnp.float32)
+            return sharded_topk_int8(
+                self.mesh, self._x, self._scales, qd, k, self.n_valid,
+                axis=self.axis, use_pallas=use_pallas, interpret=interpret,
+                deleted_sharded=self._dead,
+            )
+        qd = jnp.asarray(np.atleast_2d(q), self.dtype)
         return sharded_topk(
             self.mesh, self._x, qd, k, self.n_valid, axis=self.axis,
             use_pallas=use_pallas, interpret=interpret,
@@ -230,6 +384,7 @@ class ShardedIndexSearcher:
         return {
             "devices": self.n_devices,
             "axis": self.axis,
+            "quantized": self._scales is not None,
             "n_valid": self.n_valid,
             "padded_rows": 0 if self._x is None else int(self._x.shape[0]),
             "rows_per_device": 0 if self._x is None

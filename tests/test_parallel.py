@@ -113,6 +113,111 @@ class TestShardedSearch:
         assert stats["padded_rows"] % 8 == 0
 
 
+class TestShardedInt8:
+    """Quantized capacity mode on a mesh: int8 rows + scales shard together."""
+
+    def _data(self, rng, n=5000, d=64, b=4):
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=-1, keepdims=True)
+        q = x[rng.integers(0, n, b)] + 0.01 * rng.standard_normal(
+            (b, d)
+        ).astype(np.float32)
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        return x, q
+
+    def test_matches_single_device_int8(self, index_mesh, rng):
+        from intelligent_video_analysis_retrieval_system_tpu.ops.quant import (
+            pad_rows_int8,
+            quantize_rows_int8,
+            topk_search_int8,
+        )
+
+        x, q = self._data(rng)
+        xq, xs = quantize_rows_int8(x)
+        searcher = ShardedIndexSearcher(index_mesh)
+        searcher.load_int8(xq, xs)
+        got = searcher.search(q, k=20, use_pallas=False)
+        xp, sp = pad_rows_int8(xq, xs)
+        want = topk_search_int8(
+            jnp.asarray(xp), jnp.asarray(sp), jnp.asarray(q), 20,
+            n_valid=len(x), use_pallas=False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.scores), np.asarray(want.scores), atol=1e-5
+        )
+        np.testing.assert_array_equal(got.indices, want.indices)
+
+    def test_pad_rows_never_win_int8(self, index_mesh, rng):
+        from intelligent_video_analysis_retrieval_system_tpu.ops.quant import (
+            quantize_rows_int8,
+        )
+
+        # all-negative scores: zero pad rows would rank first if unmasked
+        x = -np.abs(rng.standard_normal((1000, 64)).astype(np.float32))
+        x /= np.linalg.norm(x, axis=-1, keepdims=True)
+        q = np.abs(rng.standard_normal((2, 64)).astype(np.float32))
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        xq, xs = quantize_rows_int8(x)
+        searcher = ShardedIndexSearcher(index_mesh)
+        searcher.load_int8(xq, xs)
+        res = searcher.search(q, k=10, use_pallas=False)
+        assert int(np.asarray(res.indices).max()) < 1000
+        assert np.isfinite(np.asarray(res.scores)).all()
+
+    def test_deleted_rows_excluded(self, index_mesh, rng):
+        from intelligent_video_analysis_retrieval_system_tpu.ops.quant import (
+            quantize_rows_int8,
+        )
+
+        x, q = self._data(rng, n=2000, b=2)
+        xq, xs = quantize_rows_int8(x)
+        searcher = ShardedIndexSearcher(index_mesh)
+        searcher.load_int8(xq, xs)
+        top = int(searcher.search(q[:1], k=1, use_pallas=False).indices[0, 0])
+        searcher.set_deleted({top})
+        res = searcher.search(q[:1], k=10, use_pallas=False)
+        assert top not in set(np.asarray(res.indices[0]).tolist())
+
+    def test_append_requantizes(self, index_mesh, rng):
+        from intelligent_video_analysis_retrieval_system_tpu.ops.quant import (
+            quantize_rows_int8,
+        )
+
+        x, _ = self._data(rng, n=1000)
+        xq, xs = quantize_rows_int8(x)
+        searcher = ShardedIndexSearcher(index_mesh)
+        searcher.load_int8(xq, xs)
+        extra = rng.standard_normal((50, 64)).astype(np.float32)
+        extra /= np.linalg.norm(extra, axis=-1, keepdims=True)
+        searcher.append(extra)
+        assert searcher.n_valid == 1050
+        assert searcher.stats()["quantized"]
+        res = searcher.search(extra[:1], k=1, use_pallas=False)
+        assert int(res.indices[0, 0]) == 1000
+
+    def test_pallas_interpret_composes_with_shard_map(self, index_mesh, rng):
+        # compare against the single-device pallas path (interpret mode):
+        # both round the query to bf16 once, so rescored row scores are
+        # bit-identical and the merged top-k must match exactly
+        from intelligent_video_analysis_retrieval_system_tpu.ops.quant import (
+            pad_rows_int8,
+            quantize_rows_int8,
+            topk_search_int8,
+        )
+
+        x, q = self._data(rng, n=600, b=2)
+        xq, xs = quantize_rows_int8(x)
+        searcher = ShardedIndexSearcher(index_mesh)
+        searcher.load_int8(xq, xs)
+        got = searcher.search(q, k=5, use_pallas=False, interpret=True)
+        xp, sp = pad_rows_int8(xq, xs)
+        want = topk_search_int8(
+            jnp.asarray(xp), jnp.asarray(sp), jnp.asarray(q), 5,
+            n_valid=len(x), use_pallas=False, interpret=True,
+        )
+        np.testing.assert_array_equal(got.indices, want.indices)
+
+
 class TestTraining:
     def test_train_step_runs_and_descends(self, train_mesh, rng):
         cfg = CLIPConfig.tiny_test()
@@ -248,6 +353,44 @@ class TestMeshBackedIndex:
              for h in single.search(q, top_k=5)]
         b = [(h.metadata.row_id, round(h.similarity_score, 5))
              for h in meshed.search(q, top_k=5)]
+        assert a == b
+        single.close()
+        meshed.close()
+
+    def test_mesh_index_int8_matches_single_device(self, index_mesh, tmp_path):
+        from PIL import Image
+
+        from intelligent_video_analysis_retrieval_system_tpu.index import (
+            RAGBuilder,
+            UnifiedIndex,
+            UnifiedIndexConfig,
+        )
+
+        rng = np.random.default_rng(7)
+        kf = tmp_path / "keyframes" / "v"
+        kf.mkdir(parents=True)
+        for n in range(10):
+            Image.fromarray(rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+                            ).save(kf / f"{n}.jpg")
+
+        def embed(batch):
+            g = batch.reshape(len(batch), 4, 8, 4, 8, 3).mean(axis=(2, 4))
+            g = g.reshape(len(batch), 48)[:, :32].astype(np.float32) + 1e-3
+            return g / np.linalg.norm(g, axis=-1, keepdims=True)
+
+        cfg = UnifiedIndexConfig(dtype="int8", thumbnail_size=32)
+        builder = RAGBuilder(embed, 32, input_size=32, config=cfg)
+        index, _ = builder.build_index(tmp_path / "keyframes",
+                                       tmp_path / "q.rvdb")
+        index.close()
+        single = UnifiedIndex(cfg).load_unified_index(tmp_path / "q.rvdb")
+        meshed = UnifiedIndex(cfg, mesh=index_mesh
+                              ).load_unified_index(tmp_path / "q.rvdb")
+        assert meshed._sharded is not None
+        assert meshed._sharded.stats()["quantized"]
+        q = np.ones(32, np.float32)
+        a = [h.metadata.row_id for h in single.search(q, top_k=5)]
+        b = [h.metadata.row_id for h in meshed.search(q, top_k=5)]
         assert a == b
         single.close()
         meshed.close()
