@@ -199,6 +199,33 @@ def functools_gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.gelu(x, approximate=False)
 
 
+class _LNParams(nn.Module):
+    """Param-holder with nn.LayerNorm's exact tree (scale, bias)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.dim,)),
+            self.param("bias", nn.initializers.zeros, (self.dim,)),
+        )
+
+
+class _DenseParams(nn.Module):
+    """Param-holder with nn.Dense's exact tree (kernel, bias)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return (
+            self.param("kernel", nn.initializers.lecun_normal(),
+                       (in_features, self.features)),
+            self.param("bias", nn.initializers.zeros, (self.features,)),
+        )
+
+
 class TransformerBlock(nn.Module):
     num_heads: int
     mlp_ratio: int
@@ -206,15 +233,43 @@ class TransformerBlock(nn.Module):
     precision: lax.Precision = lax.Precision.DEFAULT
     act: str = "quick_gelu"
     ln_eps: float = 1e-5
+    # opt-in whole-half-block Pallas kernel (ops/block.py): LN2 + fc1 + act
+    # + fc2 + residual in one grid, hidden activation never touching HBM.
+    # Measured ~neutral vs XLA's chain on v5e at ViT-L shapes (see
+    # RESULTS.md), so off by default; param tree is identical either way.
+    fused_mlp: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
         d = x.shape[-1]
+        hidden = d * self.mlp_ratio
         # Pre-LN residual blocks; LayerNorm in f32 (param_dtype default f32).
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln_1")(x)
         x = x + MultiHeadAttention(
             self.num_heads, dtype=self.dtype, precision=self.precision, name="attn"
         )(h, mask)
+
+        from ..ops.block import supports_fused_ln_mlp
+
+        if (
+            self.fused_mlp
+            and self.precision != lax.Precision.HIGHEST
+            and supports_fused_ln_mlp(d, hidden, self.act)
+        ):
+            from ..ops.block import fused_ln_mlp
+
+            # identical param tree to the unfused chain below (the holder
+            # modules reuse the flax names/shapes/initializers), so
+            # checkpoints are interchangeable between the two paths
+            g, beta = _LNParams(d, name="ln_2")()
+            w1, b1 = _DenseParams(hidden, name="mlp_fc")(d)
+            w2, b2 = _DenseParams(d, name="mlp_proj")(hidden)
+            return fused_ln_mlp(
+                x.astype(self.dtype), g, beta, w1, b1, w2, b2,
+                act=self.act, eps=self.ln_eps,
+                interpret=jax.default_backend() != "tpu",
+            )
+
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln_2")(x)
         h = nn.Dense(d * self.mlp_ratio, dtype=self.dtype,
                      precision=self.precision, name="mlp_fc")(h)
@@ -233,6 +288,7 @@ class Transformer(nn.Module):
     remat: bool = False
     act: str = "quick_gelu"
     ln_eps: float = 1e-5
+    fused_mlp: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -243,7 +299,7 @@ class Transformer(nn.Module):
             x = block_cls(
                 self.num_heads, self.mlp_ratio, dtype=self.dtype,
                 precision=self.precision, act=self.act, ln_eps=self.ln_eps,
-                name=f"layer_{i}"
+                fused_mlp=self.fused_mlp, name=f"layer_{i}"
             )(x, mask)
         return x
 

@@ -334,3 +334,100 @@ class TestFusedAttention:
         out = fused_mha_qkv(qkv, num_heads=4, interpret=True)
         assert out.dtype == jnp.bfloat16
         assert out.shape == (1, 8, 32)
+
+
+class TestFusedLnMlp:
+    """ops/block.py: whole-half-block LN+MLP kernel (interpret mode)."""
+
+    def _params(self, d=256, h=512, seed=0):
+        rng = np.random.default_rng(seed)
+        return dict(
+            g=rng.standard_normal(d).astype(np.float32) * 0.1 + 1,
+            bt=rng.standard_normal(d).astype(np.float32) * 0.1,
+            w1=(rng.standard_normal((d, h)) / np.sqrt(d)).astype(np.float32),
+            b1=rng.standard_normal(h).astype(np.float32) * 0.01,
+            w2=(rng.standard_normal((h, d)) / np.sqrt(h)).astype(np.float32),
+            b2=rng.standard_normal(d).astype(np.float32) * 0.01,
+        )
+
+    def _reference(self, x, p, act, eps=1e-5):
+        from intelligent_video_analysis_retrieval_system_tpu.ops.block import (
+            _act_fn,
+        )
+
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        ln = (x - mu) / np.sqrt(var + eps) * p["g"] + p["bt"]
+        h = np.asarray(_act_fn(act)(jnp.asarray(ln @ p["w1"] + p["b1"])))
+        return x + h @ p["w2"] + p["b2"]
+
+    @pytest.mark.parametrize("act", ["quick_gelu", "gelu", "gelu_tanh"])
+    def test_matches_reference_f32(self, act):
+        from intelligent_video_analysis_retrieval_system_tpu.ops.block import (
+            fused_ln_mlp,
+        )
+
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((2, 9, 256)).astype(np.float32)
+        p = self._params()
+        got = np.asarray(fused_ln_mlp(
+            jnp.asarray(x), p["g"], p["bt"], p["w1"], p["b1"], p["w2"],
+            p["b2"], act=act, interpret=True,
+        ))
+        np.testing.assert_allclose(got, self._reference(x, p, act), atol=2e-5)
+
+    def test_bf16_close(self):
+        from intelligent_video_analysis_retrieval_system_tpu.ops.block import (
+            fused_ln_mlp,
+        )
+
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal((2, 7, 256)).astype(np.float32)
+        p = self._params(seed=2)
+        got = np.asarray(fused_ln_mlp(
+            jnp.asarray(x, jnp.bfloat16), p["g"], p["bt"], p["w1"], p["b1"],
+            p["w2"], p["b2"], act="quick_gelu", interpret=True,
+        ), np.float32)
+        want = self._reference(x, p, "quick_gelu")
+        assert np.abs(got - want).max() / np.abs(want).max() < 0.03
+
+    def test_supports_gate(self):
+        from intelligent_video_analysis_retrieval_system_tpu.ops.block import (
+            supports_fused_ln_mlp,
+        )
+
+        assert supports_fused_ln_mlp(1024, 4096, "quick_gelu")
+        assert not supports_fused_ln_mlp(48, 192, "quick_gelu")  # tiny_test
+        assert not supports_fused_ln_mlp(1024, 4096, "relu")
+
+
+class TestFusedMlpBlock:
+    """models.clip.TransformerBlock fused_mlp opt-in path."""
+
+    def _block(self, fused):
+        from intelligent_video_analysis_retrieval_system_tpu.models.clip import (
+            TransformerBlock,
+        )
+
+        return TransformerBlock(num_heads=4, mlp_ratio=2, fused_mlp=fused)
+
+    def test_param_tree_identical(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((1, 8, 256)).astype(np.float32))
+        p_f = self._block(True).init(jax.random.PRNGKey(0), x)["params"]
+        p_u = self._block(False).init(jax.random.PRNGKey(0), x)["params"]
+        assert jax.tree.structure(p_f) == jax.tree.structure(p_u)
+        for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_u)):
+            assert a.shape == b.shape and a.dtype == b.dtype
+
+    def test_fused_matches_unfused(self):
+        # same params through both paths: outputs must agree (f32, CPU
+        # interpret mode -> tight tolerance)
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((2, 8, 256)).astype(np.float32))
+        params = self._block(False).init(jax.random.PRNGKey(1), x)["params"]
+        out_u = self._block(False).apply({"params": params}, x)
+        out_f = self._block(True).apply({"params": params}, x)
+        np.testing.assert_allclose(
+            np.asarray(out_f), np.asarray(out_u), atol=2e-5
+        )
