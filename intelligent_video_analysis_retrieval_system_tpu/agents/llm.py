@@ -410,10 +410,12 @@ class LLMProcessor:
 
     def expand_query(self, query: str) -> list[str]:
         """Prompt variants for llm_enhanced search. With a provider, ask for
-        paraphrases; otherwise identity (the reference's LLM version also
-        returned [query], ``core.py:2901-2913``)."""
+        paraphrases; otherwise heuristic variants via the text analyzer
+        (upgrading the reference's identity shim, ``core.py:2901-2913``)."""
         if self.complete_fn is None:
-            return [query]
+            from ..retrieval.textproc import expand_variants
+
+            return expand_variants(query)
         try:
             reply = self.complete_fn(
                 [

@@ -257,7 +257,8 @@ class UniversalQueryTranslator:
 
     @staticmethod
     def _keywords(text: str) -> list[str]:
-        stop = {"a", "an", "the", "of", "in", "on", "with", "and", "is", "are",
-                "photo", "image", "picture"}
-        words = re.findall(r"[\w']+", text.lower())
-        return [w for w in words if w not in stop and len(w) > 2][:10]
+        # full analyzer lives in retrieval.textproc (the reference's spaCy
+        # feature extraction analog, api.py:2261-2416)
+        from .textproc import content_words
+
+        return content_words(text)[:10]

@@ -246,3 +246,74 @@ class TestEvaluation:
         report = evaluate_backends(candidate, oracle, qs, k=10)
         assert report.passes_parity()
         assert report.score_max_abs_diff < 1e-4
+
+
+class TestTextProc:
+    """retrieval.textproc — the reference's spaCy analog (core.py:1751)."""
+
+    def test_analyze_basic(self):
+        from intelligent_video_analysis_retrieval_system_tpu.retrieval import (
+            analyze_text,
+        )
+
+        a = analyze_text("a red car driving through the busy city at night")
+        assert "red" in a.content_words and "car" in a.content_words
+        assert "the" not in a.content_words
+        assert "red" in a.colors
+        assert "driving" in a.actions
+        assert any("red car" in p for p in a.noun_phrases)
+
+    def test_entities_capitalized_mid_sentence(self):
+        from intelligent_video_analysis_retrieval_system_tpu.retrieval import (
+            analyze_text,
+        )
+
+        a = analyze_text("people celebrating Tet Festival in Hanoi")
+        assert "Tet Festival" in a.entities
+        assert "Hanoi" in a.entities
+
+    def test_empty_and_punctuation_only(self):
+        from intelligent_video_analysis_retrieval_system_tpu.retrieval import (
+            analyze_text,
+        )
+
+        assert analyze_text("").content_words == []
+        assert analyze_text("?!...").tokens == []
+
+    def test_expand_variants(self):
+        from intelligent_video_analysis_retrieval_system_tpu.retrieval.textproc import (
+            expand_variants,
+        )
+
+        v = expand_variants("show me a photo of a red car in the rain")
+        assert v[0] == "show me a photo of a red car in the rain"
+        assert any("red car" in x for x in v[1:])
+        assert len(v) == len(set(v))  # deduplicated
+
+    def test_translator_keywords_use_analyzer(self):
+        from intelligent_video_analysis_retrieval_system_tpu.retrieval import (
+            UniversalQueryTranslator,
+        )
+
+        r = UniversalQueryTranslator().translate_query(
+            "a woman wearing a blue dress walking on the beach"
+        )
+        assert "blue" in r.keywords and "dress" in r.keywords
+        assert "the" not in r.keywords
+
+    def test_expand_query_without_provider(self):
+        from intelligent_video_analysis_retrieval_system_tpu.agents.llm import (
+            LLMProcessor,
+        )
+
+        class _Sys:
+            class config:
+                @staticmethod
+                def get(key, default=None):
+                    return default
+
+        variants = LLMProcessor(system=_Sys()).expand_query(
+            "a red car in the rain"
+        )
+        assert variants[0] == "a red car in the rain"
+        assert len(variants) >= 2  # heuristic variants, not identity
