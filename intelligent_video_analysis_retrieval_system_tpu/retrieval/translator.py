@@ -69,8 +69,55 @@ _VI_EN: dict[str, str] = {
     "chậm": "slow", "cao": "tall", "thấp": "short",
 }
 
-# Longest-phrase-first matching order.
+# Compact zh/ja visual-term dictionaries: same offline-fallback role as
+# the Vietnamese one (the reference only shipped vi, core.py:657-684;
+# detection already distinguishes zh/ja by unicode range, so a small
+# dictionary turns those queries from 0.2-confidence passthrough into
+# usable CLIP prompts). Entries are common video-search nouns/scenes.
+_ZH_EN: dict[str, str] = {
+    "人": "person", "男人": "man", "女人": "woman", "孩子": "child",
+    "狗": "dog", "猫": "cat", "鸟": "bird", "鱼": "fish", "马": "horse",
+    "汽车": "car", "摩托车": "motorbike", "自行车": "bicycle",
+    "公共汽车": "bus", "卡车": "truck", "船": "boat", "飞机": "airplane",
+    "火车": "train", "街道": "street", "城市": "city", "乡村": "countryside",
+    "海滩": "beach", "大海": "sea", "山": "mountain", "河": "river",
+    "树": "tree", "花": "flower", "天空": "sky", "云": "cloud",
+    "雨": "rain", "雪": "snow", "夜晚": "night", "日落": "sunset",
+    "建筑": "building", "桥": "bridge", "市场": "market", "学校": "school",
+    "医院": "hospital", "餐厅": "restaurant", "警察": "police",
+    "医生": "doctor", "足球": "football", "跑步": "running",
+    "游泳": "swimming", "跳舞": "dancing", "唱歌": "singing",
+    "吃饭": "eating", "红色": "red", "蓝色": "blue", "绿色": "green",
+    "黄色": "yellow", "黑色": "black", "白色": "white", "大": "big",
+    "小": "small", "新闻": "news", "采访": "interview", "节日": "festival",
+    "国旗": "flag", "和": "and", "在": "in", "的": " ",
+}
+_JA_EN: dict[str, str] = {
+    "人": "person", "男の人": "man", "女の人": "woman", "子供": "child",
+    "犬": "dog", "猫": "cat", "鳥": "bird", "魚": "fish", "馬": "horse",
+    "車": "car", "バイク": "motorbike", "自転車": "bicycle",
+    "バス": "bus", "トラック": "truck", "船": "boat", "飛行機": "airplane",
+    "電車": "train", "通り": "street", "都市": "city", "田舎": "countryside",
+    "ビーチ": "beach", "海": "sea", "山": "mountain", "川": "river",
+    "木": "tree", "花": "flower", "空": "sky", "雲": "cloud",
+    "雨": "rain", "雪": "snow", "夜": "night", "夕日": "sunset",
+    "建物": "building", "橋": "bridge", "市場": "market", "学校": "school",
+    "病院": "hospital", "レストラン": "restaurant", "警察": "police",
+    "医者": "doctor", "サッカー": "football", "走っている": "running",
+    "泳いでいる": "swimming", "踊っている": "dancing", "歌っている": "singing",
+    "食べている": "eating", "赤い": "red", "青い": "blue", "緑の": "green",
+    "黄色い": "yellow", "黒い": "black", "白い": "white", "大きい": "big",
+    "小さい": "small", "ニュース": "news", "祭り": "festival",
+    "旗": "flag", "と": "and", "の": " ", "で": "in",
+}
+
+# Longest-phrase-first matching order, per language.
 _VI_EN_ORDERED = sorted(_VI_EN.items(), key=lambda kv: -len(kv[0]))
+_DICTS_ORDERED: dict[str, list[tuple[str, str]]] = {
+    "vi": _VI_EN_ORDERED,
+    "zh": sorted(_ZH_EN.items(), key=lambda kv: -len(kv[0])),
+    "ja": sorted(_JA_EN.items(), key=lambda kv: -len(kv[0])),
+}
 
 
 @dataclass(slots=True)
@@ -206,13 +253,13 @@ class UniversalQueryTranslator:
                     method="llm",
                     keywords=self._keywords(translated),
                 )
-        if lang == "vi":
-            translated, coverage = self._dictionary_translate(query)
+        if lang in _DICTS_ORDERED:
+            translated, coverage = self._dictionary_translate(query, lang)
             if coverage > 0:
                 return TranslationResult(
                     original=query,
                     clip_prompt=self._clipify(translated),
-                    detected_language="vi",
+                    detected_language=lang,
                     confidence=min(0.85, 0.3 + 0.6 * coverage),
                     method="dictionary",
                     keywords=self._keywords(translated),
@@ -229,14 +276,14 @@ class UniversalQueryTranslator:
         )
 
     @staticmethod
-    def _dictionary_translate(query: str) -> tuple[str, float]:
+    def _dictionary_translate(query: str, lang: str = "vi") -> tuple[str, float]:
         """Longest-phrase-first substitution; returns (text, hit coverage)."""
         text = query.lower()
         matched_chars = 0
-        for vi, en in _VI_EN_ORDERED:
-            if vi in text:
-                matched_chars += len(vi) * text.count(vi)
-                text = text.replace(vi, f" {en} ")
+        for src, en in _DICTS_ORDERED[lang]:
+            if src in text:
+                matched_chars += len(src) * text.count(src)
+                text = text.replace(src, f" {en} ")
         text = re.sub(r"\s+", " ", text).strip()
         coverage = min(1.0, matched_chars / max(1, len(query)))
         return text, coverage

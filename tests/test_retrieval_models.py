@@ -317,3 +317,49 @@ class TestTextProc:
         )
         assert variants[0] == "a red car in the rain"
         assert len(variants) >= 2  # heuristic variants, not identity
+
+
+class TestMultilingualDictionaries:
+    """zh/ja offline dictionary fallback (vi-only in the reference)."""
+
+    def test_zh_dictionary_translation(self):
+        from intelligent_video_analysis_retrieval_system_tpu.retrieval import (
+            UniversalQueryTranslator,
+        )
+
+        r = UniversalQueryTranslator().translate_query("女人在海滩跳舞")
+        assert r.detected_language == "zh"
+        assert r.method == "dictionary"
+        for w in ("woman", "beach", "dancing"):
+            assert w in r.clip_prompt, r.clip_prompt
+        assert r.confidence > 0.3
+
+    def test_ja_dictionary_translation(self):
+        from intelligent_video_analysis_retrieval_system_tpu.retrieval import (
+            UniversalQueryTranslator,
+        )
+
+        r = UniversalQueryTranslator().translate_query("ビーチで踊っている女の人")
+        assert r.detected_language == "ja"
+        assert r.method == "dictionary"
+        for w in ("beach", "dancing", "woman"):
+            assert w in r.clip_prompt, r.clip_prompt
+
+    def test_unknown_language_still_passthrough(self):
+        from intelligent_video_analysis_retrieval_system_tpu.retrieval import (
+            UniversalQueryTranslator,
+        )
+
+        r = UniversalQueryTranslator().translate_query("женщина на пляже")
+        assert r.detected_language == "ru"
+        assert r.method == "passthrough"
+        assert r.confidence <= 0.3
+
+    def test_vi_unchanged(self):
+        from intelligent_video_analysis_retrieval_system_tpu.retrieval import (
+            UniversalQueryTranslator,
+        )
+
+        r = UniversalQueryTranslator().translate_query("con chó trên bãi biển")
+        assert r.detected_language == "vi" and r.method == "dictionary"
+        assert "dog" in r.clip_prompt and "beach" in r.clip_prompt
