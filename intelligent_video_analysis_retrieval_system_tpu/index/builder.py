@@ -76,12 +76,14 @@ class RAGBuilder:
         decode_workers: int = 8,
         file_manager: FileManager | None = None,
         progress_fn: Callable[[str, int, int], None] | None = None,
+        mesh: Any | None = None,
     ) -> None:
         self.embed_fn = embed_fn
         self.embed_dim = embed_dim
         self.input_size = input_size
         self.config = config or UnifiedIndexConfig()
         self.decode_workers = decode_workers
+        self.mesh = mesh  # jax.sharding.Mesh: returned index shards over it
         self.fm = file_manager or FileManager()
         self.progress_fn = progress_fn
 
@@ -162,7 +164,9 @@ class RAGBuilder:
         if report.duration_s > 0:
             report.images_per_s = report.processed / report.duration_s
 
-        index = UnifiedIndex(self.config).attach_container(container)
+        index = UnifiedIndex(self.config, mesh=self.mesh).attach_container(
+            container
+        )
         return index, report
 
     # -- internals -----------------------------------------------------------

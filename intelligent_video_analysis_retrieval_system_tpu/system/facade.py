@@ -77,8 +77,14 @@ class EnhancedRetrievalSystem:
         config: Config | None = None,
         embedder: CLIPEmbedder | None = None,
         logger: Logger | None = None,
+        mesh: Any | None = None,
     ) -> None:
+        """``mesh``: optional ``jax.sharding.Mesh`` with an "index" axis —
+        every index this system builds or loads shards its rows across the
+        mesh devices (bf16/f32 and int8 capacity mode alike), replacing the
+        reference's LAN fan-out (``system.py:1715-1757``) with ICI merge."""
         self.config = config or Config(config_file=None)
+        self.mesh = mesh
         self.logger = logger or get_logger(
             "ivars",
             logs_dir=self.config.path("logs_dir")
@@ -162,6 +168,7 @@ class EnhancedRetrievalSystem:
                 progress_fn=lambda stage, done, total: self._emit(
                     "build_progress", stage=stage, done=done, total=total
                 ),
+                mesh=self.mesh,
             )
             index, report = builder.build_index(
                 keyframe_folder, output_path, map_dir=map_dir, resume=resume
@@ -226,7 +233,7 @@ class EnhancedRetrievalSystem:
         """Validated load + temporal/metadata rebuild
         (reference ``system.py:650-729,1491-1530``)."""
         with self.perf.timer("load_system"):
-            index = UnifiedIndex(self._index_config())
+            index = UnifiedIndex(self._index_config(), mesh=self.mesh)
             index.load_unified_index(index_path, mode="a" if writable else "r")
             with self._lock:
                 if self.index is not None:
@@ -637,10 +644,16 @@ class EnhancedRetrievalSystem:
         return stats
 
 
-def create_system(config_file: str | Path | None = None, **overrides: Any):
-    """Convenience factory (reference ``system.py:2663``)."""
+def create_system(
+    config_file: str | Path | None = None,
+    mesh: Any | None = None,
+    **overrides: Any,
+):
+    """Convenience factory (reference ``system.py:2663``). Pass ``mesh``
+    to shard every built/loaded index across a device mesh."""
     return EnhancedRetrievalSystem(
-        Config(config_file=config_file, overrides=overrides or None)
+        Config(config_file=config_file, overrides=overrides or None),
+        mesh=mesh,
     )
 
 

@@ -371,3 +371,37 @@ class TestCacheInvalidationOnMutation:
             for r in second
         )
         system.cleanup()
+
+
+class TestFacadeMesh:
+    """mesh= plumbing: facade-built/loaded indexes shard over the mesh."""
+
+    def test_load_system_with_mesh_engages_sharded_backend(
+        self, built_system, tmp_path
+    ):
+        import jax
+
+        from intelligent_video_analysis_retrieval_system_tpu.parallel import (
+            MeshSpec,
+            create_mesh,
+        )
+
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 virtual devices")
+        root, system = built_system
+        mesh = create_mesh(MeshSpec(axis_names=("index",), shape=(8,)))
+        cfg = Config(
+            config_file=None, base_dir=tmp_path, create_dirs=True,
+            overrides={"index": {"dtype": "float32", "thumbnail_size": 32}},
+        )
+        meshed = EnhancedRetrievalSystem(
+            cfg, embedder=tiny_embedder(), mesh=mesh
+        )
+        meshed.load_system(system.index.path)
+        assert meshed.index._sharded is not None
+        assert meshed.index._sharded.stats()["devices"] == 8
+        # rankings equal the single-device system's
+        a = [h["image"] for h in system.search("a person walking")[:5]]
+        b = [h["image"] for h in meshed.search("a person walking")[:5]]
+        assert a == b
+        meshed.cleanup()
