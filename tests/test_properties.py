@@ -118,3 +118,47 @@ class TestDedupProperties:
         if len(kept) > 1:
             sims = np.sum(kept[:-1] * kept[1:], axis=-1)
             assert (sims < 0.95 + 1e-5).all()
+
+
+class TestTextProperties:
+    """Text analyzer / translator never crash and keep their invariants
+    for ANY unicode input (queries arrive from the open web console)."""
+
+    @given(st.text(max_size=200))
+    @settings(**_COMMON)
+    def test_analyze_text_total_function(self, text):
+        from intelligent_video_analysis_retrieval_system_tpu.retrieval import (
+            analyze_text,
+        )
+
+        a = analyze_text(text)
+        assert all(w == w.lower() for w in a.content_words)
+        assert len(a.content_words) == len(set(a.content_words))
+        # every extracted word appears in the input (case-insensitive)
+        low = text.lower()
+        assert all(w in low for w in a.content_words)
+
+    @given(st.text(max_size=200))
+    @settings(**_COMMON)
+    def test_translate_query_never_raises(self, text):
+        from intelligent_video_analysis_retrieval_system_tpu.retrieval import (
+            UniversalQueryTranslator,
+        )
+
+        r = UniversalQueryTranslator().translate_query(text)
+        assert 0.0 <= r.confidence <= 1.0
+        assert isinstance(r.clip_prompt, str)
+        assert r.method in {"passthrough", "dictionary", "llm"}
+
+    @given(st.text(max_size=120))
+    @settings(**_COMMON)
+    def test_expand_variants_invariants(self, text):
+        from intelligent_video_analysis_retrieval_system_tpu.retrieval.textproc import (
+            expand_variants,
+        )
+
+        v = expand_variants(text)
+        assert len(v) <= 3
+        assert len(v) == len(set(v))
+        if text.strip():
+            assert v[0] == text.strip()
