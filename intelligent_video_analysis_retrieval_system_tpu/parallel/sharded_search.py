@@ -268,6 +268,20 @@ def sharded_topk_int8(
     return TopKResult(scores, ids)
 
 
+@functools.lru_cache(maxsize=32)
+def _append_updater(mesh_key, axis, cap, d, m_pad, dtype_name):
+    """Jitted in-place row append on a sharded buffer: donates the old
+    buffer and pins the output to the same rows-wise sharding, so GSPMD
+    routes the small update to the owning shard(s) without re-sharding."""
+    mesh = _MESHES[mesh_key]
+    sharding = NamedSharding(mesh, P(axis, None))
+
+    def update(x, upd, off):
+        return lax.dynamic_update_slice(x, upd, (off, 0))
+
+    return jax.jit(update, donate_argnums=(0,), out_shardings=sharding)
+
+
 class ShardedIndexSearcher:
     """Holds a row-sharded device database and serves replicated top-k.
 
@@ -343,7 +357,10 @@ class ShardedIndexSearcher:
         self._dead = jax.device_put(jnp.asarray(mask), sharding)
 
     def append(self, rows: np.ndarray) -> None:
-        """Append rows (re-shards; cheap relative to reload for now)."""
+        """Append rows. In-place into the padded sharded buffer when it
+        fits (donated jitted dynamic-update-slice — no re-shard, no host
+        round-trip of the existing rows); falls back to a full re-shard
+        only when capacity is exceeded."""
         if self._x is None:
             self.load(rows)
             return
@@ -356,6 +373,29 @@ class ShardedIndexSearcher:
             self.load_int8(
                 np.concatenate([cur_q, new_q]), np.concatenate([cur_s, new_s])
             )
+            return
+        m = len(rows)
+        cap = int(self._x.shape[0])
+        # fixed-size update chunks so the jitted updater compiles once
+        m_pad = _ceil_to(max(m, 1), 256)
+        if self.n_valid + m_pad <= cap:
+            upd = np.zeros((m_pad, rows.shape[1]), np.float32)
+            upd[:m] = rows
+            mesh_key = (
+                id(self.mesh), self.mesh.axis_names,
+                tuple(self.mesh.devices.shape),
+                tuple(d.id for d in self.mesh.devices.flat),
+            )
+            _MESHES[mesh_key] = self.mesh
+            fn = _append_updater(
+                mesh_key, self.axis, cap, int(self._x.shape[1]), m_pad,
+                self._x.dtype.name,
+            )
+            self._x = fn(self._x, jnp.asarray(upd, self._x.dtype),
+                         jnp.int32(self.n_valid))
+            # rows in (n_valid, n_valid+m_pad) beyond m are zeros, masked
+            # by n_valid; the tombstone mask (all < n_valid) is unaffected
+            self.n_valid += m
             return
         current = np.asarray(self._x[: self.n_valid], np.float32)
         self.load(np.concatenate([current, np.asarray(rows, np.float32)]))

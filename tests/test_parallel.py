@@ -411,3 +411,54 @@ class TestMeshBackedIndex:
         hits = meshed.search(q, top_k=5)
         assert all(h.metadata.row_id != top for h in hits)
         meshed.close()
+
+
+class TestInPlaceAppend:
+    """append within padded capacity must not re-shard or lose rows."""
+
+    def test_in_place_append_preserves_results(self, index_mesh, rng):
+        from intelligent_video_analysis_retrieval_system_tpu.ops.topk import (
+            topk_exact_reference,
+        )
+
+        x = rng.standard_normal((1000, 64)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=-1, keepdims=True)
+        searcher = ShardedIndexSearcher(index_mesh, dtype=jnp.float32)
+        searcher.load(x)
+        cap_before = int(searcher._x.shape[0])
+        extra = rng.standard_normal((100, 64)).astype(np.float32)
+        extra /= np.linalg.norm(extra, axis=-1, keepdims=True)
+        searcher.append(extra)
+        assert searcher.n_valid == 1100
+        assert int(searcher._x.shape[0]) == cap_before  # no re-shard
+        full = np.concatenate([x, extra])
+        got = searcher.search(full[1095:1100], k=10, use_pallas=False)
+        want = topk_exact_reference(
+            jnp.asarray(full), jnp.asarray(full[1095:1100]), 10
+        )
+        np.testing.assert_array_equal(got.indices, want.indices)
+
+    def test_append_overflow_falls_back_to_reshard(self, index_mesh, rng):
+        x = rng.standard_normal((100, 64)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=-1, keepdims=True)
+        searcher = ShardedIndexSearcher(index_mesh, dtype=jnp.float32)
+        searcher.load(x)
+        cap = int(searcher._x.shape[0])
+        big = rng.standard_normal((cap, 64)).astype(np.float32)
+        big /= np.linalg.norm(big, axis=-1, keepdims=True)
+        searcher.append(big)
+        assert searcher.n_valid == 100 + cap
+        assert int(searcher._x.shape[0]) > cap
+        res = searcher.search(big[:1], k=1, use_pallas=False)
+        assert int(res.indices[0, 0]) == 100
+
+    def test_append_with_tombstones_intact(self, index_mesh, rng):
+        x = rng.standard_normal((500, 64)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=-1, keepdims=True)
+        searcher = ShardedIndexSearcher(index_mesh, dtype=jnp.float32)
+        searcher.load(x, deleted_rows={0})
+        extra = x[:1] + 0.0  # identical to the deleted row
+        searcher.append(extra)
+        res = searcher.search(x[:1], k=1, use_pallas=False)
+        # deleted row 0 stays masked; the appended twin (row 500) wins
+        assert int(res.indices[0, 0]) == 500
