@@ -84,6 +84,8 @@ def _build_parser() -> argparse.ArgumentParser:
     se.add_argument("--mode", default="clip_only",
                     choices=["clip_only", "llm_enhanced", "hybrid"])
     se.add_argument("--model-path", default=None)
+    se.add_argument("--mesh", action="store_true",
+                    help="shard the index over all visible devices")
     se.add_argument("--json", action="store_true", dest="as_json")
 
     sv = sub.add_parser("serve", help="start the REST/WebSocket server")
@@ -91,6 +93,8 @@ def _build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--host", default="0.0.0.0")
     sv.add_argument("--port", type=int, default=5000)
     sv.add_argument("--model-path", default=None)
+    sv.add_argument("--mesh", action="store_true",
+                    help="shard the index over all visible devices")
 
     sh = sub.add_parser("share", help="share an index on the LAN (P2P)")
     sh.add_argument("index_path")
@@ -177,7 +181,8 @@ def cmd_filter(args) -> int:
     return 0
 
 
-def _make_system(model_path: str | None, dtype: str | None = None):
+def _make_system(model_path: str | None, dtype: str | None = None,
+                 mesh: bool = False):
     from .system import CLIPEmbedder, EnhancedRetrievalSystem
     from .utils.config import Config
 
@@ -192,7 +197,16 @@ def _make_system(model_path: str | None, dtype: str | None = None):
         compute_dtype=config.get("device.compute_dtype", "bfloat16"),
         image_batch_size=config.get("model.image_batch_size", 256),
     )
-    return EnhancedRetrievalSystem(config, embedder=embedder)
+    device_mesh = None
+    if mesh:
+        # shard indexes over ALL visible devices ("index" axis); on a
+        # single chip this is a 1-device mesh (same results, same code path)
+        from .parallel import MeshSpec, create_mesh
+        import jax
+
+        n = jax.device_count()
+        device_mesh = create_mesh(MeshSpec(axis_names=("index",), shape=(n,)))
+    return EnhancedRetrievalSystem(config, embedder=embedder, mesh=device_mesh)
 
 
 def cmd_build(args) -> int:
@@ -217,7 +231,7 @@ def cmd_build(args) -> int:
 def cmd_search(args) -> int:
     from .system.facade import SearchOptions
 
-    system = _make_system(args.model_path)
+    system = _make_system(args.model_path, mesh=args.mesh)
     system.load_system(args.index_path)
     t0 = time.perf_counter()
     results = system.search(
@@ -238,7 +252,7 @@ def cmd_search(args) -> int:
 
 
 def cmd_serve(args) -> int:
-    system = _make_system(args.model_path)
+    system = _make_system(args.model_path, mesh=getattr(args, "mesh", False))
     if args.index_path:
         system.load_system(args.index_path)
     print(f"serving on http://{args.host}:{args.port} (console at /)")

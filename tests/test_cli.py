@@ -191,3 +191,37 @@ class TestCLIInt8AndFlags:
         rc = cli_main(["filter", "keyframes", "--similarity-only",
                        "--cluster"])
         assert rc == 0
+
+
+class TestCLIMeshFlag:
+    def test_search_with_mesh_flag(self, tmp_path, monkeypatch, capsys):
+        import jax
+
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 virtual devices")
+        monkeypatch.chdir(tmp_path)
+        rng = np.random.default_rng(0)
+        kf = tmp_path / "keyframes" / "v"
+        kf.mkdir(parents=True)
+        for n in range(6):
+            Image.fromarray(rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+                            ).save(kf / f"{n}.jpg")
+        builder = RAGBuilder(fake_embed, DIM, input_size=32,
+                             config=UnifiedIndexConfig(dtype="float32",
+                                                       thumbnail_size=32))
+        index, _ = builder.build_index(tmp_path / "keyframes",
+                                       tmp_path / "m.rvdb")
+        index.close()
+        # the CLI search path embeds the query with the real (tiny) CLIP is
+        # too slow here; drive _make_system + load directly for the mesh wiring
+        from intelligent_video_analysis_retrieval_system_tpu.cli import (
+            _make_system,
+        )
+
+        system = _make_system(None, mesh=True)
+        system.load_system(tmp_path / "m.rvdb")
+        assert system.index._sharded is not None
+        assert system.index._sharded.stats()["devices"] == jax.device_count()
+        hits = system.index.search(np.ones(DIM, np.float32), top_k=3)
+        assert len(hits) == 3
+        system.cleanup()
