@@ -117,6 +117,15 @@ def _build_parser() -> argparse.ArgumentParser:
 
     cp = sub.add_parser("compact", help="drop tombstoned rows from an index")
     cp.add_argument("index_path")
+
+    pa = sub.add_parser(
+        "parity",
+        help="validate real HF CLIP weights + vocab against our towers "
+        "(cosine >= 0.999 gate)",
+    )
+    pa.add_argument("--weights", required=True,
+                    help="local openai/clip-vit-* checkpoint directory")
+    pa.add_argument("--threshold", type=float, default=0.999)
     return p
 
 
@@ -385,6 +394,14 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_parity(args) -> int:
+    from .models.parity import run_parity
+
+    report = run_parity(args.weights, threshold=args.threshold)
+    print(report.summary())
+    return 0 if report.ok else 1
+
+
 _COMMANDS = {
     "extract": cmd_extract,
     "filter": cmd_filter,
@@ -396,6 +413,7 @@ _COMMANDS = {
     "validate": cmd_validate,
     "stats": cmd_stats,
     "compact": cmd_compact,
+    "parity": cmd_parity,
 }
 
 

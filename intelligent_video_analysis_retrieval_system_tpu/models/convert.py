@@ -160,8 +160,16 @@ def load_clip(
             )
             cfg = hf_config_to_ours(hf.config)
             return cfg, convert_hf_clip_params(hf.state_dict(), cfg)
-        except Exception:
-            pass  # fall through to random init
+        except Exception as exc:
+            # fall through to random init — but never silently: random
+            # towers mean self-similarity-only retrieval quality
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "could not load HF CLIP checkpoint from %r (%s: %s) — "
+                "falling back to randomly-initialized towers",
+                str(model_name_or_path), type(exc).__name__, exc,
+            )
     cfg = config or CLIPConfig.vit_l_14()
     import jax
 

@@ -79,6 +79,8 @@ class _TokenizerBase:
     sot_id: int
     eot_id: int
     context_length: int = 77
+    #: "clip_bpe" (real CLIP vocab) or "hash_fallback" (degraded semantics)
+    kind: str = "unknown"
 
     def _encode_words(self, text: str) -> list[int]:
         raise NotImplementedError
@@ -109,6 +111,8 @@ class _TokenizerBase:
 
 class CLIPTokenizer(_TokenizerBase):
     """Exact CLIP BPE given the published merges (and optional vocab.json)."""
+
+    kind = "clip_bpe"
 
     def __init__(self, merges_path: str | Path, vocab_path: str | Path | None = None):
         merges_path = Path(merges_path)
@@ -208,6 +212,8 @@ class SimpleTokenizer(_TokenizerBase):
     locates it — our text tower relies on that convention).
     """
 
+    kind = "hash_fallback"
+
     def __init__(self, vocab_size: int = 49408, context_length: int = 77):
         self.vocab_size = vocab_size
         self.context_length = context_length
@@ -230,13 +236,25 @@ class SimpleTokenizer(_TokenizerBase):
 
 
 def load_tokenizer(
-    vocab_dir: str | Path | None = None, vocab_size: int = 49408
+    vocab_dir: str | Path | None = None,
+    vocab_size: int = 49408,
+    allow_fallback: bool = True,
 ) -> _TokenizerBase:
     """CLIPTokenizer when vocab files are found, else SimpleTokenizer.
 
     Searches ``vocab_dir`` (or common HF layout names) for ``merges.txt`` /
     ``bpe_simple_vocab_16e6.txt.gz``.
+
+    The SimpleTokenizer fallback degrades EVERY text embedding to non-CLIP
+    semantics (hash buckets instead of BPE subwords), so falling back is
+    **loud**: a logging warning fires, and callers that require real-vocab
+    semantics can pass ``allow_fallback=False`` to get a FileNotFoundError
+    instead. The active tokenizer's ``kind`` attribute ("clip_bpe" vs
+    "hash_fallback") is surfaced by CLIPEmbedder.get_stats() and the system
+    health check / ``/api/health``.
     """
+    import logging
+
     if vocab_dir is not None:
         root = Path(vocab_dir)
         for name in ("merges.txt", "bpe_simple_vocab_16e6.txt.gz"):
@@ -244,4 +262,17 @@ def load_tokenizer(
             if merges.is_file():
                 vocab = root / "vocab.json"
                 return CLIPTokenizer(merges, vocab if vocab.is_file() else None)
+    if not allow_fallback:
+        raise FileNotFoundError(
+            f"no CLIP vocab (merges.txt / bpe_simple_vocab_16e6.txt.gz) "
+            f"under {vocab_dir!r} and allow_fallback=False"
+        )
+    logging.getLogger(__name__).warning(
+        "CLIP vocab files not found%s — using the hash-bucket "
+        "SimpleTokenizer fallback. Text embeddings will NOT match real CLIP "
+        "semantics; search still works but cross-checkpoint parity does not. "
+        "Point model.path / vocab_dir at a directory containing merges.txt "
+        "(+ vocab.json) from any openai/clip-vit-* checkpoint.",
+        f" under {vocab_dir!r}" if vocab_dir is not None else "",
+    )
     return SimpleTokenizer(vocab_size=vocab_size)

@@ -354,4 +354,7 @@ class CLIPEmbedder:
             "compute_dtype": self.compute_dtype,
             "parity_mode": self.parity_mode,
             "embed_dim": self.config.vision.projection_dim if self._loaded else None,
+            # "clip_bpe" or "hash_fallback" — degraded text semantics must be
+            # visible in health checks, not silent (see models.tokenizer)
+            "tokenizer": self.tokenizer.kind if self._loaded else None,
         }

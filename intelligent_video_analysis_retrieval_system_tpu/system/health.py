@@ -60,6 +60,13 @@ class SystemHealthMonitor:
                 "detail": "random-initialized towers (no local checkpoint); "
                 "retrieval quality limited to self-similarity",
             }
+        if stats.get("tokenizer") == "hash_fallback":
+            return {
+                "status": "warning",
+                "detail": "hash-fallback tokenizer active (no CLIP vocab "
+                "files found) — text embeddings do not match real CLIP "
+                "semantics",
+            }
         return {"status": "ok", "detail": stats}
 
     def _check_index(self) -> dict[str, Any]:
@@ -112,7 +119,8 @@ class SystemHealthMonitor:
         if components["embedder"]["status"] == "warning":
             options.append(
                 "point config model.path at a local openai/clip-vit-* "
-                "checkpoint directory for full retrieval quality"
+                "checkpoint directory (weights + merges.txt/vocab.json) for "
+                "full retrieval quality"
             )
         if components["metadata"]["status"] == "warning":
             options.append("call load_system again to rebuild metadata graphs")

@@ -227,6 +227,178 @@ class TestTokenizer:
         tok = load_tokenizer(tmp_path)  # no files -> SimpleTokenizer
         assert isinstance(tok, SimpleTokenizer)
 
+    def test_load_tokenizer_fallback_is_loud(self, tmp_path, caplog):
+        import logging
+
+        with caplog.at_level(logging.WARNING):
+            tok = load_tokenizer(tmp_path)
+        assert tok.kind == "hash_fallback"
+        assert any("SimpleTokenizer" in r.message for r in caplog.records)
+
+    def test_load_tokenizer_strict_mode_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            load_tokenizer(tmp_path, allow_fallback=False)
+
+    def test_tokenizer_kind_attributes(self, tmp_path):
+        merges = tmp_path / "merges.txt"
+        merges.write_text("#version: 0.2\nh e\n")
+        assert CLIPTokenizer(merges).kind == "clip_bpe"
+        assert SimpleTokenizer().kind == "hash_fallback"
+
+
+def _build_synthetic_clip_vocab(tmp_path):
+    """A tiny but STRUCTURALLY VALID CLIP vocab: full byte alphabet +
+    </w> forms + a handful of merges + specials — loadable by both our
+    CLIPTokenizer and HF's slow CLIPTokenizer."""
+    import json
+
+    from intelligent_video_analysis_retrieval_system_tpu.models.tokenizer import (
+        _bytes_to_unicode,
+    )
+
+    be = _bytes_to_unicode()
+    merges = [
+        ("t", "h"), ("th", "e</w>"), ("c", "a"), ("ca", "t</w>"),
+        ("i", "n"), ("in", "g</w>"), ("th", "in"), ("thin", "k"),
+        ("think", "ing</w>"),
+    ]
+    vocab = list(be.values()) + [v + "</w>" for v in be.values()]
+    vocab += ["".join(m) for m in merges]
+    vocab += ["<|startoftext|>", "<|endoftext|>"]
+    (tmp_path / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(f"{a} {b}" for a, b in merges) + "\n"
+    )
+    (tmp_path / "vocab.json").write_text(
+        json.dumps({t: i for i, t in enumerate(vocab)})
+    )
+    return tmp_path
+
+
+class TestBPEGolden:
+    """Golden-fixture BPE parity: known-good expected ids (frozen from HF
+    transformers' slow CLIPTokenizer on the synthetic vocab) + a live
+    cross-check against HF when importable. Reference tokenization path:
+    core.py:1524-1550."""
+
+    # text -> exact input_ids produced by transformers.CLIPTokenizer on the
+    # synthetic vocab (verified 2026-08-16; includes SOT=521 / EOT=522)
+    GOLDEN = {
+        "the cat": [521, 513, 515, 522],
+        "thinking": [521, 520, 522],
+        "The  CAT!": [521, 513, 515, 256, 522],         # case-fold + ws clean
+        "a thin thing": [521, 320, 512, 72, 333, 512, 517, 522],
+        "cat cat the": [521, 515, 515, 513, 522],
+        "zebra?!": [521, 89, 68, 65, 81, 320, 30, 256, 522],  # byte fallback
+        "don't think": [521, 67, 78, 333, 6, 339, 518, 330, 522],  # 't split
+    }
+
+    @pytest.fixture()
+    def vocab_dir(self, tmp_path):
+        return _build_synthetic_clip_vocab(tmp_path)
+
+    def test_golden_ids(self, vocab_dir):
+        tok = CLIPTokenizer(vocab_dir / "merges.txt", vocab_dir / "vocab.json")
+        for text, expected in self.GOLDEN.items():
+            assert tok.encode(text) == expected, text
+
+    def test_matches_hf_live(self, vocab_dir):
+        transformers = pytest.importorskip("transformers")
+        hf = transformers.CLIPTokenizer(
+            str(vocab_dir / "vocab.json"), str(vocab_dir / "merges.txt")
+        )
+        ours = CLIPTokenizer(vocab_dir / "merges.txt", vocab_dir / "vocab.json")
+        extra = [
+            "a photo of a cat",
+            "counting 1 2 34",
+            "  leading and trailing   ",
+            "hyphen-ated words, punctuation; and (parens)",
+            "I'll they're we've he's don't I'm you'd",
+        ]
+        for text in list(self.GOLDEN) + extra:
+            assert ours.encode(text) == hf(text)["input_ids"], text
+
+    def test_load_tokenizer_picks_bpe(self, vocab_dir):
+        tok = load_tokenizer(vocab_dir)
+        assert tok.kind == "clip_bpe"
+        # reconstructed vocab (no vocab.json) must agree with explicit one
+        explicit = CLIPTokenizer(
+            vocab_dir / "merges.txt", vocab_dir / "vocab.json"
+        )
+        assert tok.encode("the cat") == explicit.encode("the cat")
+
+
+class TestParityCommand:
+    """`ivars-tpu parity --weights DIR` — the one-command real-weight gate
+    (VERDICT r1 #4). Exercised against a tiny random HF checkpoint saved to
+    disk, which is exactly what a user-provided openai/clip-vit-* dir looks
+    like structurally."""
+
+    @pytest.fixture()
+    def checkpoint_dir(self, tmp_path):
+        # text config sized for the synthetic vocab (523 ids, EOT=522) so
+        # HF pools at the same EOT our tokenizer emits
+        import torch
+        import transformers
+
+        torch.manual_seed(1)
+        hf_cfg = transformers.CLIPConfig(
+            projection_dim=32,
+            text_config={
+                "vocab_size": 523,
+                "hidden_size": 48,
+                "intermediate_size": 192,
+                "num_hidden_layers": 2,
+                "num_attention_heads": 4,
+                "max_position_embeddings": 16,
+                "hidden_act": "quick_gelu",
+                "eos_token_id": 522,
+            },
+            vision_config={
+                "image_size": 32,
+                "patch_size": 8,
+                "hidden_size": 64,
+                "intermediate_size": 256,
+                "num_hidden_layers": 2,
+                "num_attention_heads": 4,
+                "hidden_act": "quick_gelu",
+            },
+        )
+        model = transformers.CLIPModel(hf_cfg).eval()
+        d = tmp_path / "ckpt"
+        model.save_pretrained(str(d))
+        _build_synthetic_clip_vocab(d)
+        return d
+
+    def test_run_parity_passes(self, checkpoint_dir):
+        from intelligent_video_analysis_retrieval_system_tpu.models.parity import (
+            run_parity,
+        )
+
+        report = run_parity(checkpoint_dir, n_images=2)
+        assert report.errors == []
+        assert report.text_cosine_min is not None
+        assert report.text_cosine_min >= 0.999, report.summary()
+        assert report.image_cosine_min >= 0.999, report.summary()
+        assert report.ok, report.summary()
+        assert "PASS" in report.summary()
+
+    def test_run_parity_missing_artifacts(self, tmp_path):
+        from intelligent_video_analysis_retrieval_system_tpu.models.parity import (
+            run_parity,
+        )
+
+        report = run_parity(tmp_path / "nope")
+        assert not report.ok and report.errors
+
+    def test_cli_parity_exit_codes(self, checkpoint_dir, tmp_path, capsys):
+        from intelligent_video_analysis_retrieval_system_tpu.cli import main
+
+        assert main(["parity", "--weights", str(checkpoint_dir)]) == 0
+        assert "PASS" in capsys.readouterr().out
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        assert main(["parity", "--weights", str(empty)]) == 1
+
     def test_unicode_vietnamese(self):
         tok = SimpleTokenizer(vocab_size=49408)
         ids = tok("người đang chạy")
