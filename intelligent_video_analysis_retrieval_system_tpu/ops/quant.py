@@ -2,25 +2,39 @@
 
 Opt-in **capacity mode** for very large corpora: int8 rows halve HBM bytes
 vs bf16, so ~2x the corpus fits per chip (10M x 768 = 7.7 GB on one v5e).
-Measured on v5e the sweep is latency-neutral vs bf16 (the in-VMEM int8 ->
-bf16 convert offsets the bandwidth saving: 6.2 ms vs 4.3 ms per 2M rows) —
-choose it for corpus size, not speed. Scheme:
+Scheme (round 2 — int8 x int8 on the MXU):
 
 - database rows quantize symmetrically per row: ``x_i8 = round(x / s)``
   with ``s = max|x| / 127`` (rows are L2-normalized first, so s ~= 1/127);
-- phase 1 (Pallas): int8 rows stream from HBM, convert to bf16 in VMEM,
-  matmul against the bf16 query, scale by ``s_row`` before the chunk-max
-  reduce — identical streaming structure to the exact kernel (``ops.topk``);
-  (a pure int8 x int8 -> i32 MXU variant measured slower on v5e);
-- phase 2: gather candidate int8 rows, dequantize, rescore with the SAME
-  bf16-rounded query as phase 1 (a precision mismatch between phases would
-  break the chunk-containment guarantee) — approximations are the int8 row
-  quantization and the bf16 query rounding (measured recall@10 vs exact is
-  ~1.0 for CLIP-like embeddings; verify per-corpus with
-  ``retrieval.evaluation.evaluate_backends``).
+- queries quantize the same way per query row, inside the jitted search;
+- phase 1 (Pallas): int8 rows stream from HBM straight into an
+  ``int8 x int8 -> int32`` MXU matmul — no in-VMEM dequantize pass. The
+  (TILE_N, B) i32 output is scaled by the per-row ``s_row`` and chunk-max
+  reduced. Per-query scales are NOT applied here: chunk selection is
+  invariant under a positive per-query scaling, so they fold into phase 2.
+- phase 2: gather candidate int8 rows, integer-rescore in f32 with the SAME
+  quantized query, then apply ``s_row * s_q``.
+
+Exactness within the quantized metric: every product |p| <= 127*127 and a
+768-term sum stays < 2^24, so f32 represents all partial sums exactly —
+the integer dot is bit-exact and **order-independent**, making the int8
+path deterministic across programs/shardings (unlike the bf16 path, which
+needs tie-aware comparisons; see CLAUDE.md). The approximations are the
+int8 row AND query quantization (measured recall@10 vs exact ~1.0 for
+CLIP-like embeddings; verify per-corpus with
+``retrieval.evaluation.evaluate_backends``).
+
+Why int8 x int8 (measured on v5e, benchmarks/exp_int8.py):
+- round-1 kernel (int8 -> bf16 convert in VMEM, bf16 matmul): 6.55 ms per
+  2M x 768 rows — the VPU convert serializes against the MXU in-kernel;
+- this kernel: 5.2 ms per 2M rows (~310 GB/s). Raw int8 DMA streams at
+  ~805 GB/s (benchmarks/exp_stream_bw.py), so the remaining gap is the
+  Mosaic int8-matmul lowering, not bandwidth; TILE_N 4096 measured equal,
+  8192 exceeds the 16 MB scoped-VMEM limit.
 
 Supports the same dynamic ``n_valid`` and tombstone mask as the exact
-kernel.
+kernel (``ops.topk``). Replaces FAISS IndexFlatIP at 2x capacity
+(reference ``core.py:1198-1234``, ``unified_index.py:503``).
 """
 
 from __future__ import annotations
@@ -34,7 +48,11 @@ from jax import lax
 
 from .topk import CHUNK, TILE_N, TopKResult, pad_queries
 
-__all__ = ["quantize_rows_int8", "dequantize_rows_int8", "topk_search_int8"]
+__all__ = [
+    "quantize_rows_int8",
+    "dequantize_rows_int8",
+    "topk_search_int8",
+]
 
 
 def quantize_rows_int8(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -49,20 +67,26 @@ def dequantize_rows_int8(q: np.ndarray, scales: np.ndarray) -> np.ndarray:
     return q.astype(np.float32) * np.asarray(scales, np.float32)[:, None]
 
 
-def _int8_sweep_kernel(n_valid_ref, x_ref, xs_ref, q_ref, dead_ref, out_ref):
-    """int8 rows -> bf16 in VMEM -> matmul -> scale -> mask -> chunk max.
+def _quantize_q(q: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row symmetric int8 query quantization (jit-traceable)."""
+    q = q.astype(jnp.float32)
+    qs = jnp.maximum(jnp.abs(q).max(axis=-1), 1e-12) / 127.0
+    q_i8 = jnp.clip(jnp.round(q / qs[:, None]), -127, 127).astype(jnp.int8)
+    return q_i8, qs
 
-    The int8 payoff is HBM bandwidth (half the bytes/row of bf16); the
-    matmul itself runs bf16 — measured faster than the int8->i32 MXU
-    lowering on v5e, and the query stays full precision (no query
-    quantization error).
+
+def _int8_sweep_kernel(n_valid_ref, x_ref, xs_ref, q_ref, dead_ref, out_ref):
+    """int8 x int8 -> i32 on the MXU; scale rows; mask; chunk max.
+
+    No dequantize pass: the only VPU work is the (TILE_N, B) output scaling
+    and masking — measured 5.2 ms vs 6.55 ms per 2M rows for the
+    convert-then-bf16-matmul variant this replaced.
     """
     import jax.experimental.pallas as pl
 
-    xb = x_ref[:].astype(jnp.bfloat16)
     scores = jnp.dot(
-        xb, q_ref[:].T, preferred_element_type=jnp.float32
-    ) * xs_ref[:]                         # (TILE_N, 1) row scales
+        x_ref[:], q_ref[:].T, preferred_element_type=jnp.int32
+    ).astype(jnp.float32) * xs_ref[:]     # (TILE_N, B) * (TILE_N, 1) row scales
     row = pl.program_id(0) * x_ref.shape[0] + lax.broadcasted_iota(
         jnp.int32, scores.shape, 0
     )
@@ -94,7 +118,7 @@ def _build_int8_searcher(n_pad: int, d: int, b_pad: int, k: int,
             pl.BlockSpec((TILE_N, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),                    # x scales
             pl.BlockSpec((b_pad, d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),                    # q bf16
+                         memory_space=pltpu.VMEM),                    # q int8
             pl.BlockSpec((TILE_N, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),                    # tombstones
         ],
@@ -108,26 +132,31 @@ def _build_int8_searcher(n_pad: int, d: int, b_pad: int, k: int,
     @jax.jit
     def search(x_i8, x_scales, q, n_valid, deleted):
         n_valid_arr = jnp.asarray(n_valid, jnp.int32).reshape(1)
-        # round the query to bf16 ONCE and use it in BOTH phases — scoring
-        # phase 1 with a bf16 query but rescoring with f32 would let chunk
-        # selection exclude a true top-k row (up to ~0.4% score skew); with
-        # one metric the chunk-containment proof holds up to summation-order
-        # ulps, same as the exact bf16 kernel
-        q_b = q.astype(jnp.bfloat16)
+        # quantize the query ONCE and use it in BOTH phases — mixing a
+        # quantized phase 1 with a full-precision phase 2 would break the
+        # chunk-containment guarantee; with one metric the integer math is
+        # exact (< 2^24), so containment holds with zero ulp slack
+        q_i8, q_scales = _quantize_q(q)
         chunk_max = sweep(
-            n_valid_arr, x_i8, x_scales.reshape(-1, 1), q_b, deleted,
+            n_valid_arr, x_i8, x_scales.reshape(-1, 1), q_i8, deleted,
         )
+        # chunk selection is invariant to the positive per-query scale, so
+        # phase 1 never needs q_scales
         _, chunk_ids = lax.top_k(chunk_max.T, k_chunks)
         row_ids = (
             chunk_ids[:, :, None] * CHUNK + jnp.arange(CHUNK)[None, None, :]
         ).reshape(b_pad, k_chunks * CHUNK)
         valid = (row_ids < n_valid) & (deleted[row_ids, 0] == 0)
         safe = jnp.where(valid, row_ids, 0)
-        cand = x_i8[safe].astype(jnp.float32) * x_scales[safe][:, :, None]
-        scores = jnp.einsum(
-            "bd,bcd->bc", q_b.astype(jnp.float32), cand,
+        # integer rescore (f32-exact), then the same s_row scaling as the
+        # kernel, then the per-query scale
+        int_dot = jnp.einsum(
+            "bd,bcd->bc",
+            q_i8.astype(jnp.float32),
+            x_i8[safe].astype(jnp.float32),
             precision=lax.Precision.HIGHEST,
         )
+        scores = int_dot * x_scales[safe] * q_scales[:, None]
         scores = jnp.where(valid, scores, -jnp.inf)
         k_eff = min(k, scores.shape[1])
         top_scores, pos = lax.top_k(scores, k_eff)
@@ -161,7 +190,12 @@ def topk_search_int8(
     use_pallas: bool | None = None,
     interpret: bool = False,
 ) -> TopKResult:
-    """Top-k over an int8-quantized database. ``q`` is full-precision."""
+    """Top-k over an int8-quantized database.
+
+    ``q`` is full-precision and is quantized per-row on device (the scheme
+    in the module docstring). Results are deterministic across CPU/TPU and
+    shardings (integer metric).
+    """
     b = q.shape[0]
     n_live = int(x_i8.shape[0]) if n_valid is None else int(n_valid)
     if n_live == 0:
@@ -198,11 +232,16 @@ def topk_search_int8(
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def _int8_reference(x_i8, x_scales, q, k, deleted=None):
-    xf = x_i8.astype(jnp.float32) * x_scales[:, None]
-    scores = jnp.einsum(
-        "bd,nd->bn", q.astype(jnp.float32), xf,
+    """Oracle under the SAME quantized metric (CPU fallback + sharded
+    per-shard path): identical scores to the Pallas searcher, bit-exact."""
+    q_i8, q_scales = _quantize_q(jnp.asarray(q))
+    int_dot = jnp.einsum(
+        "bd,nd->bn",
+        q_i8.astype(jnp.float32),
+        x_i8.astype(jnp.float32),
         precision=lax.Precision.HIGHEST,
     )
+    scores = int_dot * x_scales[None, :] * q_scales[:, None]
     if deleted is not None:
         mask = jnp.asarray(deleted).reshape(-1)[: x_i8.shape[0]]
         scores = jnp.where(mask[None, :] == 0, scores, -jnp.inf)

@@ -364,29 +364,42 @@ class ShardedIndexSearcher:
         if self._x is None:
             self.load(rows)
             return
-        if self._scales is not None:
-            from ..ops.quant import quantize_rows_int8
-
-            cur_q = np.asarray(self._x[: self.n_valid], np.int8)
-            cur_s = np.asarray(self._scales[: self.n_valid, 0], np.float32)
-            new_q, new_s = quantize_rows_int8(np.asarray(rows, np.float32))
-            self.load_int8(
-                np.concatenate([cur_q, new_q]), np.concatenate([cur_s, new_s])
-            )
-            return
         m = len(rows)
         cap = int(self._x.shape[0])
         # fixed-size update chunks so the jitted updater compiles once
         m_pad = _ceil_to(max(m, 1), 256)
+        mesh_key = (
+            id(self.mesh), self.mesh.axis_names,
+            tuple(self.mesh.devices.shape),
+            tuple(d.id for d in self.mesh.devices.flat),
+        )
+        _MESHES[mesh_key] = self.mesh
         if self.n_valid + m_pad <= cap:
+            if self._scales is not None:
+                # int8 capacity mode: quantize ONLY the new rows, then
+                # donated in-place updates of rows AND scales — no host
+                # round-trip of the existing corpus (mirrors the bf16 path)
+                from ..ops.quant import quantize_rows_int8
+
+                new_q, new_s = quantize_rows_int8(np.asarray(rows, np.float32))
+                upd_q = np.zeros((m_pad, new_q.shape[1]), np.int8)
+                upd_q[:m] = new_q
+                upd_s = np.zeros((m_pad, 1), np.float32)
+                upd_s[:m, 0] = new_s
+                fn_q = _append_updater(
+                    mesh_key, self.axis, cap, int(self._x.shape[1]), m_pad,
+                    "int8",
+                )
+                fn_s = _append_updater(
+                    mesh_key, self.axis, cap, 1, m_pad, "float32_scales",
+                )
+                off = jnp.int32(self.n_valid)
+                self._x = fn_q(self._x, jnp.asarray(upd_q), off)
+                self._scales = fn_s(self._scales, jnp.asarray(upd_s), off)
+                self.n_valid += m
+                return
             upd = np.zeros((m_pad, rows.shape[1]), np.float32)
             upd[:m] = rows
-            mesh_key = (
-                id(self.mesh), self.mesh.axis_names,
-                tuple(self.mesh.devices.shape),
-                tuple(d.id for d in self.mesh.devices.flat),
-            )
-            _MESHES[mesh_key] = self.mesh
             fn = _append_updater(
                 mesh_key, self.axis, cap, int(self._x.shape[1]), m_pad,
                 self._x.dtype.name,
@@ -396,6 +409,17 @@ class ShardedIndexSearcher:
             # rows in (n_valid, n_valid+m_pad) beyond m are zeros, masked
             # by n_valid; the tombstone mask (all < n_valid) is unaffected
             self.n_valid += m
+            return
+        if self._scales is not None:
+            # capacity exceeded: full re-shard is unavoidable (buffer grows)
+            from ..ops.quant import quantize_rows_int8
+
+            cur_q = np.asarray(self._x[: self.n_valid], np.int8)
+            cur_s = np.asarray(self._scales[: self.n_valid, 0], np.float32)
+            new_q, new_s = quantize_rows_int8(np.asarray(rows, np.float32))
+            self.load_int8(
+                np.concatenate([cur_q, new_q]), np.concatenate([cur_s, new_s])
+            )
             return
         current = np.asarray(self._x[: self.n_valid], np.float32)
         self.load(np.concatenate([current, np.asarray(rows, np.float32)]))

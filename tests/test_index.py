@@ -564,6 +564,35 @@ class TestInt8Mode:
             np.asarray(got.indices)[:, 0], np.asarray(want.indices)[:, 0]
         )
 
+    def test_int8_kernel_bitexact_vs_oracle(self, rng):
+        """The int8 metric is integer math (< 2^24 exact in f32), so the
+        Pallas path and the reference must agree BIT-EXACTLY — scores and
+        indices — regardless of reduction order (unlike the bf16 path,
+        which is only tie-aware comparable; see ops/quant.py docstring)."""
+        import jax.numpy as jnp
+
+        from intelligent_video_analysis_retrieval_system_tpu.ops.quant import (
+            _int8_reference,
+            pad_rows_int8,
+            quantize_rows_int8,
+            topk_search_int8,
+        )
+
+        n = 4096
+        x = rng.standard_normal((n, 64)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=-1, keepdims=True)
+        q = rng.standard_normal((3, 64)).astype(np.float32)
+        xi, xs = pad_rows_int8(*quantize_rows_int8(x))
+        got = topk_search_int8(jnp.asarray(xi), jnp.asarray(xs),
+                               jnp.asarray(q), 7, n_valid=n,
+                               use_pallas=True, interpret=True)
+        want = _int8_reference(jnp.asarray(xi[:n]), jnp.asarray(xs[:n]),
+                               jnp.asarray(q), 7)
+        np.testing.assert_array_equal(np.asarray(got.indices),
+                                      np.asarray(want.indices))
+        np.testing.assert_array_equal(np.asarray(got.scores),
+                                      np.asarray(want.scores))
+
     def test_int8_deleted_mask(self, rng):
         import jax.numpy as jnp
 

@@ -195,10 +195,50 @@ class TestShardedInt8:
         res = searcher.search(extra[:1], k=1, use_pallas=False)
         assert int(res.indices[0, 0]) == 1000
 
+    def test_append_inplace_equals_requantize_from_scratch(
+        self, index_mesh, rng
+    ):
+        """In-place sharded int8 append (quantize only the NEW rows,
+        donated row+scale updates) must produce bit-identical search
+        results to requantizing the whole corpus from scratch — the int8
+        metric is integer math, so exact equality is required, not
+        approximate."""
+        from intelligent_video_analysis_retrieval_system_tpu.ops.quant import (
+            quantize_rows_int8,
+        )
+
+        x, q = self._data(rng, n=900)
+        extra = rng.standard_normal((70, 64)).astype(np.float32)
+        extra /= np.linalg.norm(extra, axis=-1, keepdims=True)
+
+        a = ShardedIndexSearcher(index_mesh)
+        a.load_int8(*quantize_rows_int8(x))
+        buf_before = a._x
+        a.append(extra)
+        # capacity (8 dev * TILE_N) holds 900+70 -> must be in-place: the
+        # padded buffer shape is unchanged (no re-shard growth)
+        assert a._x.shape == buf_before.shape
+        assert a.n_valid == 970
+
+        b = ShardedIndexSearcher(index_mesh)
+        b.load_int8(*quantize_rows_int8(np.concatenate([x, extra])))
+
+        ra = a.search(q, k=15, use_pallas=False)
+        rb = b.search(q, k=15, use_pallas=False)
+        np.testing.assert_array_equal(ra.indices, rb.indices)
+        np.testing.assert_array_equal(
+            np.asarray(ra.scores), np.asarray(rb.scores)
+        )
+        # and appended rows are retrievable as their own nearest neighbour
+        top = a.search(extra[:3], k=1, use_pallas=False)
+        np.testing.assert_array_equal(
+            np.asarray(top.indices)[:, 0], [900, 901, 902]
+        )
+
     def test_pallas_interpret_composes_with_shard_map(self, index_mesh, rng):
         # compare against the single-device pallas path (interpret mode):
-        # both round the query to bf16 once, so rescored row scores are
-        # bit-identical and the merged top-k must match exactly
+        # the int8 metric is integer math (exact in f32), so the sharded
+        # composition must match the single-device kernel bit-exactly
         from intelligent_video_analysis_retrieval_system_tpu.ops.quant import (
             pad_rows_int8,
             quantize_rows_int8,
