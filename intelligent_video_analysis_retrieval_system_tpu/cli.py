@@ -46,6 +46,9 @@ def _build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--dino", action="store_true",
                     help="use the DINO ViT-S/16 dedup tower "
                          "(reference parity; slower)")
+    ex.add_argument("--workers", type=int, default=0,
+                    help="decode worker processes (>=2 enables the "
+                         "multi-process ingest pipeline; 0 = sequential)")
 
     fl = sub.add_parser("filter", help="refine extracted keyframes")
     fl.add_argument("keyframes_dir")
@@ -149,8 +152,10 @@ def cmd_extract(args) -> int:
 
         embed_fn = dino_embedder()
     ff = FrameFilter(cfg, embed_fn=embed_fn)
-    for video in args.videos:
-        report = ff.extract_frames(video, args.keyframes_dir, args.map_dir)
+    reports = ff.extract_frames_batch(
+        args.videos, args.keyframes_dir, args.map_dir, workers=args.workers
+    )
+    for report in reports:
         print(
             f"{report.video}: kept {report.frames_kept}/{report.frames_seen} "
             f"frames ({report.frames_per_s:.0f} fps decode+dedup)"

@@ -360,8 +360,21 @@ class FrameFilter:
         video_paths: list[str | Path],
         keyframes_dir: str | Path,
         map_dir: str | Path | None = None,
+        workers: int = 0,
     ) -> list[ExtractReport]:
-        """Multi-video driver (reference ``process_videos`` analog)."""
+        """Multi-video driver (reference ``process_videos`` analog).
+
+        ``workers >= 2`` runs the multi-process decode pipeline
+        (``ingest.pipeline``): worker processes decode/shrink/write while
+        this process runs every device dispatch — decisions are identical
+        to the sequential path.
+        """
+        if workers >= 2 and len(video_paths) > 1:
+            from .pipeline import extract_frames_parallel
+
+            return extract_frames_parallel(
+                self, video_paths, keyframes_dir, map_dir, workers=workers
+            )
         return [
             self.extract_frames(p, keyframes_dir, map_dir) for p in video_paths
         ]

@@ -25,6 +25,7 @@ from .normalize import l2_normalize
 __all__ = [
     "sequential_dedup",
     "sequential_dedup_carry",
+    "sequential_dedup_carry_masked",
     "windowed_dedup_mask",
     "cluster_representatives_mask",
 ]
@@ -73,6 +74,37 @@ def sequential_dedup_carry(
     if emb.shape[0] == 0:
         return jnp.zeros((0,), dtype=bool), carry
     new_carry, keeps = lax.scan(step, carry.astype(jnp.float32), emb)
+    return keeps, new_carry
+
+
+@functools.partial(jax.jit, static_argnames=())
+def sequential_dedup_carry_masked(
+    embeddings: jnp.ndarray,
+    carry: jnp.ndarray,
+    active: jnp.ndarray,
+    threshold: float = 0.98,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`sequential_dedup_carry` with an ``active`` row mask.
+
+    Inactive rows (padding, phash-prefiltered) are never kept and never
+    touch the carry — they behave as if absent from the stream, which lets
+    callers keep a FIXED batch shape (one compiled program) while dropping
+    rows mid-batch.
+    """
+    emb = l2_normalize(embeddings.astype(jnp.float32))
+
+    def step(last_kept, ea):
+        e, a = ea
+        sim = jnp.sum(last_kept * e)
+        keep = (sim < threshold) & a
+        new_last = jnp.where(keep, e, last_kept)
+        return new_last, keep
+
+    if emb.shape[0] == 0:
+        return jnp.zeros((0,), dtype=bool), carry
+    new_carry, keeps = lax.scan(
+        step, carry.astype(jnp.float32), (emb, active.astype(bool))
+    )
     return keeps, new_carry
 
 
