@@ -120,14 +120,30 @@ class MultiHeadAttention(nn.Module):
     num_heads: int
     dtype: Any = jnp.float32
     precision: lax.Precision = lax.Precision.DEFAULT
+    # opt-in W8A8 projections: int8 MXU matmuls (2.5x bf16 peak on v5e),
+    # dynamic per-token activation scales; param tree unchanged (see
+    # ops.quant.w8a8_dense)
+    w8a8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
         d = x.shape[-1]
         head_dim = d // self.num_heads
-        dense = lambda name: nn.Dense(
-            d, dtype=self.dtype, precision=self.precision, name=name
-        )
+        if self.w8a8:
+            from ..ops.quant import w8a8_dense
+
+            def dense(name):
+                holder = _DenseParams(d, name=name)
+
+                def apply(t):
+                    kernel, bias = holder(t.shape[-1])
+                    return w8a8_dense(t, kernel, bias, out_dtype=self.dtype)
+
+                return apply
+        else:
+            dense = lambda name: nn.Dense(
+                d, dtype=self.dtype, precision=self.precision, name=name
+            )
         q = dense("q_proj")(x)
         k = dense("k_proj")(x)
         v = dense("v_proj")(x)
@@ -238,6 +254,9 @@ class TransformerBlock(nn.Module):
     # Measured ~neutral vs XLA's chain on v5e at ViT-L shapes (see
     # RESULTS.md), so off by default; param tree is identical either way.
     fused_mlp: bool = False
+    # opt-in W8A8 dense layers (q/k/v/out + MLP) on the int8 MXU; param
+    # tree identical, quality gated by cosine tests (VERDICT r1 #8)
+    w8a8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -246,8 +265,20 @@ class TransformerBlock(nn.Module):
         # Pre-LN residual blocks; LayerNorm in f32 (param_dtype default f32).
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln_1")(x)
         x = x + MultiHeadAttention(
-            self.num_heads, dtype=self.dtype, precision=self.precision, name="attn"
+            self.num_heads, dtype=self.dtype, precision=self.precision,
+            w8a8=self.w8a8, name="attn"
         )(h, mask)
+
+        if self.w8a8:
+            from ..ops.quant import w8a8_dense
+
+            h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
+                             name="ln_2")(x)
+            w1, b1 = _DenseParams(hidden, name="mlp_fc")(d)
+            h = w8a8_dense(h, w1, b1, out_dtype=self.dtype)
+            h = _activation(self.act)(h)
+            w2, b2 = _DenseParams(d, name="mlp_proj")(hidden)
+            return x + w8a8_dense(h, w2, b2, out_dtype=self.dtype)
 
         from ..ops.block import supports_fused_ln_mlp
 
@@ -289,6 +320,7 @@ class Transformer(nn.Module):
     act: str = "quick_gelu"
     ln_eps: float = 1e-5
     fused_mlp: bool = False
+    w8a8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -299,7 +331,8 @@ class Transformer(nn.Module):
             x = block_cls(
                 self.num_heads, self.mlp_ratio, dtype=self.dtype,
                 precision=self.precision, act=self.act, ln_eps=self.ln_eps,
-                fused_mlp=self.fused_mlp, name=f"layer_{i}"
+                fused_mlp=self.fused_mlp, w8a8=self.w8a8,
+                name=f"layer_{i}"
             )(x, mask)
         return x
 
@@ -314,6 +347,7 @@ class CLIPVisionTower(nn.Module):
     dtype: Any = jnp.float32
     precision: lax.Precision = lax.Precision.DEFAULT
     remat: bool = False
+    w8a8: bool = False
 
     @nn.compact
     def __call__(self, pixels: jnp.ndarray) -> jnp.ndarray:
@@ -347,7 +381,8 @@ class CLIPVisionTower(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre")(x)
         x = Transformer(
             cfg.num_layers, cfg.num_heads, cfg.mlp_ratio, dtype=self.dtype,
-            precision=self.precision, remat=self.remat, name="transformer"
+            precision=self.precision, remat=self.remat, w8a8=self.w8a8,
+            name="transformer"
         )(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(x[:, 0])
         proj = self.param(
@@ -368,6 +403,7 @@ class CLIPTextTower(nn.Module):
     dtype: Any = jnp.float32
     precision: lax.Precision = lax.Precision.DEFAULT
     remat: bool = False
+    w8a8: bool = False
 
     @nn.compact
     def __call__(self, token_ids: jnp.ndarray, eot_positions: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -396,7 +432,8 @@ class CLIPTextTower(nn.Module):
         )[None, None]
         x = Transformer(
             cfg.num_layers, cfg.num_heads, cfg.mlp_ratio, dtype=self.dtype,
-            precision=self.precision, remat=self.remat, name="transformer"
+            precision=self.precision, remat=self.remat, w8a8=self.w8a8,
+            name="transformer"
         )(x, mask)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_final")(x)
         if eot_positions is None:
@@ -424,15 +461,16 @@ class CLIPModel(nn.Module):
     dtype: Any = jnp.float32
     precision: lax.Precision = lax.Precision.DEFAULT
     remat: bool = False
+    w8a8: bool = False
 
     def setup(self) -> None:
         self.vision = CLIPVisionTower(
             self.config.vision, dtype=self.dtype, precision=self.precision,
-            remat=self.remat,
+            remat=self.remat, w8a8=self.w8a8,
         )
         self.text = CLIPTextTower(
             self.config.text, dtype=self.dtype, precision=self.precision,
-            remat=self.remat,
+            remat=self.remat, w8a8=self.w8a8,
         )
         self.logit_scale = self.param(
             "logit_scale",

@@ -90,7 +90,10 @@ class CLIPEmbedder:
                 lax.Precision.HIGHEST if self.parity_mode else lax.Precision.DEFAULT
             )
             self.config = cfg
-            self.model = CLIPModel(cfg, dtype=dtype, precision=precision)
+            # compute_dtype "int8" = W8A8 dense layers on the int8 MXU with
+            # bf16 everything-else (same param tree; ops.quant.w8a8_dense)
+            self.model = CLIPModel(cfg, dtype=dtype, precision=precision,
+                                   w8a8=self.compute_dtype == "int8")
             self.params = params
             vocab = self.vocab_dir or (
                 self.model_path if self.using_pretrained else None
@@ -154,7 +157,8 @@ class CLIPEmbedder:
                     else lax.Precision.DEFAULT
                 )
                 self.config = config
-                self.model = CLIPModel(config, dtype=dtype, precision=precision)
+                self.model = CLIPModel(config, dtype=dtype, precision=precision,
+                                       w8a8=self.compute_dtype == "int8")
             # gather to single-device host values (trainer params may be
             # mesh-sharded) and drop cached jitted encoders
             self.params = jax.tree_util.tree_map(

@@ -184,6 +184,68 @@ class TestModelBasics:
         assert "vision" in params and "text" in params
 
 
+class TestW8A8Tower:
+    """Opt-in int8 (W8A8) dense layers: same param tree as the bf16/f32
+    towers, cosine-gated quality (VERDICT r1 #8)."""
+
+    def test_param_tree_identical_and_cosine_gate(self, rng):
+        cfg = CLIPConfig.tiny_test()
+        base = CLIPModel(cfg, precision=lax.Precision.HIGHEST)
+        quant = CLIPModel(cfg, w8a8=True)
+        px = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+        toks = rng.integers(1, 500, (2, 16)).astype(np.int32)
+        toks[:, -1] = 511
+        params = base.init(jax.random.PRNGKey(0), jnp.asarray(px),
+                           jnp.asarray(toks))["params"]
+        qshapes = jax.tree_util.tree_map(
+            lambda x: x.shape,
+            quant.init(jax.random.PRNGKey(0), jnp.asarray(px),
+                       jnp.asarray(toks))["params"],
+        )
+        bshapes = jax.tree_util.tree_map(lambda x: x.shape, params)
+        assert qshapes == bshapes  # checkpoints interchange freely
+
+        for method in (CLIPModel.encode_image, CLIPModel.encode_text):
+            arg = jnp.asarray(px) if method is CLIPModel.encode_image else (
+                jnp.asarray(toks))
+            want = np.asarray(base.apply({"params": params}, arg,
+                                         method=method), np.float32)
+            got = np.asarray(quant.apply({"params": params}, arg,
+                                         method=method), np.float32)
+            cos = (want * got).sum(-1) / (
+                np.linalg.norm(want, axis=-1) * np.linalg.norm(got, axis=-1)
+            )
+            assert cos.min() > 0.98, (method, cos)
+
+    def test_w8a8_dense_matches_f32_closely(self, rng):
+        from intelligent_video_analysis_retrieval_system_tpu.ops.quant import (
+            w8a8_dense,
+        )
+
+        x = rng.standard_normal((6, 40)).astype(np.float32)
+        w = rng.standard_normal((40, 24)).astype(np.float32)
+        b = rng.standard_normal((24,)).astype(np.float32)
+        got = np.asarray(w8a8_dense(jnp.asarray(x), jnp.asarray(w),
+                                    jnp.asarray(b)))
+        want = x @ w + b
+        cos = (got * want).sum() / (
+            np.linalg.norm(got) * np.linalg.norm(want)
+        )
+        assert cos > 0.999
+
+    def test_embedder_int8_mode(self):
+        from intelligent_video_analysis_retrieval_system_tpu.system import (
+            CLIPEmbedder,
+        )
+
+        emb = CLIPEmbedder(config=CLIPConfig.tiny_test(),
+                           compute_dtype="int8")
+        emb.ensure_loaded()  # includes the dummy-forward self-test
+        out = emb.encode_text(["a cat", "a dog"])
+        assert out.shape == (2, 32) and np.isfinite(out).all()
+        assert emb.get_stats()["compute_dtype"] == "int8"
+
+
 class TestTokenizer:
     def test_simple_tokenizer_deterministic(self):
         tok = SimpleTokenizer(vocab_size=1000)
