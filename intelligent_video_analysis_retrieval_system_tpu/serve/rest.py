@@ -14,10 +14,23 @@ REST (reference route parity):
     GET  /api/image/{folder}/{image}          (JPEG)
     GET  /api/stats
     POST /api/export            {results, format}
+    POST /api/build             {keyframes_dir, resume?}   (build wizard;
+                                 progress via WS "build_progress" events —
+                                 reference GUI smart build, gui.py:5021-5454)
+    GET  /api/build/status
+    POST /api/network/discover  {wait_s?}                  (peer panel —
+                                 reference GUI network tab, gui.py:3248-4606)
+    GET  /api/network/peers
+    POST /api/network/connect   {host, port}
+    POST /api/network/load_remote    {host, port, index_id}
+    POST /api/network/unload_remote  {index_id?}
 
 WebSocket at /ws: JSON messages {event, data, request_id?} with events
-``search`` / ``chat`` / ``translate`` / ``system_stats`` / ``ping`` —
-the socketio event surface (``api.py:2474-2551``) over plain websockets.
+``search`` / ``chat`` / ``translate`` / ``system_stats`` / ``ping`` /
+``image_search`` / ``metadata_query`` / ``semantic_search`` — the socketio
+event surface (``api.py:2474-2551``) over plain websockets; the server also
+pushes ``build_progress`` / ``build_done`` / ``build_error`` events to all
+connected clients during a wizard build.
 
 Search handlers run in a thread pool executor: device work releases the
 GIL and the facade is thread-safe, so the event loop stays responsive.
@@ -81,6 +94,16 @@ class RetrievalServer:
         self._thread: threading.Thread | None = None
         self._started = threading.Event()
         self.started_at = time.time()
+        # console build wizard + network panel state (reference GUI
+        # capabilities: build wizard gui.py:5021-5454, network panel
+        # gui.py:3248-4606)
+        self._ws_clients: set = set()
+        self._build_lock = threading.Lock()
+        self._build_state: dict[str, Any] = {"status": "idle"}
+        self._build_thread: threading.Thread | None = None
+        self._build_cb_registered = False
+        self._discovery = None           # lazy serve.p2p.NetworkDiscovery
+        self._net_client = None          # lazy serve.p2p.NetworkClient
 
     # -- routes ---------------------------------------------------------------
 
@@ -97,6 +120,14 @@ class RetrievalServer:
         app.router.add_get("/api/similar/{folder}/{image}", self._similar)
         app.router.add_get("/api/stats", self._stats)
         app.router.add_post("/api/export", self._export)
+        app.router.add_post("/api/build", self._build)
+        app.router.add_get("/api/build/status", self._build_status)
+        app.router.add_post("/api/network/discover", self._net_discover)
+        app.router.add_get("/api/network/peers", self._net_peers)
+        app.router.add_post("/api/network/connect", self._net_connect)
+        app.router.add_post("/api/network/load_remote", self._net_load_remote)
+        app.router.add_post("/api/network/unload_remote",
+                            self._net_unload_remote)
         app.router.add_get("/ws", self._websocket)
         app.router.add_get("/", self._console)
 
@@ -337,12 +368,205 @@ class RetrievalServer:
     async def _console(self, request: "web.Request") -> "web.Response":
         return web.Response(text=_CONSOLE_HTML, content_type="text/html")
 
+    # -- build wizard (reference GUI smart build, gui.py:5021-5454) ------------
+
+    def _broadcast(self, payload: dict[str, Any]) -> None:
+        """Thread-safe push of an event to every live WS client."""
+        loop = self._loop
+        if loop is None or loop.is_closed():
+            return
+
+        def _send() -> None:
+            for ws in list(self._ws_clients):
+                if not ws.closed:
+                    asyncio.ensure_future(ws.send_json(payload, dumps=_dumps))
+
+        loop.call_soon_threadsafe(_send)
+
+    def _on_build_progress(self, **payload: Any) -> None:
+        self._build_state.update(
+            status="running", **{k: v for k, v in payload.items()}
+        )
+        self._broadcast({"event": "build_progress", **payload})
+
+    def _build_worker(self, keyframes_dir: str, resume: bool) -> None:
+        try:
+            out = self.system.build_system(keyframes_dir, resume=resume)
+            report = out.get("report", {})
+            self._build_state.update(
+                status="done",
+                index_path=out.get("index_path"),
+                processed=report.get("processed"),
+                skipped=report.get("skipped_resume"),
+                failed=report.get("failed"),
+            )
+            self._broadcast({"event": "build_done", **{
+                k: self._build_state.get(k)
+                for k in ("processed", "skipped", "failed", "index_path")
+            }})
+        except Exception as exc:
+            self._build_state.update(status="error", error=str(exc))
+            self._broadcast({"event": "build_error", "error": str(exc)})
+
+    async def _build(self, request: "web.Request") -> "web.Response":
+        data = await self._json(request) or {}
+        keyframes_dir = data.get("keyframes_dir")
+        if not keyframes_dir or not isinstance(keyframes_dir, str):
+            return web.json_response(
+                error_envelope("keyframes_dir required"), status=400
+            )
+        from pathlib import Path
+
+        if not Path(keyframes_dir).is_dir():
+            return web.json_response(
+                error_envelope(f"not a directory: {keyframes_dir}"), status=400
+            )
+        with self._build_lock:
+            if self._build_state.get("status") == "running":
+                return web.json_response(
+                    error_envelope("a build is already running"), status=409
+                )
+            if not self._build_cb_registered:
+                self.system.on("build_progress", self._on_build_progress)
+                self._build_cb_registered = True
+            self._build_state = {
+                "status": "running", "keyframes_dir": keyframes_dir,
+                "started_at": time.time(),
+            }
+            self._build_thread = threading.Thread(
+                target=self._build_worker,
+                args=(keyframes_dir, bool(data.get("resume", True))),
+                daemon=True,
+            )
+            self._build_thread.start()
+        return web.json_response({"success": True, "status": "running"})
+
+    async def _build_status(self, request: "web.Request") -> "web.Response":
+        return web.json_response({"success": True, **self._build_state})
+
+    # -- network panel (reference GUI network tab, gui.py:3248-4606) -----------
+
+    def _get_net_client(self):
+        if self._net_client is None:
+            from .p2p import NetworkClient
+
+            self._net_client = NetworkClient()
+        return self._net_client
+
+    async def _net_discover(self, request: "web.Request") -> "web.Response":
+        data = await self._json(request) or {}
+        wait_s = min(float(data.get("wait_s", 2.0)), 10.0)
+        if self._discovery is None:
+            from .p2p import NetworkDiscovery
+
+            self._discovery = NetworkDiscovery(service_port=self.port)
+            self._discovery.start_discovery()
+        disc = self._discovery
+
+        def probe():
+            disc.broadcast_once()
+            time.sleep(wait_s)
+            return disc.get_nodes()
+
+        nodes = await self._run_sync(probe)
+        return web.json_response({"success": True, "nodes": nodes})
+
+    async def _net_peers(self, request: "web.Request") -> "web.Response":
+        nodes = self._discovery.get_nodes() if self._discovery else []
+        connected = (
+            list(self._net_client.connected.values())
+            if self._net_client else []
+        )
+        remotes = [
+            {"index_id": r.index_id, "base": r.base, "ntotal": r.ntotal}
+            for r in self.system.remote_indexes
+        ]
+        return web.json_response({
+            "success": True, "discovered": nodes, "connected": connected,
+            "remote_indexes": remotes,
+        })
+
+    async def _net_connect(self, request: "web.Request") -> "web.Response":
+        data = await self._json(request) or {}
+        host, port = data.get("host"), data.get("port")
+        if not host or not isinstance(port, int):
+            return web.json_response(
+                error_envelope("host (str) and port (int) required"),
+                status=400,
+            )
+        client = self._get_net_client()
+        try:
+            info = await self._run_sync(client.connect_to_server, host, port)
+            indexes = await self._run_sync(
+                client.list_remote_indexes, host, port
+            )
+        except Exception as exc:
+            return web.json_response(
+                error_envelope(f"connect failed: {exc}"), status=502
+            )
+        return web.json_response(
+            {"success": True, "node": info, "indexes": indexes}
+        )
+
+    async def _net_load_remote(self, request: "web.Request") -> "web.Response":
+        data = await self._json(request) or {}
+        host, port = data.get("host"), data.get("port")
+        index_id = data.get("index_id")
+        if not host or not isinstance(port, int) or not index_id:
+            return web.json_response(
+                error_envelope("host, port, index_id required"), status=400
+            )
+        base = f"http://{host}:{port}"
+        for r in self.system.remote_indexes:
+            if r.base == base and r.index_id == index_id:
+                return web.json_response(
+                    {"success": True, "already_loaded": True,
+                     "ntotal": r.ntotal}
+                )
+        client = self._get_net_client()
+        try:
+            remote = await self._run_sync(
+                client.load_remote_index, host, port, index_id
+            )
+        except Exception as exc:
+            return web.json_response(
+                error_envelope(f"load failed: {exc}"), status=502
+            )
+        self.system.remote_indexes.append(remote)
+        return web.json_response(
+            {"success": True, "index_id": index_id, "ntotal": remote.ntotal}
+        )
+
+    async def _net_unload_remote(self, request: "web.Request") -> "web.Response":
+        data = await self._json(request) or {}
+        index_id = data.get("index_id")
+        before = len(self.system.remote_indexes)
+        if index_id:
+            self.system.remote_indexes[:] = [
+                r for r in self.system.remote_indexes
+                if r.index_id != index_id
+            ]
+        else:
+            self.system.remote_indexes.clear()
+        return web.json_response(
+            {"success": True,
+             "removed": before - len(self.system.remote_indexes)}
+        )
+
     # -- websocket (socketio event surface) -----------------------------------
 
     async def _websocket(self, request: "web.Request"):
         ws = web.WebSocketResponse(heartbeat=30)
         await ws.prepare(request)
         client = self._client_id(request)
+        self._ws_clients.add(ws)
+        try:
+            await self._ws_loop(ws, client)
+        finally:
+            self._ws_clients.discard(ws)
+        return ws
+
+    async def _ws_loop(self, ws, client: str) -> None:
         async for msg in ws:
             if msg.type != WSMsgType.TEXT:
                 continue
@@ -358,7 +582,6 @@ class RetrievalServer:
             if request_id is not None:
                 reply["request_id"] = request_id
             await ws.send_json(reply, dumps=_dumps)
-        return ws
 
     async def _dispatch_ws(
         self, event: str, data: dict[str, Any], client: str
@@ -484,6 +707,7 @@ class RetrievalServer:
             self._loop.close()
 
     async def _start(self) -> None:
+        self._loop = asyncio.get_running_loop()  # for thread-safe broadcasts
         self._runner = web.AppRunner(self.app)
         await self._runner.setup()
         site = web.TCPSite(self._runner, self.host, self.port)
@@ -553,6 +777,8 @@ _CONSOLE_HTML = """<!doctype html>
  <button class="on" data-p="search">Search</button>
  <button data-p="image">Image search</button>
  <button data-p="chat">Chat</button>
+ <button data-p="build">Build</button>
+ <button data-p="network">Network</button>
  <button data-p="stats">Stats</button>
 </nav></header>
 <main>
@@ -573,7 +799,26 @@ _CONSOLE_HTML = """<!doctype html>
  <div class="row"><input id="cmsg" type="text" placeholder="ask about the videos…">
  <button class="go" onclick="doChat()">Send</button></div>
 </section>
-<section id="stats" class="panel"><pre id="statout">loading…</pre></section>
+<section id="build" class="panel">
+ <div class="row"><input id="bdir" type="text" placeholder="/path/to/keyframes">
+ <label><input id="bresume" type="checkbox" checked> resume</label>
+ <button class="go" onclick="doBuild()">Build index</button></div>
+ <div class="meta" id="bmeta">idle</div>
+ <div style="background:#e3e6ef;border-radius:6px;height:10px;overflow:hidden">
+  <div id="bbar" style="background:var(--acc);width:0%;height:100%"></div></div>
+</section>
+<section id="network" class="panel">
+ <div class="row"><button class="go" onclick="doDiscover()">Discover peers</button>
+ <input id="nhost" type="text" placeholder="host" style="max-width:160px">
+ <input id="nport" type="text" placeholder="port" style="max-width:90px">
+ <button class="go" onclick="doConnect()">Connect</button></div>
+ <div class="meta" id="nmeta"></div><pre id="nout">no peers yet</pre>
+</section>
+<section id="stats" class="panel">
+ <div class="row">
+  <button class="go" onclick="doExport('json')">Export JSON</button>
+  <button class="go" onclick="doExport('csv')">Export CSV</button></div>
+ <pre id="statout">loading…</pre></section>
 </main>
 <script>
 document.querySelectorAll('nav button').forEach(b=>b.onclick=()=>{
@@ -594,11 +839,70 @@ async function post(url, body){
   const r=await fetch(url,{method:'POST',headers:{'content-type':'application/json'},
     body:JSON.stringify(body)});return r.json();
 }
+let lastResults=[];
 async function doSearch(){
   const d=await post('/api/search',{query:q.value,limit:24,mode:mode.value});
   smeta.textContent=d.success?`${d.count} hits in ${d.latency_ms} ms`
     :JSON.stringify(d.error);
-  sout.innerHTML=(d.results||[]).map(card).join('');
+  lastResults=d.results||[];
+  sout.innerHTML=lastResults.map(card).join('');
+}
+async function doExport(fmt){
+  if(!lastResults.length){statout.textContent='run a search first — export '
+    +'saves the last search results';return;}
+  const r=await fetch('/api/export',{method:'POST',
+    headers:{'content-type':'application/json'},
+    body:JSON.stringify({results:lastResults,format:fmt})});
+  const blob=await r.blob();const a=document.createElement('a');
+  a.href=URL.createObjectURL(blob);a.download='results.'+fmt;a.click();
+}
+let bws=null;
+function buildWS(){
+  if(bws&&bws.readyState<2)return;
+  bws=new WebSocket((location.protocol==='https:'?'wss':'ws')+'://'
+    +location.host+'/ws');
+  bws.onmessage=e=>{const d=JSON.parse(e.data);
+    if(d.event==='build_progress'){
+      bmeta.textContent=`${d.stage||''} ${d.done||0}/${d.total||0}`;
+      if(d.total)bbar.style.width=(100*d.done/d.total)+'%';}
+    if(d.event==='build_done'){bmeta.textContent=
+      `done — processed ${d.processed}, skipped ${d.skipped}, failed ${d.failed}`;
+      bbar.style.width='100%';}
+    if(d.event==='build_error')bmeta.textContent='ERROR: '+d.error;};
+}
+async function doBuild(){
+  buildWS();
+  const d=await post('/api/build',{keyframes_dir:bdir.value,
+    resume:bresume.checked});
+  bmeta.textContent=d.success?'build started…':JSON.stringify(d.error||d);
+  if(d.success)bbar.style.width='2%';
+}
+async function doDiscover(){
+  nmeta.textContent='listening for announcements…';
+  const d=await post('/api/network/discover',{wait_s:2});
+  nmeta.textContent=`${(d.nodes||[]).length} peer(s) discovered`;
+  renderPeers(d.nodes||[],[]);
+}
+function renderPeers(nodes,indexes){
+  let html='';
+  nodes.forEach(n=>{html+=`${n.node_name||n.node_id} @ ${n.host||n.ip}:`
+    +`${n.service_port}\\n`;});
+  indexes.forEach(i=>{html+=`  index ${i.index_id||i.id}: ${i.ntotal||'?'} rows `
+    +`<button onclick="loadRemote('${i.index_id||i.id}')">load</button>\\n`;});
+  nout.innerHTML=html||'no peers yet';
+}
+async function doConnect(){
+  const d=await post('/api/network/connect',
+    {host:nhost.value,port:parseInt(nport.value)});
+  if(!d.success){nmeta.textContent=JSON.stringify(d.error);return;}
+  nmeta.textContent=`connected: ${(d.node||{}).node_name||nhost.value}`;
+  renderPeers([],d.indexes||[]);
+}
+async function loadRemote(id){
+  const d=await post('/api/network/load_remote',
+    {host:nhost.value,port:parseInt(nport.value),index_id:id});
+  nmeta.textContent=d.success?`remote index ${id} loaded (${d.ntotal} rows) — `
+    +`searches now fan out to it`:JSON.stringify(d.error);
 }
 async function doImage(){
   const f=file.files[0];if(!f)return;
