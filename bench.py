@@ -187,6 +187,36 @@ def main() -> None:
     )
     log(f"1M bf16 e2e: p50={p50:.2f} ms p95={p95:.2f} ms over {nq} queries")
 
+    # -- sharded-path regression variant: same query over a 1-device mesh ------
+    # (shard_map + Pallas composition; catches sharding regressions in
+    # BENCH_rNN without multi-chip hardware)
+    if on_tpu:
+        try:
+            from jax.sharding import Mesh, NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            from intelligent_video_analysis_retrieval_system_tpu.parallel.sharded_search import (
+                sharded_topk,
+            )
+
+            mesh = Mesh(np.array(jax.devices()[:1]), ("index",))
+            xs = jax.device_put(xd, NamedSharding(mesh, P("index", None)))
+            enc = jax.jit(encode)
+
+            def sharded_query(i):
+                emb = enc(tp, tokens, jnp.float32(i + 1))
+                res = sharded_topk(mesh, xs, emb.astype(jnp.bfloat16), K, N)
+                return res.scores[0, 0]
+
+            float(sharded_query(-1))  # compile
+            s50, s95, _ = percentile_rounds(sharded_query, 8, 8,
+                                            round_overhead(8))
+            log(f"1M sharded (1-dev mesh): p50={s50:.2f} ms p95={s95:.2f} ms")
+            extra["latency_1M_sharded_1dev_p50_ms"] = round(s50, 2)
+            del xs
+        except Exception as exc:
+            log(f"sharded bench variant skipped: {type(exc).__name__}: {exc}")
+
     # -- image-tower throughput ------------------------------------------------
     try:
         full = bool(os.environ.get("IVARS_BENCH_FULL"))
