@@ -301,6 +301,37 @@ def main() -> None:
             # v5e-8 analysis: 10M/8 = 1.25M rows/chip; the measured sweep is
             # linear in rows, so per-chip time ~ p50/8 + ICI merge (~51 KB)
             extra["latency_10M_8chip_estimate_ms"] = round(q50 / 8 + 0.5, 2)
+
+            # serving throughput: ONE sweep amortized over a 32-query batch
+            # (facade.search_batch); the (N, 32) i32 score matrix adds
+            # ~1.3 GB HBM round-trip against the 7.7 GB row stream
+            B_QPS = 32
+            search10b = _build_int8_searcher(n_pad, D, B_QPS, K, False)
+            tokens_b = jnp.tile(tokens, (B_QPS, 1))
+
+            @jax.jit
+            def query10_batch(tp, x10, s10, dead, tokens_b, salt):
+                toks = tokens_b.at[:, 1].set(
+                    (salt.astype(jnp.int32)
+                     + jnp.arange(B_QPS, dtype=jnp.int32)) % 49000
+                )
+                emb = tower.apply({"params": tp}, toks).astype(jnp.float32)
+                emb /= jnp.maximum(
+                    jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12
+                )
+                res = search10b(x10, s10, emb, jnp.int32(N10), dead)
+                return res.scores[0, 0]
+
+            log("compiling 10M int8 batched (32-query) search...")
+            float(query10_batch(tp, x10, s10, dead, tokens_b, jnp.float32(0)))
+            b50, _, _ = percentile_rounds(
+                lambda i: query10_batch(tp, x10, s10, dead, tokens_b,
+                                        jnp.float32(i + 1)),
+                6, 4, round_overhead(4),
+            )
+            qps = B_QPS / (b50 / 1e3)
+            log(f"10M int8 batched: {b50:.2f} ms / 32 queries = {qps:.0f} QPS/chip")
+            extra["qps_10M_int8_1chip_b32"] = round(qps)
         except Exception as exc:
             log(f"10M int8 bench skipped: {type(exc).__name__}: {exc}")
 

@@ -24,13 +24,24 @@ int8 row AND query quantization (measured recall@10 vs exact ~1.0 for
 CLIP-like embeddings; verify per-corpus with
 ``retrieval.evaluation.evaluate_backends``).
 
-Why int8 x int8 (measured on v5e, benchmarks/exp_int8.py):
+Backend history (measured on v5e, benchmarks/exp_int8.py and
+benchmarks/exp_int8_xla_sweep.py):
 - round-1 kernel (int8 -> bf16 convert in VMEM, bf16 matmul): 6.55 ms per
   2M x 768 rows — the VPU convert serializes against the MXU in-kernel;
-- this kernel: 5.2 ms per 2M rows (~310 GB/s). Raw int8 DMA streams at
-  ~805 GB/s (benchmarks/exp_stream_bw.py), so the remaining gap is the
-  Mosaic int8-matmul lowering, not bandwidth; TILE_N 4096 measured equal,
-  8192 exceeds the 16 MB scoped-VMEM limit.
+- round-2 Pallas int8 x int8 kernel: 5.2 ms per 2M rows (~310 GB/s). Raw
+  int8 DMA streams at ~805 GB/s (benchmarks/exp_stream_bw.py), so the gap
+  is the Mosaic int8-matmul lowering, not bandwidth; TILE_N 4096 measured
+  equal, 8192 exceeds the 16 MB scoped-VMEM limit.
+- round-2 **XLA backend (current default)**: phase 1 as a plain
+  ``lax.dot_general`` int8 x int8 -> i32 with the scale/mask/chunk-max as
+  XLA ops — 3.37 ms full search per 2M rows (~480 GB/s effective), 2.06x
+  the Pallas kernel, top-1 bit-exact MATCH. XLA's int8 matmul lowering
+  (429 TFLOP/s in isolation) beats Mosaic's; the extra (N, B) i32 score
+  materialization costs only ~64 MB HBM round-trip per 2M rows at B=8.
+  The fused-Pallas-vs-XLA verdict is therefore dtype-specific: bf16 needs
+  the fused kernel (XLA's f32-HIGHEST chain measured 180x slower), int8
+  does not. Both backends share phase 2 and return identical results;
+  ``backend="pallas"`` keeps the kernel for comparison.
 
 Supports the same dynamic ``n_valid`` and tombstone mask as the exact
 kernel (``ops.topk``). Replaces FAISS IndexFlatIP at 2x capacity
@@ -143,47 +154,74 @@ def _int8_sweep_kernel(n_valid_ref, x_ref, xs_ref, q_ref, dead_ref, out_ref):
 
 @functools.lru_cache(maxsize=64)
 def _build_int8_searcher(n_pad: int, d: int, b_pad: int, k: int,
-                         interpret: bool):
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+                         interpret: bool, backend: str = "xla"):
+    """Compile the int8 two-phase searcher.
 
-    num_tiles = n_pad // TILE_N
+    ``backend="xla"`` (default): phase 1 is a plain int8 x int8
+    ``lax.dot_general`` + fused scale/mask/chunk-max — measured 2.06x the
+    Pallas kernel on v5e (module docstring). ``backend="pallas"`` keeps the
+    fused kernel; ``interpret=True`` forces the Pallas kernel in interpret
+    mode (CPU test coverage of the kernel itself).
+    """
     num_chunks = n_pad // CHUNK
-    chunks_per_tile = TILE_N // CHUNK
     k_chunks = min(k, num_chunks)
+    use_pallas_sweep = interpret or backend == "pallas"
 
-    sweep = pl.pallas_call(
-        _int8_sweep_kernel,
-        grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),                    # n_valid
-            pl.BlockSpec((TILE_N, d), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),                    # x int8
-            pl.BlockSpec((TILE_N, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),                    # x scales
-            pl.BlockSpec((b_pad, d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),                    # q int8
-            pl.BlockSpec((TILE_N, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),                    # tombstones
-        ],
-        out_specs=pl.BlockSpec(
-            (chunks_per_tile, b_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((num_chunks, b_pad), jnp.float32),
-        interpret=interpret,
-    )
+    if use_pallas_sweep:
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        num_tiles = n_pad // TILE_N
+        chunks_per_tile = TILE_N // CHUNK
+
+        sweep = pl.pallas_call(
+            _int8_sweep_kernel,
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),                 # n_valid
+                pl.BlockSpec((TILE_N, d), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),                 # x int8
+                pl.BlockSpec((TILE_N, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),                 # x scales
+                pl.BlockSpec((b_pad, d), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),                 # q int8
+                pl.BlockSpec((TILE_N, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),                 # tombstones
+            ],
+            out_specs=pl.BlockSpec(
+                (chunks_per_tile, b_pad), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((num_chunks, b_pad), jnp.float32),
+            interpret=interpret,
+        )
 
     @jax.jit
     def search(x_i8, x_scales, q, n_valid, deleted):
-        n_valid_arr = jnp.asarray(n_valid, jnp.int32).reshape(1)
         # quantize the query ONCE and use it in BOTH phases — mixing a
         # quantized phase 1 with a full-precision phase 2 would break the
         # chunk-containment guarantee; with one metric the integer math is
         # exact (< 2^24), so containment holds with zero ulp slack
         q_i8, q_scales = _quantize_q(q)
-        chunk_max = sweep(
-            n_valid_arr, x_i8, x_scales.reshape(-1, 1), q_i8, deleted,
-        )
+        if use_pallas_sweep:
+            n_valid_arr = jnp.asarray(n_valid, jnp.int32).reshape(1)
+            chunk_max = sweep(
+                n_valid_arr, x_i8, x_scales.reshape(-1, 1), q_i8, deleted,
+            )
+        else:
+            # identical math to the kernel, op for op: i32 dot, f32 row
+            # scale, mask, chunk max — so chunk_max is bit-identical and
+            # the two backends select the same candidate chunks
+            scores = lax.dot_general(
+                x_i8, q_i8, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * x_scales[:, None]         # (n_pad, B)
+            row = lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+            alive = (row < jnp.asarray(n_valid, jnp.int32)) & (
+                deleted.astype(jnp.int32) == 0
+            )
+            scores = jnp.where(alive, scores, -jnp.inf)
+            chunk_max = jnp.max(scores.reshape(-1, CHUNK, b_pad), axis=1)
         # chunk selection is invariant to the positive per-query scale, so
         # phase 1 never needs q_scales
         _, chunk_ids = lax.top_k(chunk_max.T, k_chunks)
@@ -233,12 +271,14 @@ def topk_search_int8(
     deleted: jnp.ndarray | None = None,
     use_pallas: bool | None = None,
     interpret: bool = False,
+    backend: str = "xla",
 ) -> TopKResult:
     """Top-k over an int8-quantized database.
 
     ``q`` is full-precision and is quantized per-row on device (the scheme
     in the module docstring). Results are deterministic across CPU/TPU and
-    shardings (integer metric).
+    shardings (integer metric) — and identical across ``backend`` choices
+    ("xla" default, "pallas" keeps the fused kernel).
     """
     b = q.shape[0]
     n_live = int(x_i8.shape[0]) if n_valid is None else int(n_valid)
@@ -265,7 +305,7 @@ def topk_search_int8(
             )
     search = _build_int8_searcher(
         int(n_pad), int(x_i8.shape[1]), int(q_p.shape[0]), int(k),
-        bool(interpret),
+        bool(interpret), backend,
     )
     res = search(x_i8, jnp.asarray(x_scales, jnp.float32), q_p,
                  jnp.int32(n_live), dead)

@@ -445,6 +445,82 @@ class EnhancedRetrievalSystem:
         )
         return base
 
+    def search_batch(
+        self, queries: Sequence[str], options: SearchOptions | None = None
+    ) -> list[list[dict[str, Any]]]:
+        """Batched text search: ONE text-tower forward and ONE top-k sweep
+        for the whole batch, so the HBM sweep cost amortizes across queries
+        (the serving-throughput lever the reference's per-request FAISS
+        loop never had, ``api.py:2553-2617``). Per-query results are
+        identical to :meth:`search` in ``clip_only`` mode — same
+        translation, cache, filtering and post-processing. Other modes (or
+        remote fan-in) fall back to per-query :meth:`search`. Never raises;
+        failed batches return ``[]`` per query.
+        """
+        options = options or SearchOptions(
+            limit=self.config.get("retrieval.default_top_k", 20)
+        )
+        options.validate()
+        queries = [q.strip() for q in queries]
+        if not queries:
+            return []
+        if options.mode != "clip_only" or self.remote_indexes:
+            return [self.search(q, options) for q in queries]
+        try:
+            with self.perf.timer("search_batch", n_queries=len(queries)):
+                return self._search_batch_impl(queries, options)
+        except Exception:
+            self.logger.exception("batch search failed")
+            self.perf.record_error("search_batch")
+            return [[] for _ in queries]
+
+    def _search_batch_impl(
+        self, queries: list[str], options: SearchOptions
+    ) -> list[list[dict[str, Any]]]:
+        mode_key = f"{self._cache_mode_key(options)}::{self._cache_index_key()}"
+        out: list[list[dict[str, Any]] | None] = [None] * len(queries)
+        todo: list[int] = []
+        for i, q in enumerate(queries):
+            if not q or self.index is None:
+                out[i] = []
+                continue
+            if options.use_cache:
+                cached = self.cache.get_cached_results(q, mode_key, options.limit)
+                if cached is not None:
+                    out[i] = cached
+                    continue
+            todo.append(i)
+        if todo:
+            clip_queries: list[str] = []
+            translations: list[Any] = []
+            for i in todo:
+                cq, translation = queries[i], None
+                if options.translate:
+                    translation = self.translator.translate_query(cq)
+                    if translation.confidence >= self.translator.min_confidence:
+                        cq = translation.clip_prompt
+                clip_queries.append(cq)
+                translations.append(translation)
+            qvecs = self.embedder.encode_text(clip_queries)
+            filter_fn = None
+            if options.folder_filter:
+                target = options.folder_filter
+                filter_fn = lambda m: m.folder == target
+            hit_lists = self.index.search_vectors(
+                qvecs, top_k=options.limit, filter_fn=filter_fn
+            )
+            for j, i in enumerate(todo):
+                results = self._post_process(
+                    [h.to_dict("rich") for h in hit_lists[j]],
+                    options, translations[j],
+                )
+                if options.use_cache:
+                    self.cache.cache_query_results(
+                        queries[i], mode_key, options.limit, results
+                    )
+                out[i] = results
+        return out  # type: ignore[return-value]
+
     def search_by_image(
         self, image: np.ndarray | str | Path, options: SearchOptions | None = None
     ) -> list[dict[str, Any]]:

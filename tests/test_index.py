@@ -593,6 +593,44 @@ class TestInt8Mode:
         np.testing.assert_array_equal(np.asarray(got.scores),
                                       np.asarray(want.scores))
 
+    def test_int8_xla_backend_bitexact(self, rng):
+        """The XLA int8 backend (default on TPU — measured 2.06x the Pallas
+        kernel, benchmarks/exp_int8_xla_sweep.py) shares phase 2 and does
+        op-identical phase-1 math, so scores AND indices must match both
+        the Pallas kernel and the full reference bit-exactly, including
+        tombstones and a partial n_valid."""
+        import jax.numpy as jnp
+
+        from intelligent_video_analysis_retrieval_system_tpu.ops.quant import (
+            _int8_reference,
+            pad_rows_int8,
+            quantize_rows_int8,
+            topk_search_int8,
+        )
+
+        n = 3000
+        x = rng.standard_normal((n + 500, 64)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=-1, keepdims=True)
+        q = rng.standard_normal((3, 64)).astype(np.float32)
+        xi, xs = pad_rows_int8(*quantize_rows_int8(x))
+        deleted = np.zeros(n, np.int8)
+        deleted[rng.integers(0, n, 40)] = 1
+        kw = dict(k=7, n_valid=n, deleted=jnp.asarray(deleted))
+        got_xla = topk_search_int8(jnp.asarray(xi), jnp.asarray(xs),
+                                   jnp.asarray(q), use_pallas=True,
+                                   backend="xla", **kw)
+        got_pl = topk_search_int8(jnp.asarray(xi), jnp.asarray(xs),
+                                  jnp.asarray(q), use_pallas=True,
+                                  interpret=True, **kw)
+        want = _int8_reference(jnp.asarray(xi[:n]), jnp.asarray(xs[:n]),
+                               jnp.asarray(q), 7,
+                               deleted=jnp.asarray(deleted))
+        for other in (got_pl, want):
+            np.testing.assert_array_equal(np.asarray(got_xla.indices),
+                                          np.asarray(other.indices))
+            np.testing.assert_array_equal(np.asarray(got_xla.scores),
+                                          np.asarray(other.scores))
+
     def test_int8_deleted_mask(self, rng):
         import jax.numpy as jnp
 

@@ -74,6 +74,31 @@ class TestBuildAndSearch:
         scores = [r["similarity_score"] for r in results]
         assert scores == sorted(scores, reverse=True)
 
+    def test_search_batch_matches_per_query(self, built_system):
+        """search_batch (one tower forward + one sweep for the whole batch)
+        must return exactly what per-query search returns, including cache
+        interop, empty queries, and non-clip_only fallback."""
+        _, system = built_system
+        queries = ["a red car", "", "a photo of a dog", "a red car"]
+        opts = SearchOptions(limit=4, use_cache=False)
+        batched = system.search_batch(queries, opts)
+        assert len(batched) == 4
+        assert batched[1] == []
+        for q, got in zip(queries, batched):
+            if q:
+                assert got == system.search(q, opts)
+        # cache interop: a batch populates the cache per query; a later
+        # per-query search with use_cache must hit it (and vice versa)
+        copts = SearchOptions(limit=3)
+        system.search("cache interop probe", copts)
+        again = system.search_batch(["cache interop probe", "a blue boat"], copts)
+        assert again[0] == system.search("cache interop probe", copts)
+        assert again[1] == system.search("a blue boat", copts)
+        # hybrid mode falls back to per-query search, same results
+        hopts = SearchOptions(limit=3, mode="hybrid", use_cache=False)
+        hb = system.search_batch(["a red car"], hopts)
+        assert hb[0] == system.search("a red car", hopts)
+
     def test_all_modes_work(self, built_system):
         _, system = built_system
         for mode in ("clip_only", "llm_enhanced", "hybrid"):
