@@ -30,6 +30,15 @@ _SCHEMAS: dict[str, dict[str, Any]] = {
             "include_temporal": bool,
         },
     },
+    "search_batch": {
+        "required": {"queries": list},
+        "optional": {
+            "mode": SEARCH_MODES,
+            "limit": (1, 1000),
+            "detail_level": DETAIL_LEVELS,
+            "folder": str,
+        },
+    },
     "image_search": {
         "required": {"image_base64": str},
         "optional": {"limit": (1, 1000), "detail_level": DETAIL_LEVELS},

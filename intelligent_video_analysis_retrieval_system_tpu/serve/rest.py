@@ -6,6 +6,7 @@ eventlet ``SocketIOServer`` (``api.py:2419-2932``) with one aiohttp app:
 REST (reference route parity):
     GET  /api/health
     POST /api/search            {query, mode?, limit?, detail_level?, folder?}
+    POST /api/search_batch      {queries: [..], mode?, limit?, detail_level?}
     POST /api/image_search      {image_base64, limit?, detail_level?}
     POST /api/chat              {message, context_frames?}
     POST /api/translate         {text}
@@ -111,6 +112,7 @@ class RetrievalServer:
         app = self.app
         app.router.add_get("/api/health", self._health)
         app.router.add_post("/api/search", self._search)
+        app.router.add_post("/api/search_batch", self._search_batch)
         app.router.add_post("/api/image_search", self._image_search)
         app.router.add_post("/api/chat", self._chat)
         app.router.add_post("/api/translate", self._translate)
@@ -208,6 +210,47 @@ class RetrievalServer:
                 "results": format_results(
                     results, payload.get("detail_level", "standard")
                 ),
+            }
+        )
+
+    async def _search_batch(self, request: "web.Request") -> "web.Response":
+        """Explicit client-side batch: ONE tower forward + ONE sweep for all
+        queries (facade.search_batch); per-query result lists in order."""
+        payload = await self._json(request)
+        if payload is None:
+            return web.json_response(error_envelope("invalid JSON body"), status=400)
+        ok, err = self.handler.validate_request(
+            "search_batch", payload, self._client_id(request)
+        )
+        if not ok:
+            status = 429 if err == "rate limit exceeded" else 400
+            return web.json_response(error_envelope(err, status), status=status)
+        queries = payload["queries"]
+        if not all(isinstance(q, str) for q in queries):
+            return web.json_response(
+                error_envelope("queries must be a list of strings"), status=400
+            )
+        if len(queries) > 256:
+            return web.json_response(
+                error_envelope("at most 256 queries per batch"), status=400
+            )
+
+        from ..system.facade import SearchOptions
+
+        options = SearchOptions(
+            mode=payload.get("mode", "clip_only"),
+            limit=payload.get("limit", 20),
+            folder_filter=payload.get("folder"),
+        )
+        t0 = time.perf_counter()
+        batches = await self._run_sync(self.system.search_batch, queries, options)
+        detail = payload.get("detail_level", "standard")
+        return web.json_response(
+            {
+                "success": True,
+                "count": sum(len(b) for b in batches),
+                "latency_ms": round((time.perf_counter() - t0) * 1e3, 2),
+                "results": [format_results(b, detail) for b in batches],
             }
         )
 

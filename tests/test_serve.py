@@ -136,6 +136,33 @@ class TestRESTServer:
         }
         assert body["latency_ms"] > 0
 
+    def test_search_batch_endpoint(self, served_system):
+        _, system, port = served_system
+        status, body = http_json(
+            f"http://127.0.0.1:{port}/api/search_batch",
+            {"queries": ["a person", "a car"], "limit": 3,
+             "detail_level": "minimal"},
+        )
+        assert status == 200 and body["success"]
+        assert len(body["results"]) == 2
+        assert body["count"] == 6
+        # per-query parity with the single-query endpoint
+        s, single = http_json(
+            f"http://127.0.0.1:{port}/api/search",
+            {"query": "a person", "limit": 3, "detail_level": "minimal"},
+        )
+        assert s == 200 and body["results"][0] == single["results"]
+        # validation: non-string entries and oversize batches rejected
+        status, _ = http_json(
+            f"http://127.0.0.1:{port}/api/search_batch", {"queries": [1, 2]}
+        )
+        assert status == 400
+        status, _ = http_json(
+            f"http://127.0.0.1:{port}/api/search_batch",
+            {"queries": ["q"] * 257},
+        )
+        assert status == 400
+
     def test_search_validation_errors(self, served_system):
         _, _, port = served_system
         status, body = http_json(
