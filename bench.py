@@ -96,6 +96,39 @@ def percentile_rounds(fn, rounds: int, per_round: int, overhead: float):
     )
 
 
+def gen_db_bf16_device(n_pad: int, seed: int = 7):
+    """Random L2-normalized bf16 rows generated ON DEVICE (host upload of
+    a 1.5 GB DB through the tunnel measured ~25 min — never again)."""
+    import jax
+    import jax.numpy as jnp
+
+    chunk = 262_144
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def fill(buf, key, start):
+        c = jax.random.normal(key, (chunk, D), jnp.float32)
+        c /= jnp.maximum(jnp.linalg.norm(c, axis=-1, keepdims=True), 1e-12)
+        return jax.lax.dynamic_update_slice(
+            buf, c.astype(jnp.bfloat16), (start, 0)
+        )
+
+    buf = jnp.zeros((n_pad, D), jnp.bfloat16)
+    key = jax.random.PRNGKey(seed)
+    n_full = n_pad // chunk
+    for i in range(n_full):
+        key, sub = jax.random.split(key)
+        buf = fill(buf, sub, jnp.int32(i * chunk))
+    rem = n_pad - n_full * chunk
+    if rem:
+        tail = jax.random.normal(key, (rem, D), jnp.float32)
+        tail /= jnp.maximum(jnp.linalg.norm(tail, axis=-1, keepdims=True), 1e-12)
+        buf = jax.lax.dynamic_update_slice(
+            buf, tail.astype(jnp.bfloat16), (n_pad - rem, 0)
+        )
+    buf.block_until_ready()
+    return buf
+
+
 def gen_db_int8_device(n_pad: int, seed: int = 0):
     """Random int8 rows + f32 scales generated ON DEVICE."""
     import jax
@@ -147,9 +180,17 @@ def main() -> None:
     extra: dict = {}
 
     rng = np.random.default_rng(0)
-    x = rng.standard_normal((N, D)).astype(np.float32)
-    x /= np.linalg.norm(x, axis=-1, keepdims=True)
-    xd = pad_database(jnp.asarray(x, jnp.bfloat16))
+    if on_tpu:
+        from intelligent_video_analysis_retrieval_system_tpu.ops.topk import (
+            TILE_N as _TILE,
+        )
+
+        log(f"generating {N}x{D} bf16 DB on device...")
+        xd = gen_db_bf16_device(-(-N // _TILE) * _TILE)
+    else:
+        x = rng.standard_normal((N, D)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=-1, keepdims=True)
+        xd = pad_database(jnp.asarray(x, jnp.bfloat16))
 
     cfg = CLIPConfig.vit_l_14()
     tower = CLIPTextTower(cfg.text, dtype=jnp.bfloat16)
