@@ -56,15 +56,19 @@ def main():
                     jnp.bfloat16)
     flops = 2 * T * DIN * DOUT
 
+    # NB: consume the FULL output (sum) — returning out[0,0] lets XLA
+    # dead-code-eliminate all but one row of the GEMM (CLAUDE.md probe
+    # gotcha; the first version of this file measured exactly that bug:
+    # "343 TFLOP/s bf16" on a 197 TFLOP/s part).
     @jax.jit
     def a_bf16(x, w, salt):
         out = (x + salt) @ w
-        return out.astype(jnp.float32)[0, 0]
+        return jnp.sum(out.astype(jnp.float32))
 
     @jax.jit
     def b_dynamic(x, w, salt):
         out = w8a8_dense(x + salt, w.astype(jnp.float32))
-        return out.astype(jnp.float32)[0, 0]
+        return jnp.sum(out.astype(jnp.float32))
 
     # pre-quantized weights + static activation scale (what a calibrated
     # deployment would run per layer)
@@ -81,14 +85,14 @@ def main():
             x8, w8, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32) * a_scale * w_scale
-        return out[0, 0]
+        return jnp.sum(out)
 
     @jax.jit
     def d_quant_only(x, salt):
         xf = x.astype(jnp.float32) + salt
         s = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
         x8 = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
-        return x8.astype(jnp.float32)[0, 0] + jnp.sum(x8.astype(jnp.int32)) * 0.0
+        return jnp.sum(x8.astype(jnp.int32))
 
     for name, fn in [
         ("A bf16 dense", lambda i: a_bf16(x, w, jnp.bfloat16(i))),
