@@ -23,13 +23,37 @@ def main():
                      jnp.bfloat16)
 
     results = {}
-    for name, kwargs in [("bf16", {}), ("w8a8", {"w8a8": True})]:
+    for name, kwargs in [
+        ("bf16", {}),
+        ("w8a8", {"w8a8": True}),
+        ("w8a8_static", {"w8a8": True, "w8a8_static": True}),
+    ]:
         tower = CLIPVisionTower(cfg.vision, dtype=jnp.bfloat16, **kwargs)
         vp = jax.jit(tower.init)(jax.random.PRNGKey(0), px[:1])["params"]
 
-        @jax.jit
-        def fwd(vp, px, salt):
-            return tower.apply({"params": vp}, px + salt).astype(jnp.float32)[0, 0]
+        if kwargs.get("w8a8_static"):
+            # calibrate on one batch through the dynamic twin
+            from intelligent_video_analysis_retrieval_system_tpu.models.calibrate import (
+                calibrate_act_scales,
+            )
+
+            dyn = CLIPVisionTower(cfg.vision, dtype=jnp.bfloat16, w8a8=True)
+            scales = calibrate_act_scales(dyn, {"params": vp}, [(px,)])
+            log(f"{name}: calibrated "
+                f"{len(jax.tree_util.tree_leaves(scales))} scales")
+
+            @jax.jit
+            def fwd(vp, px, salt, _s=scales):
+                return tower.apply(
+                    {"params": vp, **_s}, px + salt
+                ).astype(jnp.float32)[0, 0]
+        else:
+
+            @jax.jit
+            def fwd(vp, px, salt):
+                return tower.apply(
+                    {"params": vp}, px + salt
+                ).astype(jnp.float32)[0, 0]
 
         t0 = time.perf_counter()
         float(fwd(vp, px, jnp.bfloat16(0)))
@@ -45,16 +69,19 @@ def main():
         log(f"{name}: {B/per_batch:.0f} frames/s/chip ({per_batch*1e3:.1f} ms/batch B={B})")
 
         # quality: cosine vs the bf16 tower on the same params
-        if name == "w8a8":
+        if name != "bf16":
             base = CLIPVisionTower(cfg.vision, dtype=jnp.bfloat16)
-            @jax.jit
-            def emb(tower_apply, vp, px):
-                return tower_apply({"params": vp}, px)
             a = np.asarray(jax.jit(lambda vp, px: base.apply({"params": vp}, px))(vp, px[:8]), np.float32)
-            b = np.asarray(jax.jit(lambda vp, px: tower.apply({"params": vp}, px))(vp, px[:8]), np.float32)
+            if kwargs.get("w8a8_static"):
+                b = np.asarray(jax.jit(
+                    lambda vp, px, _s=scales: tower.apply({"params": vp, **_s}, px)
+                )(vp, px[:8]), np.float32)
+            else:
+                b = np.asarray(jax.jit(lambda vp, px: tower.apply({"params": vp}, px))(vp, px[:8]), np.float32)
             cos = (a*b).sum(-1)/(np.linalg.norm(a,axis=-1)*np.linalg.norm(b,axis=-1))
-            log(f"w8a8 vs bf16 cosine: min={cos.min():.4f} mean={cos.mean():.4f}")
-    log(f"speedup: {results.get('w8a8',0)/results['bf16']:.2f}x")
+            log(f"{name} vs bf16 cosine: min={cos.min():.4f} mean={cos.mean():.4f}")
+    log(f"speedup: w8a8 {results.get('w8a8',0)/results['bf16']:.2f}x, "
+        f"static {results.get('w8a8_static',0)/results['bf16']:.2f}x")
 
 if __name__ == "__main__":
     main()

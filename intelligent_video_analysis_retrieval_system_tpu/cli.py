@@ -77,8 +77,10 @@ def _build_parser() -> argparse.ArgumentParser:
     bd.add_argument("--no-resume", action="store_true")
     bd.add_argument("--chunk-size", type=int, default=1024)
     bd.add_argument("--dtype", default="bfloat16",
-                    choices=["bfloat16", "float16", "float32", "int8"],
-                    help="int8 = capacity mode: 2x corpus per chip")
+                    choices=["bfloat16", "float16", "float32", "int8",
+                             "int8_static"],
+                    help="int8/int8_static = W8A8 towers on the int8 MXU "
+                         "(static: calibrated activation scales)")
 
     se = sub.add_parser("search", help="query an index")
     se.add_argument("index_path")

@@ -116,6 +116,33 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _w8a8_act_scale(
+    mod: nn.Module, name: str, t: jnp.ndarray, static: bool
+) -> jnp.ndarray | None:
+    """Per-call-site activation-scale plumbing for W8A8 dense layers.
+
+    Sows the observed ``max|x|`` into the ``act_stats`` collection — a
+    no-op (dead-code-eliminated) unless the caller runs with
+    ``mutable=["act_stats"]``, which is exactly what the calibration pass
+    (``models.calibrate.calibrate_act_scales``) does. In static mode,
+    reads the calibrated scalar from the ``act_scales`` collection
+    (created at init with a 1/127 placeholder) and returns it; dynamic
+    mode returns None (per-token scales inside ``w8a8_dense``).
+    """
+    if not mod.is_initializing():  # keep init output to params(+act_scales)
+        amax = jnp.max(jnp.abs(t.astype(jnp.float32)))
+        mod.sow(
+            "act_stats", f"{name}_amax", amax,
+            init_fn=lambda: jnp.float32(0.0), reduce_fn=jnp.maximum,
+        )
+    if not static:
+        return None
+    var = mod.variable(
+        "act_scales", f"{name}_ascale", lambda: jnp.float32(1.0 / 127.0)
+    )
+    return var.value
+
+
 class MultiHeadAttention(nn.Module):
     num_heads: int
     dtype: Any = jnp.float32
@@ -124,6 +151,10 @@ class MultiHeadAttention(nn.Module):
     # dynamic per-token activation scales; param tree unchanged (see
     # ops.quant.w8a8_dense)
     w8a8: bool = False
+    # static calibrated activation scales (skips the VPU-bound per-token
+    # max reduce; needs the ``act_scales`` collection from
+    # models.calibrate.calibrate_act_scales)
+    w8a8_static: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -137,7 +168,11 @@ class MultiHeadAttention(nn.Module):
 
                 def apply(t):
                     kernel, bias = holder(t.shape[-1])
-                    return w8a8_dense(t, kernel, bias, out_dtype=self.dtype)
+                    a_scale = _w8a8_act_scale(
+                        self, name, t, self.w8a8_static
+                    )
+                    return w8a8_dense(t, kernel, bias, out_dtype=self.dtype,
+                                      a_scale=a_scale)
 
                 return apply
         else:
@@ -257,6 +292,7 @@ class TransformerBlock(nn.Module):
     # opt-in W8A8 dense layers (q/k/v/out + MLP) on the int8 MXU; param
     # tree identical, quality gated by cosine tests (VERDICT r1 #8)
     w8a8: bool = False
+    w8a8_static: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -266,7 +302,7 @@ class TransformerBlock(nn.Module):
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln_1")(x)
         x = x + MultiHeadAttention(
             self.num_heads, dtype=self.dtype, precision=self.precision,
-            w8a8=self.w8a8, name="attn"
+            w8a8=self.w8a8, w8a8_static=self.w8a8_static, name="attn"
         )(h, mask)
 
         if self.w8a8:
@@ -275,10 +311,16 @@ class TransformerBlock(nn.Module):
             h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
                              name="ln_2")(x)
             w1, b1 = _DenseParams(hidden, name="mlp_fc")(d)
-            h = w8a8_dense(h, w1, b1, out_dtype=self.dtype)
+            h = w8a8_dense(
+                h, w1, b1, out_dtype=self.dtype,
+                a_scale=_w8a8_act_scale(self, "mlp_fc", h, self.w8a8_static),
+            )
             h = _activation(self.act)(h)
             w2, b2 = _DenseParams(d, name="mlp_proj")(hidden)
-            return x + w8a8_dense(h, w2, b2, out_dtype=self.dtype)
+            return x + w8a8_dense(
+                h, w2, b2, out_dtype=self.dtype,
+                a_scale=_w8a8_act_scale(self, "mlp_proj", h, self.w8a8_static),
+            )
 
         from ..ops.block import supports_fused_ln_mlp
 
@@ -321,6 +363,7 @@ class Transformer(nn.Module):
     ln_eps: float = 1e-5
     fused_mlp: bool = False
     w8a8: bool = False
+    w8a8_static: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -332,7 +375,7 @@ class Transformer(nn.Module):
                 self.num_heads, self.mlp_ratio, dtype=self.dtype,
                 precision=self.precision, act=self.act, ln_eps=self.ln_eps,
                 fused_mlp=self.fused_mlp, w8a8=self.w8a8,
-                name=f"layer_{i}"
+                w8a8_static=self.w8a8_static, name=f"layer_{i}"
             )(x, mask)
         return x
 
@@ -348,6 +391,7 @@ class CLIPVisionTower(nn.Module):
     precision: lax.Precision = lax.Precision.DEFAULT
     remat: bool = False
     w8a8: bool = False
+    w8a8_static: bool = False
 
     @nn.compact
     def __call__(self, pixels: jnp.ndarray) -> jnp.ndarray:
@@ -382,7 +426,7 @@ class CLIPVisionTower(nn.Module):
         x = Transformer(
             cfg.num_layers, cfg.num_heads, cfg.mlp_ratio, dtype=self.dtype,
             precision=self.precision, remat=self.remat, w8a8=self.w8a8,
-            name="transformer"
+            w8a8_static=self.w8a8_static, name="transformer"
         )(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(x[:, 0])
         proj = self.param(
@@ -404,6 +448,7 @@ class CLIPTextTower(nn.Module):
     precision: lax.Precision = lax.Precision.DEFAULT
     remat: bool = False
     w8a8: bool = False
+    w8a8_static: bool = False
 
     @nn.compact
     def __call__(self, token_ids: jnp.ndarray, eot_positions: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -433,7 +478,7 @@ class CLIPTextTower(nn.Module):
         x = Transformer(
             cfg.num_layers, cfg.num_heads, cfg.mlp_ratio, dtype=self.dtype,
             precision=self.precision, remat=self.remat, w8a8=self.w8a8,
-            name="transformer"
+            w8a8_static=self.w8a8_static, name="transformer"
         )(x, mask)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_final")(x)
         if eot_positions is None:
@@ -462,15 +507,16 @@ class CLIPModel(nn.Module):
     precision: lax.Precision = lax.Precision.DEFAULT
     remat: bool = False
     w8a8: bool = False
+    w8a8_static: bool = False
 
     def setup(self) -> None:
         self.vision = CLIPVisionTower(
             self.config.vision, dtype=self.dtype, precision=self.precision,
-            remat=self.remat, w8a8=self.w8a8,
+            remat=self.remat, w8a8=self.w8a8, w8a8_static=self.w8a8_static,
         )
         self.text = CLIPTextTower(
             self.config.text, dtype=self.dtype, precision=self.precision,
-            remat=self.remat, w8a8=self.w8a8,
+            remat=self.remat, w8a8=self.w8a8, w8a8_static=self.w8a8_static,
         )
         self.logit_scale = self.param(
             "logit_scale",

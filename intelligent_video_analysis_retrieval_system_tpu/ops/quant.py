@@ -72,9 +72,10 @@ def w8a8_dense(
     kernel: jnp.ndarray,
     bias: jnp.ndarray | None = None,
     out_dtype=None,
+    a_scale: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Dense layer on the int8 MXU: dynamic per-token activation quant x
-    per-output-channel weight quant -> int32 accumulate -> dequant.
+    """Dense layer on the int8 MXU: activation quant x per-output-channel
+    weight quant -> int32 accumulate -> dequant.
 
     Measured on v5e (benchmarks — /tmp probe, 8192x4096x4096): int8xint8
     runs at 429 TFLOP/s vs bf16's 169 (2.5x); the full quant+dot+dequant
@@ -83,6 +84,16 @@ def w8a8_dense(
     identical to ``nn.Dense`` and checkpoints interchange freely with the
     bf16 path (the per-forward weight pass costs ~2-3 ms for all of
     ViT-L/14 — noise against the matmul win at batch >= 64).
+
+    ``a_scale``: activation scale mode.
+    - ``None`` (default): **dynamic** per-token symmetric scales — a max
+      reduction over the feature axis per token. Robust, calibration-free.
+    - scalar array: **static** calibrated scale — skips the per-token
+      reduce entirely (the VPU-bound part of the quant pass; measured
+      0.94 ms vs 2.70 ms dynamic at ViT-L MLP shapes,
+      benchmarks/exp_w8a8_static.py). Obtain scales with
+      ``models.calibrate.calibrate_act_scales``; out-of-range activations
+      saturate at +-127 (symmetric clipping).
 
     Accuracy: symmetric int8 both sides; ViT activations after LayerNorm
     are well-conditioned for per-token scaling (cosine gate enforced in
@@ -95,9 +106,14 @@ def w8a8_dense(
     w8 = jnp.clip(jnp.round(kernel / w_scale), -127, 127).astype(jnp.int8)
 
     x_f = x.astype(jnp.float32)
-    x_scale = jnp.maximum(
-        jnp.max(jnp.abs(x_f), axis=-1, keepdims=True), 1e-12
-    ) / 127.0                                              # (..., 1)
+    if a_scale is None:
+        x_scale = jnp.maximum(
+            jnp.max(jnp.abs(x_f), axis=-1, keepdims=True), 1e-12
+        ) / 127.0                                          # (..., 1)
+    else:
+        x_scale = jnp.maximum(
+            jnp.asarray(a_scale, jnp.float32), 1e-12
+        )                                                  # scalar
     x8 = jnp.clip(jnp.round(x_f / x_scale), -127, 127).astype(jnp.int8)
 
     out = lax.dot_general(

@@ -31,6 +31,12 @@ __all__ = ["CLIPEmbedder"]
 
 _BATCH_BUCKETS = (8, 32, 128, 256)
 
+# int8_static mode: batches observed through the dynamic path (accumulating
+# activation maxima) before scales freeze and the static path takes over
+_CAL_BATCHES = 4
+# clipping headroom over the observed calibration maxima
+_CAL_MARGIN = 1.1
+
 
 def _bucket(n: int) -> int:
     for b in _BATCH_BUCKETS:
@@ -65,6 +71,11 @@ class CLIPEmbedder:
         self.tokenizer = None
         self.load_time_s: float | None = None
         self.using_pretrained = False
+        # int8_static calibration state (per tower): accumulated act_stats
+        # host trees and the frozen act_scales collection once ready
+        self._cal_stats: dict[str, Any] = {"vision": None, "text": None}
+        self._cal_seen: dict[str, int] = {"vision": 0, "text": 0}
+        self._act_scales: dict[str, Any] = {}
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -91,9 +102,17 @@ class CLIPEmbedder:
             )
             self.config = cfg
             # compute_dtype "int8" = W8A8 dense layers on the int8 MXU with
-            # bf16 everything-else (same param tree; ops.quant.w8a8_dense)
-            self.model = CLIPModel(cfg, dtype=dtype, precision=precision,
-                                   w8a8=self.compute_dtype == "int8")
+            # bf16 everything-else (same param tree; ops.quant.w8a8_dense).
+            # "int8_static" additionally swaps the per-token activation
+            # scales for calibrated constants (2.9x the quant pass,
+            # benchmarks/exp_w8a8_static.py): the first _CAL_BATCHES batches
+            # per tower run the dynamic path while accumulating activation
+            # maxima, then scales freeze and the static path takes over.
+            self.model = CLIPModel(
+                cfg, dtype=dtype, precision=precision,
+                w8a8=self.compute_dtype in ("int8", "int8_static"),
+                w8a8_static=self.compute_dtype == "int8_static",
+            )
             self.params = params
             vocab = self.vocab_dir or (
                 self.model_path if self.using_pretrained else None
@@ -157,15 +176,27 @@ class CLIPEmbedder:
                     else lax.Precision.DEFAULT
                 )
                 self.config = config
-                self.model = CLIPModel(config, dtype=dtype, precision=precision,
-                                       w8a8=self.compute_dtype == "int8")
+                self.model = CLIPModel(
+                    config, dtype=dtype, precision=precision,
+                    w8a8=self.compute_dtype in ("int8", "int8_static"),
+                    w8a8_static=self.compute_dtype == "int8_static",
+                )
             # gather to single-device host values (trainer params may be
             # mesh-sharded) and drop cached jitted encoders
             self.params = jax.tree_util.tree_map(
                 lambda x: jnp.asarray(np.asarray(x)), params
             )
-            self.__dict__.pop("_encode_text_jit", None)
-            self.__dict__.pop("_encode_image_jit", None)
+            for cached in (
+                "_encode_text_jit", "_encode_image_jit",
+                "_encode_text_static_jit", "_encode_image_static_jit",
+                "_encode_text_cal_jit", "_encode_image_cal_jit",
+                "_dynamic_model",
+            ):
+                self.__dict__.pop(cached, None)
+            # new params invalidate calibrated activation ranges
+            self._cal_stats = {"vision": None, "text": None}
+            self._cal_seen = {"vision": 0, "text": 0}
+            self._act_scales = {}
             self.using_pretrained = True
         self.self_test()
 
@@ -178,6 +209,69 @@ class CLIPEmbedder:
     def input_size(self) -> int:
         self.ensure_loaded()
         return self.config.vision.image_size
+
+    # -- int8_static calibration ---------------------------------------------
+
+    @functools.cached_property
+    def _dynamic_model(self):
+        """Dynamic-scale twin used for calibration passes (same params)."""
+        import jax.numpy as jnp
+        from jax import lax
+
+        from ..models.clip import CLIPModel
+
+        dtype = jnp.float32 if self.compute_dtype == "float32" else jnp.bfloat16
+        precision = (
+            lax.Precision.HIGHEST if self.parity_mode else lax.Precision.DEFAULT
+        )
+        return CLIPModel(self.config, dtype=dtype, precision=precision,
+                         w8a8=True, w8a8_static=False)
+
+    def _static_ready(self, tower: str) -> bool:
+        return (
+            self.compute_dtype == "int8_static" and tower in self._act_scales
+        )
+
+    def _accumulate_cal(self, tower: str, stats_tree: Any) -> None:
+        """Merge one calibration batch's act_stats (host maxima); freeze
+        the tower's scales after _CAL_BATCHES batches."""
+        import jax
+
+        import numpy as _np
+
+        host = jax.tree.map(lambda x: _np.asarray(x), stats_tree)
+        prev = self._cal_stats[tower]
+        self._cal_stats[tower] = (
+            host if prev is None
+            else jax.tree.map(_np.maximum, prev, host)
+        )
+        self._cal_seen[tower] += 1
+        if self._cal_seen[tower] >= _CAL_BATCHES:
+            self._freeze_scales(tower)
+
+    def _freeze_scales(self, tower: str) -> None:
+        from ..models.calibrate import act_stats_to_scales
+
+        if self._cal_stats[tower] is None:
+            return
+        scales = act_stats_to_scales(
+            self._cal_stats[tower], margin=_CAL_MARGIN
+        )["act_scales"]
+        # stats tree from apply(method=encode_*) is rooted at the tower
+        # submodule name already ({"vision": ...} / {"text": ...})
+        self._act_scales[tower] = scales[tower]
+        if self.logger:
+            self.logger.info(
+                f"int8_static: froze {tower} activation scales after "
+                f"{self._cal_seen[tower]} calibration batches"
+            )
+
+    def calibrate(self) -> None:
+        """Freeze int8_static scales NOW from whatever has been observed
+        (otherwise they freeze automatically after _CAL_BATCHES batches)."""
+        for tower in ("vision", "text"):
+            if self._cal_seen[tower] > 0 and tower not in self._act_scales:
+                self._freeze_scales(tower)
 
     # -- jitted encoders (cached per padded signature) -----------------------
 
@@ -198,6 +292,49 @@ class CLIPEmbedder:
             return out / jax.numpy.maximum(
                 jax.numpy.linalg.norm(out, axis=-1, keepdims=True), 1e-12
             )
+
+        return fn
+
+    @functools.cached_property
+    def _encode_text_static_jit(self):
+        import jax
+
+        from ..models.clip import CLIPModel
+
+        model = self.model
+
+        @jax.jit
+        def fn(params, act_scales, tokens, eot_positions):
+            out = model.apply(
+                {"params": params, "act_scales": act_scales},
+                tokens, eot_positions, method=CLIPModel.encode_text,
+            ).astype("float32")
+            return out / jax.numpy.maximum(
+                jax.numpy.linalg.norm(out, axis=-1, keepdims=True), 1e-12
+            )
+
+        return fn
+
+    @functools.cached_property
+    def _encode_text_cal_jit(self):
+        """Dynamic-path text encode that also returns activation maxima."""
+        import jax
+
+        from ..models.clip import CLIPModel
+
+        model = self._dynamic_model
+
+        @jax.jit
+        def fn(params, tokens, eot_positions):
+            out, mut = model.apply(
+                {"params": params}, tokens, eot_positions,
+                method=CLIPModel.encode_text, mutable=["act_stats"],
+            )
+            out = out.astype("float32")
+            out = out / jax.numpy.maximum(
+                jax.numpy.linalg.norm(out, axis=-1, keepdims=True), 1e-12
+            )
+            return out, mut["act_stats"]
 
         return fn
 
@@ -234,6 +371,71 @@ class CLIPEmbedder:
 
         return fn
 
+    @functools.cached_property
+    def _encode_image_static_jit(self):
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.clip import CLIPModel
+        from ..ops.preprocess import normalize_images, preprocess_images
+
+        model = self.model
+        s = self.config.vision.image_size
+        dtype = jnp.float32 if self.compute_dtype == "float32" else jnp.bfloat16
+
+        @functools.partial(jax.jit, static_argnames=("mode",))
+        def fn(params, act_scales, pixels, mode: str):
+            if mode == "preprocessed":
+                px = pixels.astype(dtype)
+            elif mode == "normalize":
+                px = normalize_images(pixels, dtype=dtype, use_pallas=False)
+            else:
+                px = preprocess_images(pixels, image_size=s, dtype=dtype,
+                                       use_pallas=False)
+            out = model.apply(
+                {"params": params, "act_scales": act_scales}, px,
+                method=CLIPModel.encode_image,
+            ).astype("float32")
+            return out / jax.numpy.maximum(
+                jax.numpy.linalg.norm(out, axis=-1, keepdims=True), 1e-12
+            )
+
+        return fn
+
+    @functools.cached_property
+    def _encode_image_cal_jit(self):
+        """Dynamic-path image encode that also returns activation maxima."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.clip import CLIPModel
+        from ..ops.preprocess import normalize_images, preprocess_images
+
+        model = self._dynamic_model
+        s = self.config.vision.image_size
+        dtype = jnp.float32 if self.compute_dtype == "float32" else jnp.bfloat16
+
+        @functools.partial(jax.jit, static_argnames=("mode",))
+        def fn(params, pixels, mode: str):
+            if mode == "preprocessed":
+                px = pixels.astype(dtype)
+            elif mode == "normalize":
+                px = normalize_images(pixels, dtype=dtype, use_pallas=False)
+            else:
+                px = preprocess_images(pixels, image_size=s, dtype=dtype,
+                                       use_pallas=False)
+            out, mut = model.apply(
+                {"params": params}, px,
+                method=CLIPModel.encode_image, mutable=["act_stats"],
+            )
+            out = out.astype("float32")
+            out = out / jax.numpy.maximum(
+                jax.numpy.linalg.norm(out, axis=-1, keepdims=True), 1e-12
+            )
+            return out, mut["act_stats"]
+
+        return fn
+
     # -- text ---------------------------------------------------------------
 
     def encode_text(self, texts: Sequence[str]) -> np.ndarray:
@@ -254,9 +456,20 @@ class CLIPEmbedder:
             pad_tok[:, 1] = self.tokenizer.eot_id
             tokens = np.concatenate([tokens, pad_tok])
             eot = np.concatenate([eot, np.ones(b_pad - b, eot.dtype)])
-        out = self._encode_text_jit(
-            self.params, jnp.asarray(tokens), jnp.asarray(eot)
-        )
+        if self.compute_dtype != "int8_static":
+            out = self._encode_text_jit(
+                self.params, jnp.asarray(tokens), jnp.asarray(eot)
+            )
+        elif self._static_ready("text"):
+            out = self._encode_text_static_jit(
+                self.params, {"text": self._act_scales["text"]},
+                jnp.asarray(tokens), jnp.asarray(eot),
+            )
+        else:
+            out, stats = self._encode_text_cal_jit(
+                self.params, jnp.asarray(tokens), jnp.asarray(eot)
+            )
+            self._accumulate_cal("text", stats)
         result = np.asarray(out)[:b]
         if self.logger:
             self.logger.log_performance(
@@ -301,7 +514,20 @@ class CLIPEmbedder:
                 chunk = np.concatenate(
                     [chunk, np.zeros((b_pad - b, *chunk.shape[1:]), chunk.dtype)]
                 )
-            out = self._encode_image_jit(self.params, jnp.asarray(chunk), mode)
+            if self.compute_dtype != "int8_static":
+                out = self._encode_image_jit(
+                    self.params, jnp.asarray(chunk), mode
+                )
+            elif self._static_ready("vision"):
+                out = self._encode_image_static_jit(
+                    self.params, {"vision": self._act_scales["vision"]},
+                    jnp.asarray(chunk), mode,
+                )
+            else:
+                out, stats = self._encode_image_cal_jit(
+                    self.params, jnp.asarray(chunk), mode
+                )
+                self._accumulate_cal("vision", stats)
             outs.append(np.asarray(out)[:b])
         result = np.concatenate(outs)
         if self.logger:
@@ -358,6 +584,7 @@ class CLIPEmbedder:
             "compute_dtype": self.compute_dtype,
             "parity_mode": self.parity_mode,
             "embed_dim": self.config.vision.projection_dim if self._loaded else None,
+            "act_scales_calibrated": sorted(self._act_scales.keys()),
             # "clip_bpe" or "hash_fallback" — degraded text semantics must be
             # visible in health checks, not silent (see models.tokenizer)
             "tokenizer": self.tokenizer.kind if self._loaded else None,

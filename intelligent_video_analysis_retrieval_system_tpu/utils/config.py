@@ -210,7 +210,8 @@ class Config:
         ("performance.cache_memory_mb", lambda v: isinstance(v, int) and v >= 1, 512),
         (
             "device.compute_dtype",
-            lambda v: v in ("bfloat16", "float32", "float16"),
+            lambda v: v in ("bfloat16", "float32", "float16", "int8",
+                            "int8_static"),
             "bfloat16",
         ),
         (

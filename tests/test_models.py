@@ -246,6 +246,95 @@ class TestW8A8Tower:
         assert emb.get_stats()["compute_dtype"] == "int8"
 
 
+class TestW8A8Static:
+    """Static calibrated activation scales (w8a8_static): same params,
+    plus a tiny ``act_scales`` collection; skips the VPU-bound per-token
+    max reduce (2.9x the quant pass, benchmarks/exp_w8a8_static.py)."""
+
+    def _data(self, rng):
+        px = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+        toks = rng.integers(1, 500, (2, 16)).astype(np.int32)
+        toks[:, -1] = 511
+        return jnp.asarray(px), jnp.asarray(toks)
+
+    def test_calibrate_then_static_apply_matches_dynamic(self, rng):
+        from intelligent_video_analysis_retrieval_system_tpu.models.calibrate import (
+            calibrate_act_scales,
+        )
+
+        cfg = CLIPConfig.tiny_test()
+        dyn = CLIPModel(cfg, w8a8=True)
+        static = CLIPModel(cfg, w8a8=True, w8a8_static=True)
+        px, toks = self._data(rng)
+        params = dyn.init(jax.random.PRNGKey(0), px, toks)["params"]
+
+        for method, arg in (
+            (CLIPModel.encode_image, px),
+            (CLIPModel.encode_text, toks),
+        ):
+            scales = calibrate_act_scales(
+                dyn, {"params": params}, [(arg,)], method=method
+            )
+            leaves = jax.tree_util.tree_leaves_with_path(scales["act_scales"])
+            assert leaves, "no scales calibrated"
+            for path, leaf in leaves:
+                assert str(path[-1].key).endswith("_ascale")
+                assert np.asarray(leaf).shape == ()
+                assert float(leaf) > 0
+
+            want = np.asarray(
+                dyn.apply({"params": params}, arg, method=method), np.float32
+            )
+            got = np.asarray(
+                static.apply({"params": params, **scales}, arg, method=method),
+                np.float32,
+            )
+            cos = (want * got).sum(-1) / (
+                np.linalg.norm(want, axis=-1) * np.linalg.norm(got, axis=-1)
+            )
+            assert cos.min() > 0.98, (method, cos)
+
+    def test_static_init_creates_placeholder_scales(self, rng):
+        cfg = CLIPConfig.tiny_test()
+        static = CLIPModel(cfg, w8a8=True, w8a8_static=True)
+        px, toks = self._data(rng)
+        variables = static.init(jax.random.PRNGKey(0), px, toks)
+        assert set(variables) == {"params", "act_scales"}
+        # params tree identical to the bf16/dynamic towers
+        base = CLIPModel(cfg)
+        bshapes = jax.tree_util.tree_map(
+            lambda x: x.shape,
+            base.init(jax.random.PRNGKey(0), px, toks)["params"],
+        )
+        sshapes = jax.tree_util.tree_map(
+            lambda x: x.shape, variables["params"]
+        )
+        assert bshapes == sshapes
+
+    def test_embedder_int8_static_auto_calibrates(self):
+        from intelligent_video_analysis_retrieval_system_tpu.system import (
+            CLIPEmbedder,
+        )
+        from intelligent_video_analysis_retrieval_system_tpu.system.embedder import (
+            _CAL_BATCHES,
+        )
+
+        emb = CLIPEmbedder(config=CLIPConfig.tiny_test(),
+                           compute_dtype="int8_static")
+        emb.ensure_loaded()  # self-test = 1 calibration batch per tower
+        for _ in range(_CAL_BATCHES):  # enough to freeze both towers
+            dyn_out = emb.encode_text(["a cat on a mat"])
+            emb.encode_images(np.zeros((1, 32, 32, 3), np.uint8))
+        stats = emb.get_stats()
+        assert stats["act_scales_calibrated"] == ["text", "vision"]
+        static_out = emb.encode_text(["a cat on a mat"])  # static path now
+        cos = float(
+            (dyn_out * static_out).sum()
+            / (np.linalg.norm(dyn_out) * np.linalg.norm(static_out))
+        )
+        assert np.isfinite(static_out).all() and cos > 0.95, cos
+
+
 class TestTokenizer:
     def test_simple_tokenizer_deterministic(self):
         tok = SimpleTokenizer(vocab_size=1000)

@@ -35,6 +35,21 @@ class TestConfig:
         cfg = Config(config_file=None, overrides={"retrieval": {"default_top_k": -5}})
         assert cfg.get("retrieval.default_top_k") == 20
 
+    def test_quantized_compute_dtypes_survive_validation(self):
+        # regression: the validator silently auto-reverted int8/int8_static
+        # to bfloat16, breaking the documented config path for W8A8 towers
+        for mode in ("int8", "int8_static"):
+            cfg = Config(config_file=None,
+                         overrides={"device": {"compute_dtype": mode}})
+            assert cfg.get("device.compute_dtype") == mode
+        bad = Config(config_file=None,
+                     overrides={"device": {"compute_dtype": "int3"}})
+        assert bad.get("device.compute_dtype") == "bfloat16"
+        # the index has no static-scale variant — int8_static is towers-only
+        idx = Config(config_file=None,
+                     overrides={"index": {"dtype": "int8_static"}})
+        assert idx.get("index.dtype") == "bfloat16"
+
     def test_cross_field_invariant(self):
         cfg = Config(
             config_file=None,
