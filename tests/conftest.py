@@ -23,6 +23,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is compile-bound on CPU (the
+# 8-device shard_map programs dominate); warm runs cut minutes off. The
+# cache lives outside the repo and is safe to delete any time.
+jax.config.update("jax_compilation_cache_dir", "/tmp/ivars_jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np
 import pytest
 

@@ -430,3 +430,58 @@ class TestFacadeMesh:
         b = [h["image"] for h in meshed.search("a person walking")[:5]]
         assert a == b
         meshed.cleanup()
+
+
+class TestInt8StaticFacade:
+    """Facade lifecycle with compute_dtype="int8_static": build, lazy
+    auto-calibration freeze, stable static search (drives the config →
+    embedder → calibrate → static-apply chain end to end)."""
+
+    def test_build_calibrate_search(self, tmp_path):
+        from intelligent_video_analysis_retrieval_system_tpu.system.embedder import (
+            _CAL_BATCHES,
+        )
+
+        rng = np.random.default_rng(3)
+        folder = tmp_path / "keyframes" / "vid0"
+        folder.mkdir(parents=True)
+        for n in range(5):
+            arr = rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(folder / f"{n}.jpg", quality=95)
+        cfg = Config(
+            config_file=None, base_dir=tmp_path, create_dirs=True,
+            overrides={
+                "device": {"compute_dtype": "int8_static"},
+                "index": {"thumbnail_size": 32},
+            },
+        )
+        assert cfg.get("device.compute_dtype") == "int8_static"
+        embedder = CLIPEmbedder(config=CLIPConfig.tiny_test(),
+                                compute_dtype="int8_static")
+        system = EnhancedRetrievalSystem(cfg, embedder=embedder)
+        out = system.build_system(tmp_path / "keyframes")
+        assert out["report"]["processed"] == 5
+
+        for i in range(_CAL_BATCHES):
+            results = system.search(f"query {i}")
+        assert results
+        assert "text" in embedder.get_stats()["act_scales_calibrated"]
+
+        # static path now: identical rankings across repeats
+        a = [h["image"] for h in system.search("a red square")]
+        b = [h["image"] for h in system.search("a red square")]
+        assert a and a == b
+
+        # vision freezes after enough image batches; image search works
+        for _ in range(_CAL_BATCHES):
+            embedder.encode_images(
+                rng.integers(0, 255, (1, 32, 32, 3)).astype(np.uint8)
+            )
+        assert embedder.get_stats()["act_scales_calibrated"] == [
+            "text", "vision",
+        ]
+        hits = system.search_by_image(
+            rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+        )
+        assert hits and np.isfinite(hits[0]["similarity_score"])
+        system.cleanup()
