@@ -16,8 +16,11 @@ def main():
     from intelligent_video_analysis_retrieval_system_tpu.models.clip import CLIPVisionTower
 
     assert jax.default_backend() == "tpu"
-    cfg = CLIPConfig.vit_l_14()
-    B = 128
+    import os
+    if os.environ.get("IVARS_TOWER", "vit_l_14") == "vit_b_32":
+        cfg, B = CLIPConfig.vit_b_32(), 256
+    else:
+        cfg, B = CLIPConfig.vit_l_14(), 128
     rng = np.random.default_rng(0)
     px = jnp.asarray(rng.standard_normal((B, 224, 224, 3)).astype(np.float32),
                      jnp.bfloat16)

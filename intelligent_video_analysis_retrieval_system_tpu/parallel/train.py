@@ -45,6 +45,26 @@ class TrainConfig:
     data_axis: str = "data"
     model_axis: str = "model"
     remat: bool = True  # rematerialize blocks: trade FLOPs for HBM
+    # LR schedule: "constant" (default) or "warmup_cosine" (linear warmup
+    # over ``warmup_steps`` then cosine decay to ``end_lr_factor * lr``
+    # at ``total_steps`` — CLIP's published fine-tuning recipe shape)
+    schedule: str = "constant"
+    warmup_steps: int = 500
+    total_steps: int = 10_000
+    end_lr_factor: float = 0.1
+
+    def make_schedule(self):
+        if self.schedule == "constant":
+            return self.learning_rate
+        if self.schedule == "warmup_cosine":
+            return optax.warmup_cosine_decay_schedule(
+                init_value=0.0,
+                peak_value=self.learning_rate,
+                warmup_steps=self.warmup_steps,
+                decay_steps=self.total_steps,
+                end_value=self.learning_rate * self.end_lr_factor,
+            )
+        raise ValueError(f"unknown schedule {self.schedule!r}")
 
 
 def _param_pspec(path: tuple[str, ...], leaf: jnp.ndarray, model_axis: str) -> P:
@@ -85,7 +105,7 @@ class CLIPTrainer:
         self.tx = optax.chain(
             optax.clip_by_global_norm(self.tc.max_grad_norm),
             optax.adamw(
-                self.tc.learning_rate, b1=self.tc.b1, b2=self.tc.b2,
+                self.tc.make_schedule(), b1=self.tc.b1, b2=self.tc.b2,
                 eps=self.tc.eps, weight_decay=self.tc.weight_decay,
             ),
         )

@@ -275,6 +275,29 @@ class TestTraining:
             losses.append(float(metrics["loss"]))
         assert losses[-1] < losses[0]
 
+    def test_warmup_cosine_schedule(self, train_mesh, rng):
+        from intelligent_video_analysis_retrieval_system_tpu.parallel.train import (
+            TrainConfig,
+        )
+
+        tc = TrainConfig(schedule="warmup_cosine", warmup_steps=2,
+                         total_steps=10, learning_rate=1e-3)
+        sched = tc.make_schedule()
+        lrs = [float(sched(s)) for s in range(11)]
+        assert lrs[0] == 0.0                       # warmup from zero
+        assert abs(lrs[2] - 1e-3) < 1e-9           # peak after warmup
+        assert lrs[10] < lrs[2]                    # cosine decay
+        assert abs(lrs[10] - 1e-4) < 1e-8          # end_lr_factor * lr
+        # a trainer built with the schedule still steps
+        trainer = CLIPTrainer(CLIPConfig.tiny_test(), train_mesh,
+                              train_config=tc)
+        params, opt_state = trainer.init(0)
+        pixels = rng.standard_normal((8, 32, 32, 3)).astype(np.float32)
+        tokens = rng.integers(1, 500, (8, 16)).astype(np.int32)
+        tokens[:, -1] = 511
+        _, _, metrics = trainer.train_step(params, opt_state, pixels, tokens)
+        assert np.isfinite(float(metrics["loss"]))
+
     def test_params_actually_sharded(self, train_mesh):
         cfg = CLIPConfig.tiny_test()
         trainer = CLIPTrainer(cfg, train_mesh)
