@@ -275,24 +275,49 @@ def main() -> None:
             out = vtower.apply({"params": vp}, px + salt)
             return out.astype(jnp.float32)[0, 0]
 
-        float(embed(vp, px0, jnp.bfloat16(0)))
         iters1, iters2 = (3, 13) if on_tpu else (1, 3)
 
-        def run_embed(iters: int) -> float:
+        def run_embed(fn, iters: int) -> float:
             salts = [jnp.bfloat16(i) for i in range(iters)]
             t0 = time.perf_counter()
-            results = [embed(vp, px0, s) for s in salts]
+            results = [fn(vp, px0, s) for s in salts]
             float(results[-1])
             return time.perf_counter() - t0
 
-        t1, t2 = run_embed(iters1), run_embed(iters2)
-        per_batch = (t2 - t1) / (iters2 - iters1)
-        if per_batch > 0:
-            name = "ViT-L/14" if full else "ViT-B/32"
-            fps = B / per_batch
-            log(f"image embed: {fps:.0f} frames/s/chip ({name} bf16 B={B})")
-            extra["image_tower_fps"] = round(fps)
-            extra["image_tower"] = name
+        def tower_fps(fn) -> float:
+            float(fn(vp, px0, jnp.bfloat16(0)))
+            t1, t2 = run_embed(fn, iters1), run_embed(fn, iters2)
+            per_batch = (t2 - t1) / (iters2 - iters1)
+            return B / per_batch if per_batch > 0 else 0.0
+
+        name = "ViT-L/14" if full else "ViT-B/32"
+        fps = tower_fps(embed)
+        log(f"image embed: {fps:.0f} frames/s/chip ({name} bf16 B={B})")
+        extra["image_tower_fps"] = round(fps)
+        extra["image_tower"] = name
+
+        # production-fastest mode: W8A8 with static calibrated activation
+        # scales (RESULTS.md; cosine vs bf16 ~0.9995). Calibrate on the
+        # bench batch via the dynamic twin, then time the static tower.
+        if on_tpu:
+            from intelligent_video_analysis_retrieval_system_tpu.models.calibrate import (
+                calibrate_act_scales,
+            )
+
+            dyn = CLIPVisionTower(vcfg.vision, dtype=jnp.bfloat16, w8a8=True)
+            scales = calibrate_act_scales(dyn, {"params": vp}, [(px0,)])
+            stower = CLIPVisionTower(vcfg.vision, dtype=jnp.bfloat16,
+                                     w8a8=True, w8a8_static=True)
+
+            @jax.jit
+            def embed_static(vp, px, salt):
+                out = stower.apply({"params": vp, **scales}, px + salt)
+                return out.astype(jnp.float32)[0, 0]
+
+            sfps = tower_fps(embed_static)
+            log(f"image embed: {sfps:.0f} frames/s/chip "
+                f"({name} W8A8-static B={B})")
+            extra["image_tower_fps_int8_static"] = round(sfps)
         del vp, px0
     except Exception as exc:  # pragma: no cover
         log(f"embed throughput skipped: {exc}")
