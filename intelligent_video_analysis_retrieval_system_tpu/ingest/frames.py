@@ -369,14 +369,27 @@ class FrameFilter:
         this process runs every device dispatch — decisions are identical
         to the sequential path.
         """
+        # Uniquify output names up front: two inputs with the same filename
+        # in different directories ("a/clip.mp4", "b/clip.mp4") must not
+        # write into the same keyframes/<stem>/ dir (the parallel path
+        # would interleave their frames within one run).
+        names: list[str] = []
+        seen: dict[str, int] = {}
+        for p in video_paths:
+            stem = Path(p).stem
+            seen[stem] = seen.get(stem, 0) + 1
+            names.append(stem if seen[stem] == 1 else f"{stem}_{seen[stem]}")
+
         if workers >= 2 and len(video_paths) > 1:
             from .pipeline import extract_frames_parallel
 
             return extract_frames_parallel(
-                self, video_paths, keyframes_dir, map_dir, workers=workers
+                self, video_paths, keyframes_dir, map_dir, workers=workers,
+                names=names,
             )
         return [
-            self.extract_frames(p, keyframes_dir, map_dir) for p in video_paths
+            self.extract_frames(p, keyframes_dir, map_dir, video_name=n)
+            for p, n in zip(video_paths, names)
         ]
 
     @staticmethod

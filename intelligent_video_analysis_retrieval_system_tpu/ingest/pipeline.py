@@ -182,6 +182,7 @@ def extract_frames_parallel(
     keyframes_dir: str | Path,
     map_dir: str | Path | None = None,
     workers: int = 4,
+    names: list[str] | None = None,
 ) -> list["ExtractReport"]:
     """Parallel multi-video ``extract_frames`` with identical decisions.
 
@@ -278,10 +279,13 @@ def extract_frames_parallel(
     for p in procs:
         p.start()
 
-    names: list[str] = []
-    for i, vp in enumerate(video_paths):
-        name = Path(vp).stem
-        names.append(name)
+    if names is None:
+        names = [Path(vp).stem for vp in video_paths]
+    assert len(names) == len(set(names)) == len(video_paths), (
+        "output names must be unique per video (extract_frames_batch "
+        "uniquifies duplicate stems)"
+    )
+    for i, (vp, name) in enumerate(zip(video_paths, names)):
         task_qs[i % workers].put(
             (str(vp), name, str(keyframes_dir / name))
         )

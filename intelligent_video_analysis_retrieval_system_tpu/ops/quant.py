@@ -60,11 +60,30 @@ from jax import lax
 from .topk import CHUNK, TILE_N, TopKResult, pad_queries
 
 __all__ = [
+    "symmetric_int8",
     "quantize_rows_int8",
     "dequantize_rows_int8",
     "topk_search_int8",
     "w8a8_dense",
 ]
+
+
+
+def symmetric_int8(x: jnp.ndarray, axis: int, eps: float = 1e-12):
+    """Symmetric per-slice int8 quantization: ``scale = max|x|/127`` along
+    ``axis`` (keepdims), values ``clip(round(x/scale), -127, 127)``.
+
+    The ONE definition of the quantization scheme — the database rows
+    (:func:`quantize_rows_int8` is its numpy twin, kept in lockstep), the
+    search-time query quant, and both W8A8 dense quant sites all share it;
+    changing the epsilon/bounds/rounding here is the only way to change
+    the scheme (drift between copies would break the bit-exactness
+    contract between stored rows and query-time math).
+    """
+    x = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(x), axis=axis, keepdims=True), eps) / 127.0
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 def w8a8_dense(
@@ -98,23 +117,21 @@ def w8a8_dense(
     Accuracy: symmetric int8 both sides; ViT activations after LayerNorm
     are well-conditioned for per-token scaling (cosine gate enforced in
     tests/test_models.py).
+
+    NB: call this INSIDE a jitted program (the towers do). It is a
+    building block, not a dispatch boundary — eager per-op dispatch is
+    pathologically slow on tunneled TPU backends (CLAUDE.md).
     """
-    kernel = kernel.astype(jnp.float32)
-    w_scale = jnp.maximum(
-        jnp.max(jnp.abs(kernel), axis=0, keepdims=True), 1e-12
-    ) / 127.0                                              # (1, out)
-    w8 = jnp.clip(jnp.round(kernel / w_scale), -127, 127).astype(jnp.int8)
+    w8, w_scale = symmetric_int8(kernel, axis=0)           # (1, out) scale
 
     x_f = x.astype(jnp.float32)
     if a_scale is None:
-        x_scale = jnp.maximum(
-            jnp.max(jnp.abs(x_f), axis=-1, keepdims=True), 1e-12
-        ) / 127.0                                          # (..., 1)
+        x8, x_scale = symmetric_int8(x_f, axis=-1)         # (..., 1) scale
     else:
         x_scale = jnp.maximum(
             jnp.asarray(a_scale, jnp.float32), 1e-12
         )                                                  # scalar
-    x8 = jnp.clip(jnp.round(x_f / x_scale), -127, 127).astype(jnp.int8)
+        x8 = jnp.clip(jnp.round(x_f / x_scale), -127, 127).astype(jnp.int8)
 
     out = lax.dot_general(
         x8, w8,
@@ -127,7 +144,10 @@ def w8a8_dense(
 
 
 def quantize_rows_int8(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """(N, D) f32 -> (int8 rows, f32 per-row scales)."""
+    """(N, D) f32 -> (int8 rows, f32 per-row scales).
+
+    Numpy twin of :func:`symmetric_int8` (host-side row storage path, no
+    device needed) — same eps/bounds/round-half-even, kept in lockstep."""
     x = np.asarray(x, np.float32)
     scales = np.maximum(np.abs(x).max(axis=-1), 1e-12) / 127.0
     q = np.clip(np.rint(x / scales[:, None]), -127, 127).astype(np.int8)
@@ -140,10 +160,8 @@ def dequantize_rows_int8(q: np.ndarray, scales: np.ndarray) -> np.ndarray:
 
 def _quantize_q(q: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-row symmetric int8 query quantization (jit-traceable)."""
-    q = q.astype(jnp.float32)
-    qs = jnp.maximum(jnp.abs(q).max(axis=-1), 1e-12) / 127.0
-    q_i8 = jnp.clip(jnp.round(q / qs[:, None]), -127, 127).astype(jnp.int8)
-    return q_i8, qs
+    q_i8, qs = symmetric_int8(q, axis=-1)
+    return q_i8, qs[..., 0]
 
 
 def _int8_sweep_kernel(n_valid_ref, x_ref, xs_ref, q_ref, dead_ref, out_ref):

@@ -410,19 +410,27 @@ class ShardedIndexSearcher:
             # by n_valid; the tombstone mask (all < n_valid) is unaffected
             self.n_valid += m
             return
+        # capacity exceeded: full re-shard is unavoidable (buffer grows).
+        # Carry the tombstone mask across the re-load — load()/load_int8()
+        # reset it, and dropping it would resurrect deleted rows.
+        dead_rows: set[int] | None = None
+        if self._dead is not None:
+            mask = np.asarray(self._dead[: self.n_valid, 0])
+            dead_rows = set(np.nonzero(mask)[0].tolist()) or None
         if self._scales is not None:
-            # capacity exceeded: full re-shard is unavoidable (buffer grows)
             from ..ops.quant import quantize_rows_int8
 
             cur_q = np.asarray(self._x[: self.n_valid], np.int8)
             cur_s = np.asarray(self._scales[: self.n_valid, 0], np.float32)
             new_q, new_s = quantize_rows_int8(np.asarray(rows, np.float32))
             self.load_int8(
-                np.concatenate([cur_q, new_q]), np.concatenate([cur_s, new_s])
+                np.concatenate([cur_q, new_q]), np.concatenate([cur_s, new_s]),
+                deleted_rows=dead_rows,
             )
             return
         current = np.asarray(self._x[: self.n_valid], np.float32)
-        self.load(np.concatenate([current, np.asarray(rows, np.float32)]))
+        self.load(np.concatenate([current, np.asarray(rows, np.float32)]),
+                  deleted_rows=dead_rows)
 
     def search(
         self, q: np.ndarray, k: int,

@@ -42,13 +42,20 @@ __all__ = [
 ]
 
 
-def _node_id() -> str:
+def _node_id(service_port: int = 0) -> str:
+    """Stable node identity (reference api.py:338-361 hashes hostname_ip
+    only — which collides for two nodes on one host, making each discard
+    the other's announcements as its own; the service port disambiguates
+    while staying stable across restarts)."""
     host = socket.gethostname()
     try:
         ip = socket.gethostbyname(host)
     except OSError:
         ip = "127.0.0.1"
-    return hashlib.md5(f"{host}_{ip}".encode()).hexdigest()[:12]
+    return hashlib.md5(f"{host}_{ip}_{service_port}".encode()).hexdigest()[:12]
+
+
+DEFAULT_DISCOVERY_PORT = 5556  # reference legacy port (api.py:475-505)
 
 
 class NetworkDiscovery:
@@ -61,12 +68,23 @@ class NetworkDiscovery:
         interval_s: float = 15.0,
         node_timeout_s: float = 300.0,
         node_name: str | None = None,
+        listen_only: bool = False,
     ) -> None:
+        """``listen_only=True`` observes peer announcements without
+        announcing this process — for consumers (e.g. the web console)
+        that serve NO p2p endpoints: announcing their port would invite
+        peers to connect to a server that cannot answer
+        ``/api/node/info`` etc."""
         self.service_port = service_port
         self.discovery_port = discovery_port or service_port + 1
+        # nodes on ARBITRARY service ports can only find each other through
+        # a shared port — announce/listen on the well-known port too
+        # (reference api.py:475-505 uses legacy 5556 alongside port+1)
+        self.well_known_port = DEFAULT_DISCOVERY_PORT
         self.interval_s = interval_s
         self.node_timeout_s = node_timeout_s
-        self.node_id = _node_id()
+        self.listen_only = listen_only
+        self.node_id = _node_id(service_port)
         self.node_name = node_name or socket.gethostname()
         self.known_nodes: dict[str, dict[str, Any]] = {}
         self._lock = threading.Lock()
@@ -87,7 +105,10 @@ class NetworkDiscovery:
 
     def start_discovery(self) -> None:
         self._stop.clear()
-        for target in (self._broadcast_loop, self._listen_loop, self._expiry_loop):
+        targets = [self._listen_loop, self._expiry_loop]
+        if not self.listen_only:
+            targets.insert(0, self._broadcast_loop)
+        for target in targets:
             t = threading.Thread(target=target, daemon=True)
             t.start()
             self._threads.append(t)
@@ -102,18 +123,24 @@ class NetworkDiscovery:
     def is_running(self) -> bool:
         return any(t.is_alive() for t in self._threads)
 
+    def _announce_ports(self) -> list[int]:
+        ports = [self.discovery_port]
+        if self.well_known_port not in ports:
+            ports.append(self.well_known_port)
+        return ports
+
+    def _send_announcements(self, sock: socket.socket) -> None:
+        for port in self._announce_ports():
+            sock.sendto(self._announcement(), ("255.255.255.255", port))
+            sock.sendto(self._announcement(), ("127.0.0.1", port))
+
     def _broadcast_loop(self) -> None:
         sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         sock.setsockopt(socket.SOL_SOCKET, socket.SO_BROADCAST, 1)
         try:
             while not self._stop.is_set():
                 try:
-                    sock.sendto(
-                        self._announcement(), ("255.255.255.255", self.discovery_port)
-                    )
-                    sock.sendto(
-                        self._announcement(), ("127.0.0.1", self.discovery_port)
-                    )
+                    self._send_announcements(sock)
                 except OSError:
                     pass
                 self._stop.wait(self.interval_s)
@@ -122,36 +149,57 @@ class NetworkDiscovery:
 
     def broadcast_once(self) -> None:
         """Manual discovery trigger (reference api.py:507-533)."""
+        if self.listen_only:
+            return
         sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         sock.setsockopt(socket.SOL_SOCKET, socket.SO_BROADCAST, 1)
         try:
-            sock.sendto(self._announcement(), ("255.255.255.255", self.discovery_port))
-            sock.sendto(self._announcement(), ("127.0.0.1", self.discovery_port))
+            self._send_announcements(sock)
         except OSError:
             pass
         finally:
             sock.close()
 
     def _listen_loop(self) -> None:
-        sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-        sock.settimeout(1.0)
-        try:
-            sock.bind(("", self.discovery_port))
-        except OSError:
-            sock.close()
+        """Dual listeners (reference api.py:407-448): the node's own
+        ``discovery_port`` plus the shared well-known port, so peers on
+        arbitrary service ports are heard. The well-known bind is
+        best-effort (SO_REUSEADDR lets co-hosted nodes share it; if the
+        OS refuses, per-port discovery still works)."""
+        socks: list[socket.socket] = []
+        ports = [self.discovery_port]
+        if self.well_known_port not in ports:
+            ports.append(self.well_known_port)
+        for port in ports:
+            sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            # deliberately NO SO_REUSEPORT: a reuseport group delivers each
+            # loopback *unicast* announcement to one hash-chosen member
+            # (often the sender's own listener), making same-host discovery
+            # nondeterministic. First binder of the well-known port wins;
+            # everyone still has their per-port listener + LAN broadcast.
+            sock.settimeout(0.5)
+            try:
+                sock.bind(("", port))
+            except OSError:
+                sock.close()
+                continue
+            socks.append(sock)
+        if not socks:
             return
         try:
             while not self._stop.is_set():
-                try:
-                    data, addr = sock.recvfrom(4096)
-                except socket.timeout:
-                    continue
-                except OSError:
-                    break
-                self._handle_announcement(data, addr)
+                for sock in socks:
+                    try:
+                        data, addr = sock.recvfrom(4096)
+                    except socket.timeout:
+                        continue
+                    except OSError:
+                        return
+                    self._handle_announcement(data, addr)
         finally:
-            sock.close()
+            for sock in socks:
+                sock.close()
 
     def _handle_announcement(self, data: bytes, addr: tuple[str, int]) -> None:
         try:

@@ -498,16 +498,28 @@ class RetrievalServer:
 
     async def _net_discover(self, request: "web.Request") -> "web.Response":
         data = await self._json(request) or {}
-        wait_s = min(float(data.get("wait_s", 2.0)), 10.0)
+        try:
+            wait_s = float(data.get("wait_s", 2.0))
+        except (TypeError, ValueError):
+            return web.json_response(
+                error_envelope("wait_s must be a number"), status=400
+            )
+        # peers announce every 15 s, so allow waiting one full period
+        wait_s = min(max(wait_s, 0.0), 20.0)
         if self._discovery is None:
             from .p2p import NetworkDiscovery
 
-            self._discovery = NetworkDiscovery(service_port=self.port)
+            # listen_only: this console serves no p2p endpoints, so it must
+            # observe announcements, not make them (announcing the REST
+            # port would invite peers to connect to /api/node/info -> 404).
+            # Nodes accumulate in the background across discover clicks.
+            self._discovery = NetworkDiscovery(
+                service_port=self.port, listen_only=True
+            )
             self._discovery.start_discovery()
         disc = self._discovery
 
         def probe():
-            disc.broadcast_once()
             time.sleep(wait_s)
             return disc.get_nodes()
 
@@ -870,8 +882,8 @@ document.querySelectorAll('nav button').forEach(b=>b.onclick=()=>{
   b.classList.add('on');document.getElementById(b.dataset.p).classList.add('on');
   if(b.dataset.p==='stats')loadStats();
 });
-function esc(s){const d=document.createElement('div');d.textContent=String(s);
-  return d.innerHTML;}
+function esc(s){return String(s).replace(/[&<>"']/g,c=>({'&':'&amp;',
+  '<':'&lt;','>':'&gt;','"':'&quot;',"'":'&#39;'}[c]));}
 function card(h){
   const f=encodeURIComponent(h.folder),i=encodeURIComponent(h.image);
   return `<div class="hit"><img src="/api/thumbnail/${f}/${i}"
@@ -927,12 +939,17 @@ async function doDiscover(){
   renderPeers(d.nodes||[],[]);
 }
 function renderPeers(nodes,indexes){
+  // peer names/hosts/index ids arrive from UNAUTHENTICATED UDP/HTTP —
+  // escape everything, and never splice ids into inline JS
   let html='';
-  nodes.forEach(n=>{html+=`${n.node_name||n.node_id} @ ${n.host||n.ip}:`
-    +`${n.service_port}\\n`;});
-  indexes.forEach(i=>{html+=`  index ${i.index_id||i.id}: ${i.ntotal||'?'} rows `
-    +`<button onclick="loadRemote('${i.index_id||i.id}')">load</button>\\n`;});
+  nodes.forEach(n=>{html+=`${esc(n.node_name||n.node_id)} @ `
+    +`${esc(n.host||n.ip)}:${esc(n.service_port)}\\n`;});
+  indexes.forEach(i=>{const id=String(i.index_id||i.id);
+    html+=`  index ${esc(id)}: ${esc(i.ntotal||'?')} rows `
+    +`<button data-idx="${esc(id)}" class="loadremote">load</button>\\n`;});
   nout.innerHTML=html||'no peers yet';
+  nout.querySelectorAll('button.loadremote').forEach(b=>{
+    b.onclick=()=>loadRemote(b.dataset.idx);});
 }
 async function doConnect(){
   const d=await post('/api/network/connect',

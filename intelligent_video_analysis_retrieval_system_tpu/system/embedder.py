@@ -76,6 +76,7 @@ class CLIPEmbedder:
         self._cal_stats: dict[str, Any] = {"vision": None, "text": None}
         self._cal_seen: dict[str, int] = {"vision": 0, "text": 0}
         self._act_scales: dict[str, Any] = {}
+        self._cal_paused = False  # self_test runs excluded from calibration
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -128,15 +129,26 @@ class CLIPEmbedder:
             self.self_test()
 
     def self_test(self) -> bool:
-        """Dummy text+image forward at load (reference core.py:1476-1502)."""
-        txt = self.encode_text(["self test"])
-        img = self.encode_images(
-            np.zeros(
-                (1, self.config.vision.image_size, self.config.vision.image_size, 3),
-                np.uint8,
-            ),
-            preprocessed=False,
-        )
+        """Dummy text+image forward at load (reference core.py:1476-1502).
+
+        The dummy inputs (fixed string, all-black image) are deliberately
+        excluded from int8_static calibration — their activation maxima
+        are unrepresentative and counting them would freeze the static
+        scales prematurely on junk data.
+        """
+        self._cal_paused = True
+        try:
+            txt = self.encode_text(["self test"])
+            img = self.encode_images(
+                np.zeros(
+                    (1, self.config.vision.image_size,
+                     self.config.vision.image_size, 3),
+                    np.uint8,
+                ),
+                preprocessed=False,
+            )
+        finally:
+            self._cal_paused = False
         ok = (
             txt.shape == (1, self.config.text.projection_dim)
             and img.shape == (1, self.config.vision.projection_dim)
@@ -235,6 +247,8 @@ class CLIPEmbedder:
     def _accumulate_cal(self, tower: str, stats_tree: Any) -> None:
         """Merge one calibration batch's act_stats (host maxima); freeze
         the tower's scales after _CAL_BATCHES batches."""
+        if self._cal_paused:
+            return
         import jax
 
         import numpy as _np

@@ -118,6 +118,24 @@ class TestExtract:
         assert (tmp_path / "kf" / "a").is_dir()
         assert (tmp_path / "kf" / "b").is_dir()
 
+    def test_batch_driver_uniquifies_duplicate_stems(self, tmp_path):
+        """Regression: same filename in two dirs must not share an output
+        dir (the parallel path would interleave writes within one run)."""
+        for sub in ("d1", "d2"):
+            (tmp_path / sub).mkdir()
+            write_scene_video(tmp_path / sub / "clip.mp4", scenes=1,
+                              frames_per_scene=8)
+        ff = FrameFilter(FrameFilterConfig(frame_batch=16))
+        reports = ff.extract_frames_batch(
+            [tmp_path / "d1" / "clip.mp4", tmp_path / "d2" / "clip.mp4"],
+            tmp_path / "kf", tmp_path / "map",
+        )
+        assert len(reports) == 2
+        assert (tmp_path / "kf" / "clip").is_dir()
+        assert (tmp_path / "kf" / "clip_2").is_dir()
+        assert (tmp_path / "map" / "clip.csv").is_file()
+        assert (tmp_path / "map" / "clip_2.csv").is_file()
+
 
 class TestApplyFilters:
     def _keyframes(self, root, blurry_count=2, sharp_count=8):

@@ -321,7 +321,10 @@ class TestW8A8Static:
 
         emb = CLIPEmbedder(config=CLIPConfig.tiny_test(),
                            compute_dtype="int8_static")
-        emb.ensure_loaded()  # self-test = 1 calibration batch per tower
+        emb.ensure_loaded()
+        # regression: the load-time self-test's dummy inputs (fixed string,
+        # all-black image) must NOT count toward calibration
+        assert emb._cal_seen == {"vision": 0, "text": 0}
         for _ in range(_CAL_BATCHES):  # enough to freeze both towers
             dyn_out = emb.encode_text(["a cat on a mat"])
             emb.encode_images(np.zeros((1, 32, 32, 3), np.uint8))

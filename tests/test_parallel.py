@@ -515,6 +515,29 @@ class TestInPlaceAppend:
         res = searcher.search(big[:1], k=1, use_pallas=False)
         assert int(res.indices[0, 0]) == 100
 
+    def test_append_overflow_preserves_tombstones(self, index_mesh, rng):
+        """Regression: the grow-path re-load must carry the deleted-row
+        mask — it used to reset it, resurrecting tombstoned rows."""
+        for int8 in (False, True):
+            x = rng.standard_normal((100, 64)).astype(np.float32)
+            x /= np.linalg.norm(x, axis=-1, keepdims=True)
+            searcher = ShardedIndexSearcher(index_mesh, dtype=jnp.float32)
+            if int8:
+                from intelligent_video_analysis_retrieval_system_tpu.ops.quant import (
+                    quantize_rows_int8,
+                )
+
+                searcher.load_int8(*quantize_rows_int8(x), deleted_rows={3})
+            else:
+                searcher.load(x, deleted_rows={3})
+            cap = int(searcher._x.shape[0])
+            big = rng.standard_normal((cap, 64)).astype(np.float32)
+            big /= np.linalg.norm(big, axis=-1, keepdims=True)
+            searcher.append(big)  # overflow -> re-shard
+            assert int(searcher._x.shape[0]) > cap
+            res = searcher.search(x[3:4], k=1, use_pallas=False)
+            assert int(res.indices[0, 0]) != 3, f"tombstone lost (int8={int8})"
+
     def test_append_with_tombstones_intact(self, index_mesh, rng):
         x = rng.standard_normal((500, 64)).astype(np.float32)
         x /= np.linalg.norm(x, axis=-1, keepdims=True)

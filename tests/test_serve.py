@@ -373,6 +373,32 @@ class TestConsoleBuildAndNetworkPanel:
             peer.stop_server()
             system.remote_indexes.clear()
 
+    def test_network_discover_validates_wait_s(self, served_system):
+        """Regression: bad wait_s used to 500 (uncaught ValueError /
+        negative time.sleep); must be a 400 envelope."""
+        root, _, port = served_system
+        base = f"http://127.0.0.1:{port}"
+        code, out = http_json(
+            f"{base}/api/network/discover", {"wait_s": "abc"}
+        )
+        assert code == 400 and not out["success"]
+        # negative values clamp to 0 and succeed (listen-only snapshot)
+        code, out = http_json(
+            f"{base}/api/network/discover", {"wait_s": -5}
+        )
+        assert code == 200 and out["success"]
+        assert isinstance(out["nodes"], list)
+
+    def test_console_escapes_peer_controlled_html(self, served_system):
+        """The esc() helper must neutralize element AND attribute breakout
+        (peer names/ids arrive from unauthenticated UDP/HTTP)."""
+        root, _, port = served_system
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/")
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            html = resp.read().decode()
+        assert "&quot;" in html and "esc(n.node_name" in html
+        assert "onclick=\"loadRemote('" not in html  # no inline-JS splicing
+
     def test_network_connect_failure_is_502(self, served_system):
         root, _, port = served_system
         base = f"http://127.0.0.1:{port}"
@@ -393,6 +419,42 @@ class TestConsoleBuildAndNetworkPanel:
 
 
 class TestP2P:
+    def test_same_host_discovery_via_well_known_port(self):
+        """Regression: with DEFAULT ports, a listen-only consumer on one
+        service port must hear a peer announcing from another — requires
+        (a) the shared well-known discovery port (per-port offsets never
+        meet), (b) per-(host,port) node ids (hostname-only ids made
+        same-host nodes discard each other as 'self'), and (c) no
+        SO_REUSEPORT (loopback unicast goes to one hash-chosen member)."""
+        from intelligent_video_analysis_retrieval_system_tpu.serve.p2p import (
+            NetworkDiscovery,
+        )
+
+        console = NetworkDiscovery(service_port=free_port(), listen_only=True,
+                                   interval_s=0.2)
+        console.start_discovery()
+        peer = NetworkDiscovery(service_port=free_port(), interval_s=0.2,
+                                node_name="wkp-peer")
+        assert console.node_id != peer.node_id
+        peer.start_discovery()
+        try:
+            deadline = time.time() + 5
+            while time.time() < deadline:
+                if any(n["node_name"] == "wkp-peer"
+                       for n in console.get_nodes()):
+                    break
+                time.sleep(0.1)
+            nodes = console.get_nodes()
+            assert any(n["node_name"] == "wkp-peer" and
+                       n["service_port"] == peer.service_port
+                       for n in nodes), nodes
+            # listen-only: the peer never hears the console
+            assert not any(n["node_id"] == console.node_id
+                           for n in peer.get_nodes())
+        finally:
+            console.stop_discovery()
+            peer.stop_discovery()
+
     def test_two_node_mesh(self, served_system, tmp_path):
         """Two peer servers in one process (reference final_validation_test
         pattern): share an index, remote search, merge into local results."""
@@ -476,8 +538,10 @@ class TestP2P:
                              node_name="A")
         b = NetworkDiscovery(port + 1, discovery_port=disc_port, interval_s=0.1,
                              node_name="B")
-        # distinct node ids even on one host
-        b.node_id = "b" * 12
+        # node ids must differ on one host WITHOUT manual overrides
+        # (identity includes the service port; same-host nodes used to
+        # collide and discard each other's announcements)
+        assert a.node_id != b.node_id
         found = threading.Event()
         a.on_node_discovered = lambda node: found.set()
         a.start_discovery()
