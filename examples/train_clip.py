@@ -5,6 +5,12 @@
 """
 
 import sys
+from pathlib import Path
+
+# make the example runnable as `python examples/<name>.py` from anywhere:
+# `python path/to/script.py` puts the script's OWN directory on sys.path,
+# not the repo root that holds the package
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 

@@ -155,6 +155,9 @@ class MultiHeadAttention(nn.Module):
     # max reduce; needs the ``act_scales`` collection from
     # models.calibrate.calibrate_act_scales)
     w8a8_static: bool = False
+    # the fused Pallas MHA kernel has no autodiff rule — training builds
+    # (CLIPTrainer) must set False to take the differentiable einsum path
+    fused_attn: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -184,7 +187,8 @@ class MultiHeadAttention(nn.Module):
         v = dense("v_proj")(x)
 
         if (
-            mask is None
+            self.fused_attn
+            and mask is None
             and self.precision != lax.Precision.HIGHEST
             and jax.default_backend() == "tpu"
         ):
@@ -293,6 +297,7 @@ class TransformerBlock(nn.Module):
     # tree identical, quality gated by cosine tests (VERDICT r1 #8)
     w8a8: bool = False
     w8a8_static: bool = False
+    fused_attn: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -302,7 +307,8 @@ class TransformerBlock(nn.Module):
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln_1")(x)
         x = x + MultiHeadAttention(
             self.num_heads, dtype=self.dtype, precision=self.precision,
-            w8a8=self.w8a8, w8a8_static=self.w8a8_static, name="attn"
+            w8a8=self.w8a8, w8a8_static=self.w8a8_static,
+            fused_attn=self.fused_attn, name="attn"
         )(h, mask)
 
         if self.w8a8:
@@ -364,6 +370,7 @@ class Transformer(nn.Module):
     fused_mlp: bool = False
     w8a8: bool = False
     w8a8_static: bool = False
+    fused_attn: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -375,7 +382,8 @@ class Transformer(nn.Module):
                 self.num_heads, self.mlp_ratio, dtype=self.dtype,
                 precision=self.precision, act=self.act, ln_eps=self.ln_eps,
                 fused_mlp=self.fused_mlp, w8a8=self.w8a8,
-                w8a8_static=self.w8a8_static, name=f"layer_{i}"
+                w8a8_static=self.w8a8_static, fused_attn=self.fused_attn,
+                name=f"layer_{i}"
             )(x, mask)
         return x
 
@@ -392,6 +400,7 @@ class CLIPVisionTower(nn.Module):
     remat: bool = False
     w8a8: bool = False
     w8a8_static: bool = False
+    fused_attn: bool = True
 
     @nn.compact
     def __call__(self, pixels: jnp.ndarray) -> jnp.ndarray:
@@ -426,7 +435,8 @@ class CLIPVisionTower(nn.Module):
         x = Transformer(
             cfg.num_layers, cfg.num_heads, cfg.mlp_ratio, dtype=self.dtype,
             precision=self.precision, remat=self.remat, w8a8=self.w8a8,
-            w8a8_static=self.w8a8_static, name="transformer"
+            w8a8_static=self.w8a8_static, fused_attn=self.fused_attn,
+            name="transformer"
         )(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(x[:, 0])
         proj = self.param(
@@ -449,6 +459,7 @@ class CLIPTextTower(nn.Module):
     remat: bool = False
     w8a8: bool = False
     w8a8_static: bool = False
+    fused_attn: bool = True
 
     @nn.compact
     def __call__(self, token_ids: jnp.ndarray, eot_positions: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -478,7 +489,8 @@ class CLIPTextTower(nn.Module):
         x = Transformer(
             cfg.num_layers, cfg.num_heads, cfg.mlp_ratio, dtype=self.dtype,
             precision=self.precision, remat=self.remat, w8a8=self.w8a8,
-            w8a8_static=self.w8a8_static, name="transformer"
+            w8a8_static=self.w8a8_static, fused_attn=self.fused_attn,
+            name="transformer"
         )(x, mask)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_final")(x)
         if eot_positions is None:
@@ -508,15 +520,18 @@ class CLIPModel(nn.Module):
     remat: bool = False
     w8a8: bool = False
     w8a8_static: bool = False
+    fused_attn: bool = True
 
     def setup(self) -> None:
         self.vision = CLIPVisionTower(
             self.config.vision, dtype=self.dtype, precision=self.precision,
             remat=self.remat, w8a8=self.w8a8, w8a8_static=self.w8a8_static,
+            fused_attn=self.fused_attn,
         )
         self.text = CLIPTextTower(
             self.config.text, dtype=self.dtype, precision=self.precision,
             remat=self.remat, w8a8=self.w8a8, w8a8_static=self.w8a8_static,
+            fused_attn=self.fused_attn,
         )
         self.logit_scale = self.param(
             "logit_scale",

@@ -101,7 +101,11 @@ class CLIPTrainer:
         self.config = config
         self.mesh = mesh
         self.tc = train_config or TrainConfig()
-        self.model = CLIPModel(config, dtype=dtype, remat=self.tc.remat)
+        # fused_attn=False: the Pallas MHA kernel has no autodiff rule —
+        # training must take the differentiable einsum attention path
+        # (found by running examples/train_clip.py on the real TPU)
+        self.model = CLIPModel(config, dtype=dtype, remat=self.tc.remat,
+                               fused_attn=False)
         self.tx = optax.chain(
             optax.clip_by_global_norm(self.tc.max_grad_norm),
             optax.adamw(
