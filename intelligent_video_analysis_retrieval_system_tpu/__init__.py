@@ -30,7 +30,7 @@ from __future__ import annotations
 import importlib
 from typing import Any
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 # Lazily-resolved public symbols -> defining module (relative).
 _LAZY: dict[str, str] = {

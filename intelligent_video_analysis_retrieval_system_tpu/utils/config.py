@@ -29,7 +29,7 @@ __all__ = ["Config", "get_config", "DEFAULT_CONFIG"]
 DEFAULT_CONFIG: dict[str, Any] = {
     "system": {
         "name": "IVARS-TPU",
-        "version": "0.1.0",
+        "version": "0.2.0",
         "language_support": ["vi", "en"],
     },
     "paths": {
