@@ -408,6 +408,77 @@ class TestConsoleBuildAndNetworkPanel:
         )
         assert code == 502 and not out["success"]
 
+    def test_concurrent_rest_search_during_append(self, served_system):
+        """Serving-level soak: parallel /api/search requests racing a live
+        incremental append must all succeed with valid payloads, and
+        post-append searches must see the new rows (extends the
+        index-level concurrency test to the full HTTP stack)."""
+        from intelligent_video_analysis_retrieval_system_tpu.retrieval.results import (
+            KeyframeMetadata,
+        )
+
+        root, system, port = served_system
+        url = f"http://127.0.0.1:{port}/api/search"
+        before = system.index.ntotal
+        dim = system.index.dim
+        errors, codes = [], []
+        lock = threading.Lock()
+
+        def hammer(tid):
+            for i in range(4):
+                try:
+                    code, out = http_json(
+                        url, {"query": f"t{tid} q{i}", "limit": 3,
+                              "detail_level": "minimal"},
+                    )
+                    with lock:
+                        codes.append(code)
+                    assert code == 200 and out["success"], (code, out)
+                    assert len(out["results"]) == 3
+                except Exception as exc:  # noqa: BLE001
+                    with lock:
+                        errors.append(exc)
+
+        threads = [threading.Thread(target=hammer, args=(t,))
+                   for t in range(6)]
+        for t in threads:
+            t.start()
+        # appends race the in-flight searches
+        rng = np.random.default_rng(9)
+        for batch in range(3):
+            rows = rng.standard_normal((2, dim)).astype(np.float32)
+            rows /= np.linalg.norm(rows, axis=-1, keepdims=True)
+            system.index.incremental_update(
+                rows,
+                [KeyframeMetadata(folder="appended",
+                                  image=f"b{batch}_{j}.jpg",
+                                  frame_id=100 + batch * 2 + j)
+                 for j in range(2)],
+            )
+        for t in threads:
+            t.join(timeout=30)
+        assert not errors, errors
+        assert len(codes) == 24 and all(c == 200 for c in codes)
+        assert system.index.ntotal == before + 6
+        # appended rows are searchable through REST
+        code, out = http_json(url, {"query": "anything", "limit": 50,
+                                    "detail_level": "minimal"})
+        assert code == 200
+        folders = {r["folder"] for r in out["results"]}
+        assert "appended" in folders, folders
+        # restore the shared fixture: tombstone the appended rows and
+        # compact (also exercises delete+compact under the live server)
+        removed = system.index.delete_keys(
+            [("appended", f"b{b}_{j}.jpg") for b in range(3)
+             for j in range(2)]
+        )
+        assert removed["deleted"] == 6
+        system.index.compact()
+        assert system.index.ntotal == before
+        code, out = http_json(url, {"query": "anything", "limit": 50,
+                                    "detail_level": "minimal"})
+        assert "appended" not in {r["folder"] for r in out["results"]}
+
     def test_console_has_new_panels(self, served_system):
         root, _, port = served_system
         req = urllib.request.Request(f"http://127.0.0.1:{port}/")
