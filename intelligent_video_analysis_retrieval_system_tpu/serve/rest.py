@@ -163,6 +163,18 @@ class RetrievalServer:
                 "uptime_s": round(time.time() - self.started_at, 1),
                 "index_loaded": self.system.index is not None
                 and self.system.index.is_loaded,
+                # per-component status so degraded states (hash-fallback
+                # tokenizer, int8_static calibration in progress, ...) are
+                # visible to operators, not just a bare "warning"
+                "components": {
+                    name: {
+                        "status": comp.get("status"),
+                        "detail": comp.get("detail")
+                        if isinstance(comp.get("detail"), (str, list))
+                        else "ok",
+                    }
+                    for name, comp in report.get("components", {}).items()
+                },
             }
         )
 

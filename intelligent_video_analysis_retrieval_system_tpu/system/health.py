@@ -54,19 +54,28 @@ class SystemHealthMonitor:
         stats = self.system.embedder.get_stats()
         if not stats["loaded"]:
             return {"status": "warning", "detail": "model not loaded yet (lazy)"}
+        warnings: list[str] = []  # degraded states can coexist; report ALL
         if not stats["pretrained"]:
-            return {
-                "status": "warning",
-                "detail": "random-initialized towers (no local checkpoint); "
-                "retrieval quality limited to self-similarity",
-            }
+            warnings.append(
+                "random-initialized towers (no local checkpoint); "
+                "retrieval quality limited to self-similarity"
+            )
         if stats.get("tokenizer") == "hash_fallback":
-            return {
-                "status": "warning",
-                "detail": "hash-fallback tokenizer active (no CLIP vocab "
-                "files found) — text embeddings do not match real CLIP "
-                "semantics",
-            }
+            warnings.append(
+                "hash-fallback tokenizer active (no CLIP vocab files "
+                "found) — text embeddings do not match real CLIP semantics"
+            )
+        if (
+            stats.get("compute_dtype") == "int8_static"
+            and stats.get("act_scales_calibrated") != ["text", "vision"]
+        ):
+            warnings.append(
+                "int8_static activation scales still calibrating "
+                f"(frozen: {stats.get('act_scales_calibrated')}) — encodes "
+                "run the dynamic path until enough batches are observed"
+            )
+        if warnings:
+            return {"status": "warning", "detail": "; ".join(warnings)}
         return {"status": "ok", "detail": stats}
 
     def _check_index(self) -> dict[str, Any]:

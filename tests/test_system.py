@@ -485,3 +485,26 @@ class TestInt8StaticFacade:
         )
         assert hits and np.isfinite(hits[0]["similarity_score"])
         system.cleanup()
+
+    def test_health_reports_calibration_in_progress(self, tmp_path):
+        """int8_static: until both towers freeze, health must warn that
+        encodes still run the dynamic (calibration) path."""
+        from intelligent_video_analysis_retrieval_system_tpu.system.embedder import (
+            _CAL_BATCHES,
+        )
+
+        cfg = Config(config_file=None, base_dir=tmp_path, create_dirs=True)
+        embedder = CLIPEmbedder(config=CLIPConfig.tiny_test(),
+                                compute_dtype="int8_static")
+        system = EnhancedRetrievalSystem(cfg, embedder=embedder)
+        embedder.ensure_loaded()
+        report = system.health.comprehensive_health_check()
+        assert report["components"]["embedder"]["status"] == "warning"
+        assert "calibrating" in report["components"]["embedder"]["detail"]
+        for _ in range(_CAL_BATCHES):
+            embedder.encode_text(["x"])
+            embedder.encode_images(np.zeros((1, 32, 32, 3), np.uint8))
+        report = system.health.comprehensive_health_check()
+        assert "calibrating" not in str(
+            report["components"]["embedder"].get("detail")
+        )
