@@ -77,10 +77,14 @@ def _build_parser() -> argparse.ArgumentParser:
     bd.add_argument("--no-resume", action="store_true")
     bd.add_argument("--chunk-size", type=int, default=1024)
     bd.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float16", "float32", "int8"],
+                    help="stored index row dtype; int8 = capacity mode "
+                         "(2x corpus per chip)")
+    bd.add_argument("--compute-dtype", default=None,
                     choices=["bfloat16", "float16", "float32", "int8",
                              "int8_static"],
-                    help="int8/int8_static = W8A8 towers on the int8 MXU "
-                         "(static: calibrated activation scales)")
+                    help="tower activation mode; int8/int8_static = W8A8 "
+                         "on the int8 MXU (static: calibrated scales)")
 
     se = sub.add_parser("search", help="query an index")
     se.add_argument("index_path")
@@ -198,7 +202,7 @@ def cmd_filter(args) -> int:
 
 
 def _make_system(model_path: str | None, dtype: str | None = None,
-                 mesh: bool = False):
+                 mesh: bool = False, compute_dtype: str | None = None):
     from .system import CLIPEmbedder, EnhancedRetrievalSystem
     from .utils.config import Config
 
@@ -207,6 +211,8 @@ def _make_system(model_path: str | None, dtype: str | None = None,
         overrides["model"] = {"path": model_path}
     if dtype:
         overrides["index"] = {"dtype": dtype}
+    if compute_dtype:
+        overrides["device"] = {"compute_dtype": compute_dtype}
     config = Config(config_file="config.json", overrides=overrides or None)
     embedder = CLIPEmbedder(
         model_path=model_path,
@@ -226,7 +232,8 @@ def _make_system(model_path: str | None, dtype: str | None = None,
 
 
 def cmd_build(args) -> int:
-    system = _make_system(args.model_path, args.dtype)
+    system = _make_system(args.model_path, args.dtype,
+                          compute_dtype=args.compute_dtype)
     system.config.set("index.chunk_size", args.chunk_size)
     out = system.build_system(
         args.keyframes_dir,

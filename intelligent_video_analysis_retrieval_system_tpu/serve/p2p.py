@@ -167,10 +167,7 @@ class NetworkDiscovery:
         best-effort (SO_REUSEADDR lets co-hosted nodes share it; if the
         OS refuses, per-port discovery still works)."""
         socks: list[socket.socket] = []
-        ports = [self.discovery_port]
-        if self.well_known_port not in ports:
-            ports.append(self.well_known_port)
-        for port in ports:
+        for port in self._announce_ports():
             sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
             sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
             # deliberately NO SO_REUSEPORT: a reuseport group delivers each

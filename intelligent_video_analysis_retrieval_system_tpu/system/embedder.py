@@ -251,13 +251,11 @@ class CLIPEmbedder:
             return
         import jax
 
-        import numpy as _np
-
-        host = jax.tree.map(lambda x: _np.asarray(x), stats_tree)
+        host = jax.tree.map(np.asarray, stats_tree)
         prev = self._cal_stats[tower]
         self._cal_stats[tower] = (
             host if prev is None
-            else jax.tree.map(_np.maximum, prev, host)
+            else jax.tree.map(np.maximum, prev, host)
         )
         self._cal_seen[tower] += 1
         if self._cal_seen[tower] >= _CAL_BATCHES:

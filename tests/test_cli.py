@@ -225,3 +225,34 @@ class TestCLIMeshFlag:
         hits = system.index.search(np.ones(DIM, np.float32), top_k=3)
         assert len(hits) == 3
         system.cleanup()
+
+
+class TestComputeDtypeFlag:
+    def test_make_system_plumbs_compute_dtype(self, tmp_path, monkeypatch):
+        """--compute-dtype sets device.compute_dtype (tower mode) while
+        --dtype stays the INDEX row dtype — the two must not be conflated
+        (regression: int8_static briefly leaked into the index choices)."""
+        monkeypatch.chdir(tmp_path)
+        from intelligent_video_analysis_retrieval_system_tpu.cli import (
+            _build_parser,
+            _make_system,
+        )
+
+        system = _make_system(None, dtype="int8",
+                              compute_dtype="int8_static")
+        assert system.config.get("index.dtype") == "int8"
+        assert system.config.get("device.compute_dtype") == "int8_static"
+        assert system.embedder.compute_dtype == "int8_static"
+
+        parser = _build_parser()
+        args = parser.parse_args(
+            ["build", "kf", "--dtype", "int8",
+             "--compute-dtype", "int8_static"]
+        )
+        assert args.dtype == "int8"
+        assert args.compute_dtype == "int8_static"
+        # int8_static is a tower mode, not an index storage dtype
+        import pytest as _pytest
+
+        with _pytest.raises(SystemExit):
+            parser.parse_args(["build", "kf", "--dtype", "int8_static"])
