@@ -23,6 +23,8 @@ import json
 import sys
 import time
 
+import numpy as np
+
 
 def _build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
@@ -126,6 +128,21 @@ def _build_parser() -> argparse.ArgumentParser:
 
     cp = sub.add_parser("compact", help="drop tombstoned rows from an index")
     cp.add_argument("index_path")
+
+    ev = sub.add_parser(
+        "evaluate",
+        help="retrieval quality on YOUR corpus: the index's device "
+             "backend vs an exact f32 oracle (recall@k / rank agreement; "
+             "run after building an int8 capacity-mode index)",
+    )
+    ev.add_argument("index_path")
+    ev.add_argument("--queries", type=int, default=64,
+                    help="number of probe queries sampled from the corpus")
+    ev.add_argument("--top-k", type=int, default=10)
+    ev.add_argument("--noise", type=float, default=0.05,
+                    help="perturbation added to sampled rows (0 = exact "
+                         "self-retrieval probes)")
+    ev.add_argument("--seed", type=int, default=0)
 
     pa = sub.add_parser(
         "parity",
@@ -408,6 +425,64 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_evaluate(args) -> int:
+    from .index import UnifiedIndex
+    from .retrieval.evaluation import evaluate_backends
+
+    index = UnifiedIndex()
+    index.load_unified_index(args.index_path)
+    try:
+        n = index.ntotal
+        if n == 0:
+            print("empty index", file=sys.stderr)
+            return 1
+        # f32 ground-truth rows (int8 containers dequantize through their
+        # stored scales — the oracle measures the FULL quantization cost)
+        rows = index._container.read_embeddings(as_float32=True)
+        rows = rows / np.maximum(
+            np.linalg.norm(rows, axis=-1, keepdims=True), 1e-12
+        )
+        dead = np.zeros(n, bool)
+        for row in getattr(index, "_deleted", set()):
+            if 0 <= row < n:
+                dead[row] = True
+        rng = np.random.default_rng(args.seed)
+        m = min(args.queries, n)
+        picks = rng.choice(n, size=m, replace=False)
+        q = rows[picks] + args.noise * rng.standard_normal(
+            (m, rows.shape[1])
+        ).astype(np.float32)
+        q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+        k = min(args.top_k, int((~dead).sum()))
+
+        def candidate(queries):
+            per_query = index.search_vectors(queries, top_k=k)
+            ids = np.array(
+                [[h.metadata.row_id for h in hits] for hits in per_query]
+            )
+            scores = np.array(
+                [[h.similarity_score for h in hits] for hits in per_query],
+                np.float64,
+            )
+            return scores, ids
+
+        def oracle(queries):
+            scores = queries.astype(np.float64) @ rows.T.astype(np.float64)
+            scores[:, dead] = -np.inf
+            ids = np.argsort(-scores, axis=1)[:, :k]
+            return np.take_along_axis(scores, ids, axis=1), ids
+
+        report = evaluate_backends(candidate, oracle, q, k)
+        out = report.as_dict()
+        out["index"] = str(args.index_path)
+        out["dtype"] = index._container.dtype
+        out["rows"] = n
+        print(json.dumps(out, indent=2))
+        return 0
+    finally:
+        index.close()
+
+
 def cmd_parity(args) -> int:
     from .models.parity import run_parity
 
@@ -427,6 +502,7 @@ _COMMANDS = {
     "validate": cmd_validate,
     "stats": cmd_stats,
     "compact": cmd_compact,
+    "evaluate": cmd_evaluate,
     "parity": cmd_parity,
 }
 

@@ -256,3 +256,35 @@ class TestComputeDtypeFlag:
 
         with _pytest.raises(SystemExit):
             parser.parse_args(["build", "kf", "--dtype", "int8_static"])
+
+
+class TestEvaluateCommand:
+    def test_evaluate_int8_index(self, tmp_path, monkeypatch, capsys):
+        """`evaluate` reports device-backend quality vs the f32 oracle —
+        for an int8 index this measures the real quantization cost on the
+        user's own corpus."""
+        monkeypatch.chdir(tmp_path)
+        rng = np.random.default_rng(5)
+        kf = tmp_path / "keyframes" / "v"
+        kf.mkdir(parents=True)
+        for n in range(30):
+            Image.fromarray(rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+                            ).save(kf / f"{n}.jpg")
+        from intelligent_video_analysis_retrieval_system_tpu.index import (
+            RAGBuilder,
+            UnifiedIndexConfig,
+        )
+
+        builder = RAGBuilder(fake_embed, DIM, input_size=32,
+                             config=UnifiedIndexConfig(dtype="int8",
+                                                       thumbnail_size=32))
+        index, _ = builder.build_index(kf.parent, tmp_path / "e.rvdb")
+        index.close()
+        rc = cli_main(["evaluate", str(tmp_path / "e.rvdb"),
+                       "--queries", "16", "--top-k", "5"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["dtype"] == "int8" and out["rows"] == 30
+        assert out["queries"] == 16 and out["k"] == 5
+        assert out["recall_at_k"] > 0.8          # int8 on random data
+        assert 0.0 <= out["overlap_at_k"] <= 1.0
