@@ -86,6 +86,25 @@ class TestCodecProperties:
         # symmetric quantization error bound: half a step per element
         assert (np.abs(back - x) <= (s[:, None] / 2) + 1e-7).all()
 
+    @settings(**_COMMON)
+    @given(seed=st.integers(0, 2**16), n=st.integers(1, 50))
+    def test_numpy_and_jnp_quantizers_in_lockstep(self, seed, n):
+        """quantize_rows_int8 (numpy, storage path) and ops.quant.
+        symmetric_int8 (jnp, query/W8A8 path) claim to implement the SAME
+        scheme — the bit-exactness contract between stored rows and
+        query-time math depends on it (guards the round-2 dedup refactor)."""
+        from intelligent_video_analysis_retrieval_system_tpu.ops.quant import (
+            symmetric_int8,
+        )
+
+        x = _normed_array(seed, n, 32)
+        q_np, s_np = quantize_rows_int8(x)
+        q_j, s_j = symmetric_int8(jnp.asarray(x), axis=-1)
+        np.testing.assert_array_equal(q_np, np.asarray(q_j))
+        np.testing.assert_allclose(
+            s_np, np.asarray(s_j)[:, 0], rtol=0, atol=0
+        )
+
 
 class TestDedupProperties:
     @settings(**_COMMON)
