@@ -45,6 +45,15 @@ def _bucket(n: int) -> int:
     return -(-n // _BATCH_BUCKETS[-1]) * _BATCH_BUCKETS[-1]
 
 
+def _flatten_scale_tree(tree: Any, prefix: tuple = ()):
+    """Yield (keypath, scalar) pairs from a nested act-scales dict."""
+    for key, val in tree.items():
+        if isinstance(val, dict):
+            yield from _flatten_scale_tree(val, prefix + (key,))
+        else:
+            yield prefix + (key,), np.asarray(val).item()
+
+
 class CLIPEmbedder:
     def __init__(
         self,
@@ -77,6 +86,8 @@ class CLIPEmbedder:
         self._cal_seen: dict[str, int] = {"vision": 0, "text": 0}
         self._act_scales: dict[str, Any] = {}
         self._cal_paused = False  # self_test runs excluded from calibration
+        # called whenever a tower's scales freeze (facade persists them)
+        self.on_scales_frozen: Callable[[], Any] | None = None
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -277,6 +288,12 @@ class CLIPEmbedder:
                 f"int8_static: froze {tower} activation scales after "
                 f"{self._cal_seen[tower]} calibration batches"
             )
+        if self.on_scales_frozen is not None:
+            try:
+                self.on_scales_frozen()
+            except Exception:  # persistence must never break encoding
+                if self.logger:
+                    self.logger.exception("act-scales persistence failed")
 
     def calibrate(self) -> None:
         """Freeze int8_static scales NOW from whatever has been observed
@@ -284,6 +301,57 @@ class CLIPEmbedder:
         for tower in ("vision", "text"):
             if self._cal_seen[tower] > 0 and tower not in self._act_scales:
                 self._freeze_scales(tower)
+
+    def export_act_scales(self, path: str | Path) -> bool:
+        """Persist frozen int8_static scales as JSON so a restarted server
+        starts static immediately instead of re-observing _CAL_BATCHES
+        batches per tower. Returns False if nothing is frozen yet."""
+        import json
+
+        if not self._act_scales:
+            return False
+        flat = {
+            tower: {
+                "/".join(str(k) for k in keypath): float(leaf)
+                for keypath, leaf in _flatten_scale_tree(tree)
+            }
+            for tower, tree in self._act_scales.items()
+        }
+        payload = {"format": "ivars-act-scales-v1", "towers": flat}
+        tmp = Path(str(path) + ".tmp")
+        tmp.write_text(json.dumps(payload, indent=1, sort_keys=True))
+        tmp.replace(path)
+        return True
+
+    def import_act_scales(self, path: str | Path) -> bool:
+        """Load scales exported by :meth:`export_act_scales`; the matching
+        towers start static immediately. Returns False when the file is
+        missing (callers treat that as 'calibrate lazily as usual')."""
+        import json
+
+        import jax.numpy as jnp
+
+        path = Path(path)
+        if not path.is_file():
+            return False
+        payload = json.loads(path.read_text())
+        if payload.get("format") != "ivars-act-scales-v1":
+            raise ValueError(f"{path}: not an act-scales file")
+        for tower, flat in payload["towers"].items():
+            tree: dict[str, Any] = {}
+            for joined, value in flat.items():
+                node = tree
+                parts = joined.split("/")
+                for part in parts[:-1]:
+                    node = node.setdefault(part, {})
+                node[parts[-1]] = jnp.float32(value)
+            self._act_scales[tower] = tree
+        if self.logger:
+            self.logger.info(
+                f"int8_static: imported frozen activation scales for "
+                f"{sorted(payload['towers'])} from {path}"
+            )
+        return True
 
     # -- jitted encoders (cached per padded signature) -----------------------
 

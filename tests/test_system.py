@@ -508,3 +508,50 @@ class TestInt8StaticFacade:
         assert "calibrating" not in str(
             report["components"]["embedder"].get("detail")
         )
+
+    def test_act_scales_persist_across_restart(self, tmp_path):
+        """int8_static scales export next to the index on freeze and a
+        fresh system importing them starts static immediately (no
+        recalibration batches)."""
+        from intelligent_video_analysis_retrieval_system_tpu.system.embedder import (
+            _CAL_BATCHES,
+        )
+
+        rng = np.random.default_rng(7)
+        folder = tmp_path / "keyframes" / "vid0"
+        folder.mkdir(parents=True)
+        for n in range(4):
+            Image.fromarray(rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+                            ).save(folder / f"{n}.jpg", quality=95)
+        cfg = Config(config_file=None, base_dir=tmp_path, create_dirs=True,
+                     overrides={"device": {"compute_dtype": "int8_static"},
+                                "index": {"thumbnail_size": 32}})
+        emb1 = CLIPEmbedder(config=CLIPConfig.tiny_test(),
+                            compute_dtype="int8_static")
+        system = EnhancedRetrievalSystem(cfg, embedder=emb1)
+        out = system.build_system(tmp_path / "keyframes")
+        index_path = out["index_path"]
+        from pathlib import Path
+
+        scales_path = Path(f"{index_path}.act_scales.json")
+        for i in range(_CAL_BATCHES):
+            system.search(f"q{i}")
+            emb1.encode_images(rng.integers(0, 255, (1, 32, 32, 3),
+                                            dtype=np.uint8))
+        assert emb1.get_stats()["act_scales_calibrated"] == ["text", "vision"]
+        assert scales_path.is_file(), "scales not exported on freeze"
+        baseline = [h["image"] for h in system.search("a probe query")]
+        system.cleanup()
+
+        # fresh process analog: new embedder + system, same index
+        emb2 = CLIPEmbedder(config=CLIPConfig.tiny_test(),
+                            compute_dtype="int8_static")
+        cfg2 = Config(config_file=None, base_dir=tmp_path, create_dirs=True,
+                      overrides={"device": {"compute_dtype": "int8_static"},
+                                 "index": {"thumbnail_size": 32}})
+        system2 = EnhancedRetrievalSystem(cfg2, embedder=emb2)
+        system2.load_system(index_path)
+        assert emb2.get_stats()["act_scales_calibrated"] == ["text", "vision"]
+        # static from the FIRST query — and identical rankings
+        assert [h["image"] for h in system2.search("a probe query")] == baseline
+        system2.cleanup()
