@@ -7,6 +7,15 @@ FIFO-marginal methodology:
   C  full e2e (encode + sweep in ONE jit — what bench.py measures)
 C - (A + B) exposes scheduling/fusion overhead of composing the two.
 
+MEASURED VERDICT (2026-08-17, see RESULTS.md): A reads 3.2-4.9 ms and B
+2.2 ms standalone, yet C is only 2.9-3.2 ms — the standalone numbers are
+DISPATCH-FLOOR-limited through the tunnel, not device time. An
+interleaved A/B follow-up with a W8A8-static text tower (2.3x faster
+standalone) showed NO composed-e2e win, so the e2e is sweep-dominated
+and the B=1 tower costs well under 1 ms of device time. Standalone
+marginals of sub-ms programs are NOT trustworthy on this tunnel; only
+composed-program comparisons are.
+
 Run alone: timeout 590 python -u benchmarks/exp_latency_breakdown.py
 """
 
