@@ -129,6 +129,43 @@ class TestContainer:
             assert c.num_rows == 2
             assert c.consistency_report()["ok"]
 
+    def test_random_truncation_fails_clean_or_recovers(self, tmp_path):
+        """Crash-robustness fuzz: truncating the FILE at arbitrary byte
+        offsets must yield either a clean reopen (possibly after
+        repair_to_consistent) or a clean exception — never a hang, crash,
+        or silent garbage (rows that do load must be bit-intact)."""
+        path = tmp_path / "f.rvdb"
+        rng = np.random.default_rng(0)
+        rows = rng.standard_normal((64, 8)).astype(np.float32)
+        with IndexContainer(path, "w", dim=8, dtype="float32") as c:
+            c.append_embeddings(rows)
+            c.append_metadata(
+                [{"folder": "v", "image": f"{i}.jpg", "frame_id": i}
+                 for i in range(64)]
+            )
+            c.flush_checkpoint()
+        blob = path.read_bytes()
+        outcomes = {"recovered": 0, "clean_error": 0}
+        for frac in (0.2, 0.5, 0.8, 0.95, 0.999):
+            cut = max(1, int(len(blob) * frac))
+            path.write_bytes(blob[:cut])
+            try:
+                with IndexContainer(path, "a", dim=8, dtype="float32") as c:
+                    c.repair_to_consistent()
+                    n = c.num_rows
+                    assert c.consistency_report()["ok"]
+                    if n:
+                        got = c.read_embeddings(0, n)
+                        np.testing.assert_array_equal(got, rows[:n])
+                    outcomes["recovered"] += 1
+            except Exception:
+                outcomes["clean_error"] += 1
+        # full file reopens losslessly
+        path.write_bytes(blob)
+        with IndexContainer(path, "r") as c:
+            assert c.num_rows == 64
+        assert sum(outcomes.values()) == 5, outcomes
+
     def test_not_a_container(self, tmp_path):
         bad = tmp_path / "bad.rvdb"
         import h5py
