@@ -26,7 +26,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["fused_mha_qkv"]
+__all__ = ["fused_mha", "fused_mha_qkv"]
 
 
 def _mha_kernel(q_ref, k_ref, v_ref, out_ref, *, num_heads: int,
@@ -71,6 +71,33 @@ def _build_mha(b: int, t: int, num_heads: int, head_dim: int, dtype_name: str,
     return jax.jit(call)
 
 
+def _einsum_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, num_heads: int
+) -> jnp.ndarray:
+    """Differentiable reference formulation matching the kernel's math
+    (f32 scores + f32 softmax, activations back in the input dtype)."""
+    b, t, d = q.shape
+    head_dim = d // num_heads
+    scale = head_dim ** -0.5
+
+    def split(x):
+        return x.reshape(b, t, num_heads, head_dim)
+
+    qm, km, vm = split(q), split(k), split(v)
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", qm * scale, km,
+        preferred_element_type=jnp.float32,
+    )
+    weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(
+        q.dtype
+    )
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", weights, vm, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
+    return out.reshape(b, t, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def fused_mha(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, num_heads: int,
     interpret: bool = False,
@@ -79,6 +106,13 @@ def fused_mha(
 
     Separate q/k/v inputs (not a concatenated QKV tensor): a host-level
     concat would round-trip another (B, T, 3D) activation through HBM.
+
+    Differentiable: the Pallas kernel has no native autodiff rule, so a
+    custom VJP recomputes the backward pass through the equivalent einsum
+    formulation (flash-attention-style recompute — the residuals are just
+    q/k/v; no (T, T) weights are saved). Forward values come from the
+    kernel, gradients from the einsum math; the two agree to bf16
+    tolerances (gradcheck in tests/test_ops.py).
     """
     b, t, d = q.shape
     head_dim = d // num_heads
@@ -87,6 +121,20 @@ def fused_mha(
         bool(interpret),
     )
     return call(q, k, v)
+
+
+def _fused_mha_fwd(q, k, v, num_heads, interpret):
+    return fused_mha(q, k, v, num_heads, interpret), (q, k, v)
+
+
+def _fused_mha_bwd(num_heads, interpret, residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(lambda q, k, v: _einsum_attention(q, k, v, num_heads),
+                     q, k, v)
+    return vjp(g)
+
+
+fused_mha.defvjp(_fused_mha_fwd, _fused_mha_bwd)
 
 
 def fused_mha_qkv(

@@ -45,6 +45,10 @@ class TrainConfig:
     data_axis: str = "data"
     model_axis: str = "model"
     remat: bool = True  # rematerialize blocks: trade FLOPs for HBM
+    # the fused Pallas MHA now carries a custom VJP (einsum-recompute
+    # backward, ops/attention.py), so training keeps the fast forward;
+    # set False to force the plain einsum path end to end
+    fused_attn: bool = True
     # LR schedule: "constant" (default) or "warmup_cosine" (linear warmup
     # over ``warmup_steps`` then cosine decay to ``end_lr_factor * lr``
     # at ``total_steps`` — CLIP's published fine-tuning recipe shape)
@@ -101,11 +105,8 @@ class CLIPTrainer:
         self.config = config
         self.mesh = mesh
         self.tc = train_config or TrainConfig()
-        # fused_attn=False: the Pallas MHA kernel has no autodiff rule —
-        # training must take the differentiable einsum attention path
-        # (found by running examples/train_clip.py on the real TPU)
         self.model = CLIPModel(config, dtype=dtype, remat=self.tc.remat,
-                               fused_attn=False)
+                               fused_attn=self.tc.fused_attn)
         self.tx = optax.chain(
             optax.clip_by_global_norm(self.tc.max_grad_norm),
             optax.adamw(

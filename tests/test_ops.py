@@ -431,3 +431,46 @@ class TestFusedMlpBlock:
         np.testing.assert_allclose(
             np.asarray(out_f), np.asarray(out_u), atol=2e-5
         )
+
+
+class TestFusedAttentionGrad:
+    def test_custom_vjp_matches_einsum_grads(self, rng):
+        """The Pallas MHA forward carries a custom VJP (einsum recompute);
+        grads through fused_mha (interpret mode) must match grads of the
+        plain einsum formulation."""
+        import jax
+
+        from intelligent_video_analysis_retrieval_system_tpu.ops.attention import (
+            _einsum_attention,
+            fused_mha,
+        )
+
+        b, t, h, hd = 2, 8, 2, 8
+        q = jnp.asarray(rng.standard_normal((b, t, h * hd)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, t, h * hd)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, t, h * hd)), jnp.float32)
+
+        def loss_fused(q, k, v):
+            return jnp.sum(fused_mha(q, k, v, h, True) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(_einsum_attention(q, k, v, h) ** 2)
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_forward_unchanged_by_vjp_wrapper(self, rng):
+        from intelligent_video_analysis_retrieval_system_tpu.ops.attention import (
+            _einsum_attention,
+            fused_mha,
+        )
+
+        q = jnp.asarray(rng.standard_normal((1, 8, 16)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 8, 16)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, 8, 16)), jnp.float32)
+        out = np.asarray(fused_mha(q, k, v, 2, True))
+        ref = np.asarray(_einsum_attention(q, k, v, 2))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
