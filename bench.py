@@ -242,12 +242,19 @@ def main() -> None:
 
             mesh = Mesh(np.array(jax.devices()[:1]), ("index",))
             xs = jax.device_put(xd, NamedSharding(mesh, P("index", None)))
-            enc = jax.jit(encode)
 
-            def sharded_query(i):
-                emb = enc(tp, tokens, jnp.float32(i + 1))
+            # ONE composed program (encode + sharded search), matching the
+            # headline's single-dispatch shape — a 2-dispatch version pays
+            # the tunnel's per-dispatch floor between stages and read 2-3x
+            # noisier across runs
+            @jax.jit
+            def sharded_fused(tp, xs, tokens, salt):
+                emb = encode(tp, tokens, salt)
                 res = sharded_topk(mesh, xs, emb.astype(jnp.bfloat16), K, N)
                 return res.scores[0, 0]
+
+            def sharded_query(i):
+                return sharded_fused(tp, xs, tokens, jnp.float32(i + 1))
 
             float(sharded_query(-1))  # compile
             s50, s95, _ = percentile_rounds(sharded_query, 8, 8,
