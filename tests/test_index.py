@@ -88,6 +88,43 @@ class TestContainer:
             got = c.read_embeddings(as_float32=True)
             np.testing.assert_allclose(got, rows, rtol=8e-3)  # bf16 mantissa
 
+    def test_embeddings_f16_roundtrip_and_search(self, tmp_path):
+        """float16 storage: round-trips within f16 precision and the
+        whole index search path works on it (the least-exercised dtype)."""
+        from intelligent_video_analysis_retrieval_system_tpu.index import (
+            RAGBuilder,
+            UnifiedIndexConfig,
+        )
+
+        with IndexContainer(tmp_path / "c.rvdb", "w", dim=8,
+                            dtype="float16") as c:
+            rows = np.random.default_rng(0).standard_normal((4, 8)).astype(
+                np.float32
+            )
+            c.append_embeddings(rows)
+            got = c.read_embeddings(as_float32=True)
+            np.testing.assert_allclose(got, rows, rtol=1e-3)  # f16 mantissa
+
+        rng = np.random.default_rng(1)
+        kf = tmp_path / "keyframes" / "v"
+        kf.mkdir(parents=True)
+        for n in range(6):
+            Image.fromarray(rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+                            ).save(kf / f"{n}.jpg")
+
+        def embed(batch):
+            r = np.random.default_rng(abs(hash(batch.tobytes())) % 2**31)
+            e = r.standard_normal((len(batch), 16)).astype(np.float32)
+            return e / np.linalg.norm(e, axis=-1, keepdims=True)
+
+        builder = RAGBuilder(embed, 16, input_size=32,
+                             config=UnifiedIndexConfig(dtype="float16",
+                                                       thumbnail_size=32))
+        index, _ = builder.build_index(kf.parent, tmp_path / "f16.rvdb")
+        hits = index.search(np.ones(16, np.float32) / 4.0, top_k=3)
+        assert len(hits) == 3 and np.isfinite(hits[0].similarity_score)
+        index.close()
+
     def test_blobs_and_metadata(self, tmp_path):
         with IndexContainer(tmp_path / "c.rvdb", "w", dim=4) as c:
             c.append_thumbnails([b"jpegA", b"", b"jpegC"])
