@@ -160,6 +160,18 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    t_start = time.perf_counter()
+
+    def over_budget(limit_s: float, what: str) -> bool:
+        """The compile service has 5 s-10 min variance (CLAUDE.md); on a
+        congested day optional sections must yield so the final JSON line
+        (the driver's artifact) always prints before any outer timeout."""
+        if time.perf_counter() - t_start > limit_s:
+            log(f"skipping {what}: {time.perf_counter() - t_start:.0f}s "
+                f"elapsed > {limit_s:.0f}s budget")
+            return True
+        return False
+
     from intelligent_video_analysis_retrieval_system_tpu.models import (
         CLIPConfig,
         SimpleTokenizer,
@@ -231,7 +243,7 @@ def main() -> None:
     # -- sharded-path regression variant: same query over a 1-device mesh ------
     # (shard_map + Pallas composition; catches sharding regressions in
     # BENCH_rNN without multi-chip hardware)
-    if on_tpu:
+    if on_tpu and not over_budget(360, "sharded bench variant"):
         try:
             from jax.sharding import Mesh, NamedSharding
             from jax.sharding import PartitionSpec as P
@@ -306,7 +318,7 @@ def main() -> None:
         # production-fastest mode: W8A8 with static calibrated activation
         # scales (RESULTS.md; cosine vs bf16 ~0.9995). Calibrate on the
         # bench batch via the dynamic twin, then time the static tower.
-        if on_tpu:
+        if on_tpu and not over_budget(420, "static-tower throughput"):
             from intelligent_video_analysis_retrieval_system_tpu.models.calibrate import (
                 calibrate_act_scales,
             )
@@ -330,7 +342,11 @@ def main() -> None:
         log(f"embed throughput skipped: {exc}")
 
     # -- north star: 10M-row index, int8 capacity mode, ONE chip ---------------
-    if on_tpu and not os.environ.get("IVARS_BENCH_SKIP_10M"):
+    if (
+        on_tpu
+        and not os.environ.get("IVARS_BENCH_SKIP_10M")
+        and not over_budget(480, "10M int8 north-star section")
+    ):
         try:
             from intelligent_video_analysis_retrieval_system_tpu.ops.quant import (
                 _build_int8_searcher,
