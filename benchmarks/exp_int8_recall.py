@@ -45,7 +45,9 @@ def main():
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    sys.path.insert(0, "/root/repo")
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     from intelligent_video_analysis_retrieval_system_tpu.ops.quant import (
         _int8_reference,
         quantize_rows_int8,

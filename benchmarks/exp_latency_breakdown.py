@@ -23,8 +23,11 @@ from __future__ import annotations
 
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def log(m):
@@ -35,7 +38,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    sys.path.insert(0, "/root/repo")
     from bench import gen_db_bf16_device
     from intelligent_video_analysis_retrieval_system_tpu.models import (
         CLIPConfig,

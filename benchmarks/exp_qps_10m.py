@@ -28,7 +28,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    sys.path.insert(0, "/root/repo")
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     from bench import gen_db_int8_device, round_overhead
     from intelligent_video_analysis_retrieval_system_tpu.models import (
         CLIPConfig,

@@ -436,21 +436,27 @@ def cmd_evaluate(args) -> int:
         if n == 0:
             print("empty index", file=sys.stderr)
             return 1
-        # f32 ground-truth rows (int8 containers dequantize through their
-        # stored scales — the oracle measures the FULL quantization cost)
-        rows = index._container.read_embeddings(as_float32=True)
-        rows = rows / np.maximum(
-            np.linalg.norm(rows, axis=-1, keepdims=True), 1e-12
-        )
+        # streamed f32 ground truth (int8 containers dequantize through
+        # their stored scales — the oracle measures the FULL quantization
+        # cost). Block-wise everywhere: a capacity-mode index is 10M rows,
+        # so a monolithic f32/f64 copy of the corpus would OOM the host.
+        block = 131_072
+        dead_rows = index.deleted_rows
         dead = np.zeros(n, bool)
-        for row in getattr(index, "_deleted", set()):
+        for row in dead_rows:
             if 0 <= row < n:
                 dead[row] = True
         rng = np.random.default_rng(args.seed)
         m = min(args.queries, n)
-        picks = rng.choice(n, size=m, replace=False)
-        q = rows[picks] + args.noise * rng.standard_normal(
-            (m, rows.shape[1])
+        picks = np.sort(rng.choice(n, size=m, replace=False))
+        sampled = np.concatenate(
+            [index.read_rows_f32(int(i), int(i) + 1) for i in picks]
+        )
+        sampled /= np.maximum(
+            np.linalg.norm(sampled, axis=-1, keepdims=True), 1e-12
+        )
+        q = sampled + args.noise * rng.standard_normal(
+            sampled.shape
         ).astype(np.float32)
         q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
         k = min(args.top_k, int((~dead).sum()))
@@ -467,15 +473,36 @@ def cmd_evaluate(args) -> int:
             return scores, ids
 
         def oracle(queries):
-            scores = queries.astype(np.float64) @ rows.T.astype(np.float64)
-            scores[:, dead] = -np.inf
-            ids = np.argsort(-scores, axis=1)[:, :k]
-            return np.take_along_axis(scores, ids, axis=1), ids
+            # running top-k over row blocks: O(block*dim) resident memory
+            best_s = np.full((len(queries), 0), -np.inf, np.float32)
+            best_i = np.zeros((len(queries), 0), np.int64)
+            for start in range(0, n, block):
+                end = min(start + block, n)
+                rows_blk = index.read_rows_f32(start, end)
+                rows_blk /= np.maximum(
+                    np.linalg.norm(rows_blk, axis=-1, keepdims=True), 1e-12
+                )
+                s_blk = queries @ rows_blk.T                  # (m, blk) f32
+                s_blk[:, dead[start:end]] = -np.inf
+                ids_blk = np.broadcast_to(
+                    np.arange(start, end), s_blk.shape
+                )
+                best_s = np.concatenate([best_s, s_blk], axis=1)
+                best_i = np.concatenate([best_i, ids_blk], axis=1)
+                if best_s.shape[1] > k:
+                    part = np.argpartition(-best_s, k - 1, axis=1)[:, :k]
+                    best_s = np.take_along_axis(best_s, part, axis=1)
+                    best_i = np.take_along_axis(best_i, part, axis=1)
+            order = np.argsort(-best_s, axis=1)
+            return (
+                np.take_along_axis(best_s, order, axis=1).astype(np.float64),
+                np.take_along_axis(best_i, order, axis=1),
+            )
 
         report = evaluate_backends(candidate, oracle, q, k)
         out = report.as_dict()
         out["index"] = str(args.index_path)
-        out["dtype"] = index._container.dtype
+        out["dtype"] = index.get_stats()["container"]["dtype"]
         out["rows"] = n
         print(json.dumps(out, indent=2))
         return 0

@@ -564,6 +564,19 @@ class UnifiedIndex:
     def num_live(self) -> int:
         return self._n_valid - len(self._deleted)
 
+    def read_rows_f32(self, start: int = 0, end: int | None = None) -> "np.ndarray":
+        """f32 rows regardless of storage dtype (dequantizes int8) —
+        public accessor for evaluation/export tooling."""
+        assert self._container is not None, "index not loaded"
+        if end is None:
+            end = self._n_valid
+        return self._container.read_embeddings_f32_any(start, end)
+
+    @property
+    def deleted_rows(self) -> frozenset:
+        """Tombstoned row ids (public, read-only view)."""
+        return frozenset(self._deleted)
+
     def delete_rows(self, row_ids: Sequence[int]) -> dict[str, Any]:
         """Tombstone rows: excluded from all searches immediately, logged
         durably, removed physically by :meth:`compact`.

@@ -155,8 +155,9 @@ class MultiHeadAttention(nn.Module):
     # max reduce; needs the ``act_scales`` collection from
     # models.calibrate.calibrate_act_scales)
     w8a8_static: bool = False
-    # the fused Pallas MHA kernel has no autodiff rule — training builds
-    # (CLIPTrainer) must set False to take the differentiable einsum path
+    # the fused Pallas MHA carries a custom VJP (einsum-recompute
+    # backward, ops/attention.py), so it is differentiable and training
+    # keeps the fast forward; False forces plain einsum attention
     fused_attn: bool = True
 
     @nn.compact

@@ -188,7 +188,7 @@ class EnhancedRetrievalSystem:
                 raise RuntimeError(f"post-build inconsistency: {consistency.errors}")
             # step 6: finalize
             self.is_built = True
-            self._wire_act_scale_persistence(output_path)
+            self._wire_act_scale_persistence(output_path, import_existing=False)
             self._emit("build_progress", stage="done", done=6, total=6)
             self.logger.info("build complete", **report.as_dict())
             return {"report": report.as_dict(), "index_path": str(output_path)}
@@ -242,30 +242,48 @@ class EnhancedRetrievalSystem:
                 self.index = index
             self._rebuild_metadata()
             self.is_built = True
-            self._wire_act_scale_persistence(index_path)
+            self._wire_act_scale_persistence(index_path, import_existing=True)
             self.logger.info(
                 "system loaded", ntotal=index.ntotal,
                 load_time_s=round(index.load_time_s or 0, 3),
             )
 
-    def _wire_act_scale_persistence(self, index_path: str | Path) -> None:
+    def _wire_act_scale_persistence(
+        self, index_path: str | Path, import_existing: bool
+    ) -> None:
         """int8_static: persist calibrated activation scales next to the
         index (``<index>.act_scales.json``) so a restarted server starts
         static immediately instead of re-observing calibration batches.
-        Import any existing file now; export whenever a tower freezes."""
+
+        ``import_existing`` is True only on LOAD: a fresh BUILD must never
+        import the previous build's sidecar (its scales were calibrated
+        for a different corpus/checkpoint and would silently override the
+        ones just observed) — the stale file is removed instead."""
         if getattr(self.embedder, "compute_dtype", None) != "int8_static":
             return
         scales_path = Path(f"{index_path}.act_scales.json")
-        try:
-            if self.embedder.import_act_scales(scales_path):
-                self.logger.info(
-                    "int8_static scales loaded", path=str(scales_path)
+        if import_existing:
+            try:
+                if self.embedder.import_act_scales(scales_path):
+                    self.logger.info(
+                        "int8_static scales loaded", path=str(scales_path)
+                    )
+            except Exception:
+                self.logger.exception(
+                    "act-scales import failed — recalibrating"
                 )
-        except Exception:
-            self.logger.exception("act-scales import failed — recalibrating")
+        else:
+            scales_path.unlink(missing_ok=True)
         self.embedder.on_scales_frozen = (
             lambda: self.embedder.export_act_scales(scales_path)
         )
+        # towers may have frozen BEFORE wiring (e.g. during the build's own
+        # embedding batches) — export what exists now, not just future
+        # freezes, or a build-then-exit flow persists nothing
+        if self.embedder.export_act_scales(scales_path):
+            self.logger.info(
+                "int8_static scales saved", path=str(scales_path)
+            )
 
     def _index_config(self) -> UnifiedIndexConfig:
         sec = self.config.section("index")

@@ -543,6 +543,13 @@ class TestInt8StaticFacade:
         baseline = [h["image"] for h in system.search("a probe query")]
         system.cleanup()
 
+        # a stale sidecar from a previous corpus must be REMOVED by a
+        # fresh build, not imported over freshly-calibrated scales
+        import json as _json
+
+        payload = _json.loads(scales_path.read_text())
+        assert payload["format"] == "ivars-act-scales-v1"
+
         # fresh process analog: new embedder + system, same index
         emb2 = CLIPEmbedder(config=CLIPConfig.tiny_test(),
                             compute_dtype="int8_static")
@@ -555,3 +562,44 @@ class TestInt8StaticFacade:
         # static from the FIRST query — and identical rankings
         assert [h["image"] for h in system2.search("a probe query")] == baseline
         system2.cleanup()
+
+    def test_scales_frozen_during_build_are_exported(self, tmp_path):
+        """Regression: towers that freeze DURING the build (before the
+        persistence hook is wired at step 6) must still be exported —
+        build-then-exit used to persist nothing."""
+        from pathlib import Path
+
+        from intelligent_video_analysis_retrieval_system_tpu.system.embedder import (
+            _CAL_BATCHES,
+        )
+
+        rng = np.random.default_rng(8)
+        folder = tmp_path / "keyframes" / "vid0"
+        folder.mkdir(parents=True)
+        for n in range(_CAL_BATCHES + 2):
+            Image.fromarray(rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+                            ).save(folder / f"{n}.jpg", quality=95)
+        cfg = Config(config_file=None, base_dir=tmp_path, create_dirs=True,
+                     overrides={"index": {"thumbnail_size": 32,
+                                          "chunk_size": 1}})
+        # image_batch_size=1 => every image is its own calibration batch,
+        # so the vision tower freezes mid-build
+        emb = CLIPEmbedder(config=CLIPConfig.tiny_test(),
+                           compute_dtype="int8_static", image_batch_size=1)
+        system = EnhancedRetrievalSystem(cfg, embedder=emb)
+        # plant a stale sidecar that a fresh build must not import
+        out_path = tmp_path / "index" / "index.rvdb"
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        stale = Path(f"{out_path}.act_scales.json")
+        stale.write_text('{"format": "ivars-act-scales-v1", "towers": '
+                         '{"vision": {"bogus_ascale": 99.0}}}')
+        out = system.build_system(tmp_path / "keyframes",
+                                  output_path=out_path)
+        assert "vision" in emb.get_stats()["act_scales_calibrated"]
+        assert stale.is_file(), "frozen-in-build scales not exported"
+        import json as _json
+
+        payload = _json.loads(stale.read_text())
+        assert "bogus_ascale" not in str(payload), "stale sidecar imported"
+        assert "vision" in payload["towers"]
+        system.cleanup()
