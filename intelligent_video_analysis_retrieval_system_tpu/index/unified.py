@@ -273,19 +273,45 @@ class UnifiedIndex:
             self.path.with_name(self.path.name + ".flat").unlink(missing_ok=True)
 
     def _append_device_rows(self, rows: np.ndarray) -> None:
-        """Append normalized rows into padded device capacity (no reload)."""
+        """Append normalized rows into padded device capacity (no reload).
+
+        Every backend appends in place (O(new), donated updates) while the
+        padded capacity allows — the mesh searcher re-shards internally on
+        overflow (carrying tombstones); the single-device paths fall back to
+        a full re-upload only when capacity is exceeded. Appends used to be
+        O(N) re-uploads for the mesh and int8 backends, which made live
+        serving appends scale with corpus size.
+        """
         import jax
         import jax.numpy as jnp
 
         m = len(rows)
         if m == 0:
             return
-        if (
-            self._dev_x is None
-            or self._sharded is not None      # mesh: re-shard on upload
-            or self._n_valid + m > self._capacity
-            or self._dev_scales is not None  # int8: re-quantize on upload
-        ):
+        if self._sharded is not None:  # mesh backend, both dtypes
+            if self._sharded._scales is not None:
+                self._sharded.append_quantized(
+                    *self._quantize_like_upload(rows)
+                )
+            else:
+                self._sharded.append(np.asarray(rows, np.float32))
+            self._n_valid += m
+            self._capacity = int(self._sharded._x.shape[0])
+            return
+        if self._dev_scales is not None:  # single-device int8
+            if self._dev_x is None or self._n_valid + m > self._capacity:
+                self._upload_embeddings()
+                return
+            q, s = self._quantize_like_upload(rows)
+            self._dev_x = jax.lax.dynamic_update_slice(
+                self._dev_x, jnp.asarray(q), (self._n_valid, 0)
+            )
+            self._dev_scales = jax.lax.dynamic_update_slice(
+                self._dev_scales, jnp.asarray(s), (self._n_valid,)
+            )
+            self._n_valid += m
+            return
+        if self._dev_x is None or self._n_valid + m > self._capacity:
             self._upload_embeddings()
             return
         dtype = self._dev_x.dtype
@@ -294,6 +320,22 @@ class UnifiedIndex:
             self._dev_x, update, (self._n_valid, 0)
         )
         self._n_valid += m
+
+    def _quantize_like_upload(
+        self, rows: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Quantize new rows with the SAME convention ``_upload_embeddings``
+        uses on reload (normalization folded into the scale as 1/||int||), so
+        in-place appended rows score bit-identically to a later reload."""
+        from ..ops.quant import quantize_rows_int8
+
+        q, s = quantize_rows_int8(np.asarray(rows, np.float32))
+        if self.config.normalize:
+            int_norms = np.linalg.norm(q.astype(np.float32), axis=-1)
+            s = np.where(
+                int_norms > 0, 1.0 / np.maximum(int_norms, 1e-12), s
+            ).astype(np.float32)
+        return q, s
 
     def _load_metadata_cache(self) -> None:
         assert self._container is not None

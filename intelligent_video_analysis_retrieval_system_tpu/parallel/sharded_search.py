@@ -374,30 +374,17 @@ class ShardedIndexSearcher:
             tuple(d.id for d in self.mesh.devices.flat),
         )
         _MESHES[mesh_key] = self.mesh
-        if self.n_valid + m_pad <= cap:
-            if self._scales is not None:
-                # int8 capacity mode: quantize ONLY the new rows, then
-                # donated in-place updates of rows AND scales — no host
-                # round-trip of the existing corpus (mirrors the bf16 path)
-                from ..ops.quant import quantize_rows_int8
+        if self._scales is not None:
+            # int8 capacity mode: quantize ONLY the new rows, then defer to
+            # append_quantized (donated in-place updates of rows AND scales;
+            # full re-shard carrying tombstones on overflow)
+            from ..ops.quant import quantize_rows_int8
 
-                new_q, new_s = quantize_rows_int8(np.asarray(rows, np.float32))
-                upd_q = np.zeros((m_pad, new_q.shape[1]), np.int8)
-                upd_q[:m] = new_q
-                upd_s = np.zeros((m_pad, 1), np.float32)
-                upd_s[:m, 0] = new_s
-                fn_q = _append_updater(
-                    mesh_key, self.axis, cap, int(self._x.shape[1]), m_pad,
-                    "int8",
-                )
-                fn_s = _append_updater(
-                    mesh_key, self.axis, cap, 1, m_pad, "float32_scales",
-                )
-                off = jnp.int32(self.n_valid)
-                self._x = fn_q(self._x, jnp.asarray(upd_q), off)
-                self._scales = fn_s(self._scales, jnp.asarray(upd_s), off)
-                self.n_valid += m
-                return
+            self.append_quantized(*quantize_rows_int8(
+                np.asarray(rows, np.float32)
+            ))
+            return
+        if self.n_valid + m_pad <= cap:
             upd = np.zeros((m_pad, rows.shape[1]), np.float32)
             upd[:m] = rows
             fn = _append_updater(
@@ -413,24 +400,62 @@ class ShardedIndexSearcher:
         # capacity exceeded: full re-shard is unavoidable (buffer grows).
         # Carry the tombstone mask across the re-load — load()/load_int8()
         # reset it, and dropping it would resurrect deleted rows.
-        dead_rows: set[int] | None = None
-        if self._dead is not None:
-            mask = np.asarray(self._dead[: self.n_valid, 0])
-            dead_rows = set(np.nonzero(mask)[0].tolist()) or None
-        if self._scales is not None:
-            from ..ops.quant import quantize_rows_int8
-
-            cur_q = np.asarray(self._x[: self.n_valid], np.int8)
-            cur_s = np.asarray(self._scales[: self.n_valid, 0], np.float32)
-            new_q, new_s = quantize_rows_int8(np.asarray(rows, np.float32))
-            self.load_int8(
-                np.concatenate([cur_q, new_q]), np.concatenate([cur_s, new_s]),
-                deleted_rows=dead_rows,
-            )
-            return
         current = np.asarray(self._x[: self.n_valid], np.float32)
         self.load(np.concatenate([current, np.asarray(rows, np.float32)]),
-                  deleted_rows=dead_rows)
+                  deleted_rows=self._live_tombstones())
+
+    def _live_tombstones(self) -> set[int] | None:
+        if self._dead is None:
+            return None
+        mask = np.asarray(self._dead[: self.n_valid, 0])
+        return set(np.nonzero(mask)[0].tolist()) or None
+
+    def append_quantized(self, rows_i8: np.ndarray, scales: np.ndarray) -> None:
+        """Append pre-quantized int8 rows + per-row scales (int8 mode only).
+
+        In-place donated updates of rows AND scales when the padded capacity
+        allows (no host round-trip of the existing corpus); full re-shard
+        carrying tombstones on overflow. Callers that need a non-default
+        scale convention (``UnifiedIndex`` folds row normalization into the
+        scale, matching its reload path) quantize upstream and append here;
+        :meth:`append` quantizes with the symmetric max-abs scale.
+        """
+        assert self._scales is not None, "append_quantized needs int8 mode"
+        m = len(rows_i8)
+        if m == 0:
+            return
+        cap = int(self._x.shape[0])
+        m_pad = _ceil_to(max(m, 1), 256)
+        mesh_key = (
+            id(self.mesh), self.mesh.axis_names,
+            tuple(self.mesh.devices.shape),
+            tuple(d.id for d in self.mesh.devices.flat),
+        )
+        _MESHES[mesh_key] = self.mesh
+        if self.n_valid + m_pad <= cap:
+            upd_q = np.zeros((m_pad, rows_i8.shape[1]), np.int8)
+            upd_q[:m] = rows_i8
+            upd_s = np.zeros((m_pad, 1), np.float32)
+            upd_s[:m, 0] = scales
+            fn_q = _append_updater(
+                mesh_key, self.axis, cap, int(self._x.shape[1]), m_pad,
+                "int8",
+            )
+            fn_s = _append_updater(
+                mesh_key, self.axis, cap, 1, m_pad, "float32_scales",
+            )
+            off = jnp.int32(self.n_valid)
+            self._x = fn_q(self._x, jnp.asarray(upd_q), off)
+            self._scales = fn_s(self._scales, jnp.asarray(upd_s), off)
+            self.n_valid += m
+            return
+        cur_q = np.asarray(self._x[: self.n_valid], np.int8)
+        cur_s = np.asarray(self._scales[: self.n_valid, 0], np.float32)
+        self.load_int8(
+            np.concatenate([cur_q, rows_i8.astype(np.int8)]),
+            np.concatenate([cur_s, np.asarray(scales, np.float32)]),
+            deleted_rows=self._live_tombstones(),
+        )
 
     def search(
         self, q: np.ndarray, k: int,

@@ -365,6 +365,39 @@ class TestUnifiedIndex:
         assert again.row_for("videoX", "0.jpg") == 12
         again.close()
 
+    def test_incremental_update_int8_in_place_matches_reload(self, tmp_path):
+        """Single-device int8 append is an in-place donated update (no O(N)
+        re-upload) and must score bit-identically to a full reload — the
+        quantize convention (normalization folded into the scale) matches
+        ``_upload_embeddings``."""
+        kf, _ = make_keyframes(tmp_path)
+        cfg = UnifiedIndexConfig(dtype="int8", thumbnail_size=32)
+        builder = RAGBuilder(fake_embed, DIM, input_size=32, config=cfg)
+        index, _ = builder.build_index(kf, tmp_path / "q.rvdb")
+        index.close()
+        index = UnifiedIndex(cfg).load_unified_index(
+            tmp_path / "q.rvdb", mode="a"
+        )
+        cap_before = index._capacity
+        rng = np.random.default_rng(3)
+        new = rng.standard_normal((2, DIM)).astype(np.float32)
+        new /= np.linalg.norm(new, axis=-1, keepdims=True)
+        index.incremental_update(
+            new,
+            [KeyframeMetadata(folder="vx", image=f"{i}.jpg", frame_id=i)
+             for i in range(2)],
+        )
+        assert index._capacity == cap_before  # stayed in place
+        q = rng.standard_normal(DIM).astype(np.float32)
+        got = [(h.metadata.row_id, h.similarity_score)
+               for h in index.search(q, top_k=8)]
+        index.close()
+        reloaded = UnifiedIndex(cfg).load_unified_index(tmp_path / "q.rvdb")
+        want = [(h.metadata.row_id, h.similarity_score)
+                for h in reloaded.search(q, top_k=8)]
+        reloaded.close()
+        assert got == want  # bit-exact (int8 metric is integer math)
+
     def test_incremental_rejected_readonly(self, tmp_path):
         index, _ = build_small(tmp_path)
         index.close()

@@ -458,6 +458,99 @@ class TestMeshBackedIndex:
         single.close()
         meshed.close()
 
+    def test_mesh_incremental_append_in_place(self, index_mesh, tmp_path):
+        """Facade-path appends on a mesh go through the searcher's in-place
+        donated update — same searcher object, unchanged capacity, results
+        equal to a fresh reload (used to be an O(N) re-read + re-shard)."""
+        from intelligent_video_analysis_retrieval_system_tpu.index import (
+            UnifiedIndex,
+            UnifiedIndexConfig,
+        )
+        from intelligent_video_analysis_retrieval_system_tpu.retrieval.results import (
+            KeyframeMetadata,
+        )
+
+        self._build(tmp_path)
+        cfg = UnifiedIndexConfig(dtype="float32")
+        meshed = UnifiedIndex(cfg, mesh=index_mesh)
+        meshed.load_unified_index(tmp_path / "i.rvdb", mode="a")
+        searcher = meshed._sharded
+        cap = meshed._capacity
+        rng = np.random.default_rng(9)
+        new = rng.standard_normal((3, 32)).astype(np.float32)
+        new /= np.linalg.norm(new, axis=-1, keepdims=True)
+        meshed.incremental_update(
+            new,
+            [KeyframeMetadata(folder="vx", image=f"{i}.jpg", frame_id=i)
+             for i in range(3)],
+        )
+        assert meshed._sharded is searcher  # no searcher rebuild
+        assert meshed._capacity == cap      # no re-shard
+        q = rng.standard_normal(32).astype(np.float32)
+        got = [(h.metadata.row_id, round(h.similarity_score, 5))
+               for h in meshed.search(q, top_k=8)]
+        meshed.close()
+        reloaded = UnifiedIndex(cfg, mesh=index_mesh)
+        reloaded.load_unified_index(tmp_path / "i.rvdb")
+        want = [(h.metadata.row_id, round(h.similarity_score, 5))
+                for h in reloaded.search(q, top_k=8)]
+        reloaded.close()
+        assert got == want
+
+    def test_mesh_incremental_append_in_place_int8(self, index_mesh, tmp_path):
+        """int8 capacity mode on a mesh: in-place append must be bit-exact
+        vs a reload (scale convention folds normalization, matching
+        ``_upload_embeddings``)."""
+        from PIL import Image
+
+        from intelligent_video_analysis_retrieval_system_tpu.index import (
+            RAGBuilder,
+            UnifiedIndex,
+            UnifiedIndexConfig,
+        )
+        from intelligent_video_analysis_retrieval_system_tpu.retrieval.results import (
+            KeyframeMetadata,
+        )
+
+        rng = np.random.default_rng(12)
+        kf = tmp_path / "keyframes" / "v"
+        kf.mkdir(parents=True)
+        for n in range(10):
+            Image.fromarray(rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+                            ).save(kf / f"{n}.jpg")
+
+        def embed(batch):
+            g = batch.reshape(len(batch), 4, 8, 4, 8, 3).mean(axis=(2, 4))
+            g = g.reshape(len(batch), 48)[:, :32].astype(np.float32) + 1e-3
+            return g / np.linalg.norm(g, axis=-1, keepdims=True)
+
+        cfg = UnifiedIndexConfig(dtype="int8", thumbnail_size=32)
+        builder = RAGBuilder(embed, 32, input_size=32, config=cfg)
+        index, _ = builder.build_index(tmp_path / "keyframes",
+                                       tmp_path / "q.rvdb")
+        index.close()
+        meshed = UnifiedIndex(cfg, mesh=index_mesh)
+        meshed.load_unified_index(tmp_path / "q.rvdb", mode="a")
+        searcher = meshed._sharded
+        new = rng.standard_normal((2, 32)).astype(np.float32)
+        new /= np.linalg.norm(new, axis=-1, keepdims=True)
+        meshed.incremental_update(
+            new,
+            [KeyframeMetadata(folder="vx", image=f"{i}.jpg", frame_id=i)
+             for i in range(2)],
+        )
+        assert meshed._sharded is searcher
+        q = rng.standard_normal(32).astype(np.float32)
+        got = [(h.metadata.row_id, h.similarity_score)
+               for h in meshed.search(q, top_k=8)]
+        meshed.close()
+        reloaded = UnifiedIndex(cfg, mesh=index_mesh)
+        reloaded.load_unified_index(tmp_path / "q.rvdb")
+        want = [(h.metadata.row_id, h.similarity_score)
+                for h in reloaded.search(q, top_k=8)]
+        reloaded.close()
+        assert got == want  # bit-exact
+
     def test_mesh_index_deletes(self, index_mesh, tmp_path):
         from intelligent_video_analysis_retrieval_system_tpu.index import (
             UnifiedIndex,
