@@ -55,18 +55,37 @@ def _get_pairs(word: tuple[str, ...]) -> set[tuple[str, str]]:
     return set(zip(word[:-1], word[1:]))
 
 
-# Word-splitting pattern. CLIP's original uses \p{L}/\p{N}; python `re`
-# approximates with unicode \w classes (identical on the texts CLIP vocab
-# covers).
-_PAT = re.compile(
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
-    r"|[^\W\d_]+|\d|[^\s\w]+",
-    re.IGNORECASE,
-)
+# Word-splitting pattern. CLIP's original uses \p{L}/\p{N} (via the
+# third-party `regex` module, as HF's tokenizer does); when `regex` is
+# available use the exact published pattern, else approximate with python
+# `re` unicode \w classes. The approximation differs only on rare
+# codepoints (non-decimal numerals No/Nl fold into letter runs instead of
+# single-number tokens); underscores are handled identically (they join
+# punctuation runs, `[^\s\p{L}\p{N}]+` semantics).
+try:  # pragma: no cover - exercised via the HF oracle test
+    import regex as _regex
+
+    _PAT = _regex.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+        r"|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+",
+        _regex.IGNORECASE,
+    )
+except ImportError:  # pragma: no cover
+    _PAT = re.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+        r"|[^\W\d_]+|\d|(?:[^\s\w]|_)+",
+        re.IGNORECASE,
+    )
 
 
 def _basic_clean(text: str) -> str:
-    return html.unescape(html.unescape(text)).strip()
+    # html-unescape twice + NFC, mirroring CLIP's ftfy.fix_text defaults
+    # (ftfy unescapes entities and normalizes to NFC; double-unescape covers
+    # double-encoded entities the same way fix_text's loop does)
+    import unicodedata
+
+    text = html.unescape(html.unescape(text))
+    return unicodedata.normalize("NFC", text).strip()
 
 
 def _whitespace_clean(text: str) -> str:
@@ -195,6 +214,14 @@ class CLIPTokenizer(_TokenizerBase):
         text = _whitespace_clean(_basic_clean(text)).lower()
         ids: list[int] = []
         for tok in _PAT.findall(text):
+            # literal special-token strings map to their special ids, never
+            # through BPE (HF/original-CLIP behaviour via their bpe cache)
+            if tok == "<|startoftext|>":
+                ids.append(self.sot_id)
+                continue
+            if tok == "<|endoftext|>":
+                ids.append(self.eot_id)
+                continue
             tok_bytes = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
             for piece in self._bpe(tok_bytes):
                 piece_id = self.encoder.get(piece)
