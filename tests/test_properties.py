@@ -181,3 +181,169 @@ class TestTextProperties:
         assert len(v) == len(set(v))
         if text.strip():
             assert v[0] == text.strip()
+
+
+# ---------------------------------------------------------------------------
+# Stateful model check of the sharded searcher (the repo's strongest claim:
+# sharded results == single-device results under ANY mutation interleaving).
+# ---------------------------------------------------------------------------
+
+from hypothesis.stateful import (  # noqa: E402
+    RuleBasedStateMachine,
+    initialize,
+    invariant,
+    precondition,
+    rule,
+)
+
+_DIM = 8
+
+
+def _shared_mesh():
+    """ONE process-wide mesh: the compiled-searcher caches key on mesh
+    identity, so a fresh mesh per example would recompile every program."""
+    global _MESH
+    try:
+        return _MESH
+    except NameError:
+        import jax
+        from jax.sharding import Mesh
+
+        _MESH = Mesh(np.array(jax.devices()[:8]), ("index",))
+        return _MESH
+
+
+def _int_rows(seed: int, n: int) -> np.ndarray:
+    """Integer-valued f32 rows: every dot product is an exact small integer
+    in f32, so model scores, single-device scores and sharded scores are
+    bit-identical and ties resolve to the lowest global index in every
+    program (no tolerance needed)."""
+    rng = np.random.default_rng(seed)
+    return rng.integers(-8, 9, (n, _DIM)).astype(np.float32)
+
+
+class ShardedSearcherMachine(RuleBasedStateMachine):
+    """Interleaves load/append/delete/compact/search on an 8-device
+    ShardedIndexSearcher (bf16-path f32 and int8 capacity mode) against a
+    plain numpy model, asserting EXACT (id, score) equality after every
+    rule. Capacity overflow (append > padded capacity -> re-shard carrying
+    tombstones) is forced by a dedicated rule."""
+
+    def __init__(self):
+        super().__init__()
+        from intelligent_video_analysis_retrieval_system_tpu.parallel import (
+            ShardedIndexSearcher,
+        )
+
+        self._cls = ShardedIndexSearcher
+        self.searcher = None
+        self.overflowed = False
+
+    @initialize(
+        seed=st.integers(0, 2**16),
+        n=st.integers(5, 200),
+        quantized=st.booleans(),
+    )
+    def load(self, seed, n, quantized):
+        self.quantized = quantized
+        self.rows = _int_rows(seed, n)          # model rows (f32 view)
+        self.deleted: set[int] = set()
+        self.searcher = self._cls(_shared_mesh(), dtype=jnp.float32)
+        if quantized:
+            rng = np.random.default_rng(seed + 1)
+            self.q8 = self.rows.astype(np.int8)  # |values| <= 8 fit int8
+            self.scales = 2.0 ** rng.integers(-1, 2, n).astype(np.float32)
+            self.searcher.load_int8(self.q8, self.scales)
+        else:
+            self.searcher.load(self.rows)
+        self._seed = seed
+
+    def _append(self, new: np.ndarray, seed: int) -> None:
+        if self.quantized:
+            rng = np.random.default_rng(seed)
+            new_q = new.astype(np.int8)
+            new_s = 2.0 ** rng.integers(-1, 2, len(new)).astype(np.float32)
+            self.searcher.append_quantized(new_q, new_s)
+            self.q8 = np.concatenate([self.q8, new_q])
+            self.scales = np.concatenate([self.scales, new_s])
+        else:
+            self.searcher.append(new)
+        self.rows = np.concatenate([self.rows, new])
+
+    @rule(seed=st.integers(0, 2**16), m=st.integers(1, 60))
+    def append_small(self, seed, m):
+        self._append(_int_rows(seed, m), seed)
+
+    @precondition(lambda self: not self.overflowed)
+    @rule(seed=st.integers(0, 2**16))
+    def append_overflow(self, seed):
+        """Exceed the padded capacity -> full re-shard (must carry
+        tombstones and existing rows exactly)."""
+        cap = int(self.searcher._x.shape[0])
+        m = cap - len(self.rows) + 300
+        self._append(_int_rows(seed, m), seed)
+        assert int(self.searcher._x.shape[0]) > cap
+        self.overflowed = True
+
+    @rule(seed=st.integers(0, 2**16), frac=st.floats(0.0, 0.5))
+    def delete_some(self, seed, frac):
+        rng = np.random.default_rng(seed)
+        n = len(self.rows)
+        fresh = rng.choice(n, size=max(1, int(n * frac)), replace=False)
+        self.deleted.update(int(r) for r in fresh)
+        self.searcher.set_deleted(self.deleted)
+
+    @precondition(lambda self: self.searcher is not None and self.deleted)
+    @rule()
+    def compact(self):
+        """Physically drop tombstones (what UnifiedIndex.compact does to
+        the device state: reload live rows, ids remap)."""
+        keep = [r for r in range(len(self.rows)) if r not in self.deleted]
+        self.rows = self.rows[keep]
+        if self.quantized:
+            self.q8 = self.q8[keep]
+            self.scales = self.scales[keep]
+            self.searcher.load_int8(self.q8, self.scales)
+        else:
+            self.searcher.load(self.rows)
+        self.deleted = set()
+
+    @invariant()
+    def search_matches_model(self):
+        if self.searcher is None:
+            return
+        self._seed += 1
+        rng = np.random.default_rng(self._seed)
+        q = rng.integers(-8, 9, (1, _DIM)).astype(np.float32)
+        res = self.searcher.search(q, k=5, use_pallas=False)
+        scores = np.asarray(res.scores, np.float64)[0]
+        ids = np.asarray(res.indices)[0]
+        finite = np.isfinite(scores)
+        got = list(zip(ids[finite].tolist(), scores[finite].tolist()))
+        # numpy model: exact integer dots, deleted masked, stable sort by
+        # (-score, id). The int8 metric quantizes the QUERY too
+        # (ops.quant.symmetric_int8); replicate it bit-for-bit in numpy,
+        # multiplying in the same f32 order as the device program.
+        if self.quantized:
+            qs = np.maximum(
+                np.abs(q[0]).max(), np.float32(1e-12)
+            ).astype(np.float32) / np.float32(127.0)  # f32 / f32 -> f32
+            q8 = np.clip(np.rint(q[0].astype(np.float32) / qs), -127, 127)
+            int_dot = (self.q8.astype(np.float64) @ q8.astype(np.float64)
+                       ).astype(np.float32)
+            model = (int_dot * self.scales.astype(np.float32)) * qs
+            model = model.astype(np.float64)
+        else:
+            model = self.rows.astype(np.float64) @ q[0]
+        live = [r for r in range(len(self.rows)) if r not in self.deleted]
+        order = sorted(live, key=lambda r: (-model[r], r))[: len(got)]
+        want = [(r, float(model[r])) for r in order]
+        assert got == want, f"sharded {got} != model {want}"
+        k_expected = min(5, len(live))
+        assert len(got) == k_expected
+
+
+ShardedSearcherMachine.TestCase.settings = settings(
+    max_examples=8, stateful_step_count=10, deadline=None
+)
+TestShardedSearcherStateful = ShardedSearcherMachine.TestCase
