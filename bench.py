@@ -156,16 +156,164 @@ def gen_db_int8_device(n_pad: int, seed: int = 0):
     return buf, scales
 
 
+def bench_served_qps(xd, n_valid: int, embedder=None) -> dict:
+    """REST-level serving throughput over a device-resident bf16 index.
+
+    Starts the real aiohttp RetrievalServer (QueryBatcher on) around a
+    facade whose index is the device matrix ``xd``; fires concurrent
+    distinct queries from an in-process aiohttp client. Quantifies the FULL
+    serving overhead — HTTP, JSON, rate limiter, micro-batching, ViT-L text
+    encode, fused sweep, result formatting — not just raw device QPS.
+    Reference baseline: ~0.14 QPS e2e (performance.log:8).
+
+    Metadata is synthesized lazily per hit (only top-k rows materialize),
+    matching production cost without holding 1M records in RAM.
+    """
+    import asyncio
+    import socket
+    import tempfile
+
+    from intelligent_video_analysis_retrieval_system_tpu.index.unified import (
+        UnifiedIndex,
+        UnifiedIndexConfig,
+    )
+    from intelligent_video_analysis_retrieval_system_tpu.retrieval.results import (
+        KeyframeMetadata,
+    )
+    from intelligent_video_analysis_retrieval_system_tpu.serve.rest import (
+        RetrievalServer,
+    )
+    from intelligent_video_analysis_retrieval_system_tpu.system import (
+        EnhancedRetrievalSystem,
+    )
+    from intelligent_video_analysis_retrieval_system_tpu.utils.config import (
+        Config,
+    )
+
+    class _LazyMetas:
+        """len-N sequence synthesizing KeyframeMetadata on access."""
+
+        def __init__(self, n: int) -> None:
+            self.n = n
+
+        def __len__(self) -> int:
+            return self.n
+
+        def __getitem__(self, i):
+            if isinstance(i, slice):
+                return [self[j] for j in range(*i.indices(self.n))]
+            if not 0 <= i < self.n:
+                raise IndexError(i)
+            return KeyframeMetadata(
+                folder=f"v{i % 97}", image=f"{i}.jpg", frame_id=i
+            )
+
+    tmp = tempfile.mkdtemp(prefix="ivars_bench_serve_")
+    cfg = Config(
+        config_file=None, base_dir=tmp, create_dirs=True,
+        overrides={
+            "api": {"batching": True, "batching_max_batch": 64,
+                    "batching_window_ms": 8.0,
+                    "rate_limit_per_minute": 10**9},
+            "logging": {"file": False},
+        },
+    )
+    system = EnhancedRetrievalSystem(cfg, embedder=embedder)
+    index = UnifiedIndex(UnifiedIndexConfig(dtype="bfloat16"))
+    index._dev_x = xd
+    index._n_valid = n_valid
+    index._capacity = int(xd.shape[0])
+    index._metadata = _LazyMetas(n_valid)
+    system.index = index
+    system.is_built = True
+
+    # Pre-warm every text-encode bucket the load pattern can hit BEFORE
+    # serving: the first ViT-L text compile takes 30-60 s (worse when the
+    # compile service is congested), which would blow the batcher's 30 s
+    # per-request timeout and cascade into request failures.
+    log("served-QPS: pre-warming text-encode buckets (1, 32, 64)...")
+    t0 = time.perf_counter()
+    for b in (1, 32, 64):
+        system.embedder.encode_text([f"warm {i}" for i in range(b)])
+    log(f"served-QPS: buckets warm in {time.perf_counter() - t0:.1f}s")
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    server = RetrievalServer(system, host="127.0.0.1", port=port)
+    server.run(block=False)
+    url = f"http://127.0.0.1:{port}/api/search"
+
+    import aiohttp
+
+    async def fire(n_req: int, concurrency: int, tag: str):
+        lat: list[float] = []
+        sem = asyncio.Semaphore(concurrency)
+
+        async with aiohttp.ClientSession() as sess:
+            async def one(i: int):
+                async with sem:
+                    t0 = time.perf_counter()
+                    async with sess.post(
+                        url,
+                        json={"query": f"photo of {tag} scene {i}",
+                              "limit": 10},
+                        timeout=aiohttp.ClientTimeout(total=120),
+                    ) as r:
+                        body = await r.json()
+                        assert body.get("success"), body
+                        assert body["count"] > 0
+                    lat.append(time.perf_counter() - t0)
+
+            t0 = time.perf_counter()
+            await asyncio.gather(*[one(i) for i in range(n_req)])
+            return time.perf_counter() - t0, lat
+
+    try:
+        log("served-QPS: warmup (tower + bucket compiles)...")
+        asyncio.run(fire(40, 16, "warm"))
+        log("served-QPS: timed run...")
+        elapsed, lat = asyncio.run(fire(256, 64, "timed"))
+        qps = 256 / elapsed
+        p50 = float(np.percentile(lat, 50)) * 1e3
+        p95 = float(np.percentile(lat, 95)) * 1e3
+        stats = server.batcher.stats if server.batcher else None
+        log(f"served-QPS: {qps:.0f} QPS  p50={p50:.1f} ms p95={p95:.1f} ms"
+            + (f"  avg_batch={stats.avg_batch:.1f}" if stats else ""))
+        out = {
+            "served_qps_1M": round(qps),
+            "served_p50_ms": round(p50, 1),
+            "served_p95_ms": round(p95, 1),
+        }
+        if stats:
+            out["served_avg_batch"] = round(stats.avg_batch, 1)
+        return out
+    finally:
+        try:
+            server.stop()
+        except Exception:
+            pass
+        index._dev_x = None
+        # release the full CLIP params (~1.7 GB f32) with the section
+        system.embedder.params = None
+        system.embedder.model = None
+        system.embedder._loaded = False
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
     t_start = time.perf_counter()
+    budget_scale = float(os.environ.get("IVARS_BENCH_BUDGET_SCALE", "1"))
 
     def over_budget(limit_s: float, what: str) -> bool:
         """The compile service has 5 s-10 min variance (CLAUDE.md); on a
         congested day optional sections must yield so the final JSON line
-        (the driver's artifact) always prints before any outer timeout."""
+        (the driver's artifact) always prints before any outer timeout.
+        IVARS_BENCH_BUDGET_SCALE stretches every budget for manual runs on
+        congested days."""
+        limit_s *= budget_scale
         if time.perf_counter() - t_start > limit_s:
             log(f"skipping {what}: {time.perf_counter() - t_start:.0f}s "
                 f"elapsed > {limit_s:.0f}s budget")
@@ -277,6 +425,81 @@ def main() -> None:
         except Exception as exc:
             log(f"sharded bench variant skipped: {type(exc).__name__}: {exc}")
 
+    # -- v5e-8 north-star anchor: MEASURED per-chip shard -----------------------
+    # The 10M/v5e-8 <10 ms target means each chip sweeps a 1.25M-row shard
+    # inside the sharded program and merges k results over ICI (~51 KB for 8
+    # chips — negligible vs the sweep). One chip can run EXACTLY that shard
+    # shape; this replaces the former arithmetic estimate with a measurement.
+    if on_tpu and not over_budget(420, "1.25M per-chip anchor"):
+        try:
+            from jax.sharding import Mesh, NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            from intelligent_video_analysis_retrieval_system_tpu.ops.topk import (
+                TILE_N as _TILE_A,
+            )
+            from intelligent_video_analysis_retrieval_system_tpu.parallel.sharded_search import (
+                sharded_topk,
+                sharded_topk_int8,
+            )
+
+            N_A = 1_250_000
+            n_pad_a = -(-N_A // _TILE_A) * _TILE_A
+            mesh_a = Mesh(np.array(jax.devices()[:1]), ("index",))
+
+            log(f"anchor: generating {N_A}x{D} bf16 shard on device...")
+            xa = jax.device_put(
+                gen_db_bf16_device(n_pad_a, seed=21),
+                NamedSharding(mesh_a, P("index", None)),
+            )
+
+            @jax.jit
+            def anchor_bf16(tp, xa, tokens, salt):
+                emb = encode(tp, tokens, salt)
+                res = sharded_topk(mesh_a, xa, emb.astype(jnp.bfloat16), K, N_A)
+                return res.scores[0, 0]
+
+            float(anchor_bf16(tp, xa, tokens, jnp.float32(0)))  # compile
+            a50, a95, _ = percentile_rounds(
+                lambda i: anchor_bf16(tp, xa, tokens, jnp.float32(i + 1)),
+                8, 8, round_overhead(8),
+            )
+            log(f"anchor bf16 1.25M sharded: p50={a50:.2f} ms p95={a95:.2f} ms")
+            extra["latency_10M_8chip_anchor_ms"] = round(a50, 2)
+            extra["latency_10M_8chip_anchor_p95_ms"] = round(a95, 2)
+            del xa
+
+            # int8 capacity-mode shard at the same shape
+            if not over_budget(460, "int8 1.25M anchor"):
+                xqa, sqa = gen_db_int8_device(n_pad_a, seed=22)
+                sh = NamedSharding(mesh_a, P("index", None))
+                xqa = jax.device_put(xqa, sh)
+                sqa2 = jax.device_put(sqa.reshape(-1, 1), sh)
+                dead_a = jax.device_put(jnp.zeros((n_pad_a, 1), jnp.int8), sh)
+
+                @jax.jit
+                def anchor_int8(tp, xqa, sqa2, dead_a, tokens, salt):
+                    emb = encode(tp, tokens, salt)
+                    res = sharded_topk_int8(
+                        mesh_a, xqa, sqa2, emb, K, N_A,
+                        deleted_sharded=dead_a,
+                    )
+                    return res.scores[0, 0]
+
+                float(anchor_int8(tp, xqa, sqa2, dead_a, tokens,
+                                  jnp.float32(0)))
+                i50, i95, _ = percentile_rounds(
+                    lambda i: anchor_int8(tp, xqa, sqa2, dead_a, tokens,
+                                          jnp.float32(i + 1)),
+                    8, 8, round_overhead(8),
+                )
+                log(f"anchor int8 1.25M sharded: p50={i50:.2f} ms "
+                    f"p95={i95:.2f} ms")
+                extra["latency_10M_8chip_anchor_int8_ms"] = round(i50, 2)
+                del xqa, sqa2, dead_a
+        except Exception as exc:
+            log(f"1.25M anchor skipped: {type(exc).__name__}: {exc}")
+
     # -- image-tower throughput ------------------------------------------------
     try:
         full = bool(os.environ.get("IVARS_BENCH_FULL"))
@@ -345,7 +568,7 @@ def main() -> None:
     if (
         on_tpu
         and not os.environ.get("IVARS_BENCH_SKIP_10M")
-        and not over_budget(480, "10M int8 north-star section")
+        and not over_budget(520, "10M int8 north-star section")
     ):
         try:
             from intelligent_video_analysis_retrieval_system_tpu.ops.quant import (
@@ -387,42 +610,110 @@ def main() -> None:
             extra["latency_10M_int8_1chip_p50_ms"] = round(q50, 2)
             extra["latency_10M_int8_1chip_p95_ms"] = round(q95, 2)
             extra["queries_10M"] = nq10
-            # v5e-8 analysis: 10M/8 = 1.25M rows/chip; the measured sweep is
-            # linear in rows, so per-chip time ~ p50/8 + ICI merge (~51 KB)
-            extra["latency_10M_8chip_estimate_ms"] = round(q50 / 8 + 0.5, 2)
+            # the per-chip shard of the 10M/v5e-8 target is MEASURED above
+            # (latency_10M_8chip_anchor_ms, 1.25M sharded program); no
+            # arithmetic estimate is recorded any more.
 
-            # serving throughput: ONE sweep amortized over a 32-query batch
-            # (facade.search_batch); the (N, 32) i32 score matrix adds
-            # ~1.3 GB HBM round-trip against the 7.7 GB row stream
-            B_QPS = 32
-            search10b = _build_int8_searcher(n_pad, D, B_QPS, K, False)
-            tokens_b = jnp.tile(tokens, (B_QPS, 1))
+            # serving throughput at the headline batch: ONE sweep amortized
+            # over a 128-query batch (facade.search_batch path; measured
+            # best config in benchmarks/exp_qps_10m.py). The (N, 128) i32
+            # score matrix adds ~5 GB HBM round-trip against the 7.7 GB row
+            # stream — still a throughput win (one stream per 128 queries).
+            def qps_at(b_qps: int, rounds: int, per_round: int):
+                search_b = _build_int8_searcher(n_pad, D, b_qps, K, False)
+                tokens_b = jnp.tile(tokens, (b_qps, 1))
 
-            @jax.jit
-            def query10_batch(tp, x10, s10, dead, tokens_b, salt):
-                toks = tokens_b.at[:, 1].set(
-                    (salt.astype(jnp.int32)
-                     + jnp.arange(B_QPS, dtype=jnp.int32)) % 49000
+                @jax.jit
+                def query_batch(tp, x10, s10, dead, tokens_b, salt):
+                    toks = tokens_b.at[:, 1].set(
+                        (salt.astype(jnp.int32)
+                         + jnp.arange(b_qps, dtype=jnp.int32)) % 49000
+                    )
+                    emb = tower.apply({"params": tp}, toks).astype(jnp.float32)
+                    emb /= jnp.maximum(
+                        jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12
+                    )
+                    res = search_b(x10, s10, emb, jnp.int32(N10), dead)
+                    return res.scores[0, 0]
+
+                log(f"compiling 10M int8 batched (B={b_qps}) search...")
+                float(query_batch(tp, x10, s10, dead, tokens_b,
+                                  jnp.float32(0)))
+                b50, _, _ = percentile_rounds(
+                    lambda i: query_batch(tp, x10, s10, dead, tokens_b,
+                                          jnp.float32(i + 1)),
+                    rounds, per_round, round_overhead(per_round),
                 )
-                emb = tower.apply({"params": tp}, toks).astype(jnp.float32)
-                emb /= jnp.maximum(
-                    jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12
-                )
-                res = search10b(x10, s10, emb, jnp.int32(N10), dead)
-                return res.scores[0, 0]
+                qps = b_qps / (b50 / 1e3)
+                log(f"10M int8 batched B={b_qps}: {b50:.2f} ms/batch = "
+                    f"{qps:.0f} QPS/chip")
+                return qps
 
-            log("compiling 10M int8 batched (32-query) search...")
-            float(query10_batch(tp, x10, s10, dead, tokens_b, jnp.float32(0)))
-            b50, _, _ = percentile_rounds(
-                lambda i: query10_batch(tp, x10, s10, dead, tokens_b,
-                                        jnp.float32(i + 1)),
-                6, 4, round_overhead(4),
+            extra["qps_10M_int8_1chip_b128"] = round(qps_at(128, 6, 3))
+            if not over_budget(660, "10M B=32 QPS point"):
+                extra["qps_10M_int8_1chip_b32"] = round(qps_at(32, 6, 4))
+
+            # scaling curve for smaller meshes: 2.5M (v5e-4 shard) and 5M
+            # (v5e-2 shard) prefixes of the SAME 10M buffer, each searched
+            # through its own static-shape program
+            from intelligent_video_analysis_retrieval_system_tpu.ops.topk import (
+                TILE_N as _T,
             )
-            qps = B_QPS / (b50 / 1e3)
-            log(f"10M int8 batched: {b50:.2f} ms / 32 queries = {qps:.0f} QPS/chip")
-            extra["qps_10M_int8_1chip_b32"] = round(qps)
+
+            for n_small, key in (
+                (2_500_000, "latency_2M5_int8_1chip_p50_ms"),
+                (5_000_000, "latency_5M_int8_1chip_p50_ms"),
+            ):
+                if over_budget(720, key):
+                    break
+                n_pad_s = -(-n_small // _T) * _T
+                x_s = jax.jit(lambda x: x[:n_pad_s])(x10)
+                s_s = s10[:n_pad_s]
+                dead_s = jnp.zeros((n_pad_s, 1), jnp.int8)
+                search_s = _build_int8_searcher(n_pad_s, D, 8, K, False)
+
+                @jax.jit
+                def query_s(tp, x_s, s_s, dead_s, tokens, salt):
+                    emb = encode(tp, tokens, salt)
+                    q = jnp.concatenate([emb, jnp.zeros((7, D), jnp.float32)])
+                    res = search_s(x_s, s_s, q, jnp.int32(n_small), dead_s)
+                    return res.scores[0, 0]
+
+                float(query_s(tp, x_s, s_s, dead_s, tokens, jnp.float32(0)))
+                s50, _, _ = percentile_rounds(
+                    lambda i: query_s(tp, x_s, s_s, dead_s, tokens,
+                                      jnp.float32(i + 1)),
+                    8, 8, round_overhead(8),
+                )
+                log(f"{n_small} int8 e2e: p50={s50:.2f} ms")
+                extra[key] = round(s50, 2)
+                del x_s, s_s, dead_s
+            del x10, s10, dead  # free 7.7 GB before the serving section
         except Exception as exc:
             log(f"10M int8 bench skipped: {type(exc).__name__}: {exc}")
+
+    # -- served QPS through the REST stack (batcher on) -------------------------
+    # Runs LAST: it is the least artifact-critical section and its facade
+    # (full ViT-L params, ~1.7 GB f32) must not crowd the 10M buffer.
+    if (
+        on_tpu
+        and not os.environ.get("IVARS_BENCH_SKIP_SERVE")
+        and not over_budget(700, "served-QPS section")
+    ):
+        try:
+            import gc
+
+            gc.collect()
+            log("served-QPS: generating fresh 1M bf16 DB on device...")
+            from intelligent_video_analysis_retrieval_system_tpu.ops.topk import (
+                TILE_N as _TILE_S,
+            )
+
+            xserve = gen_db_bf16_device(-(-N // _TILE_S) * _TILE_S, seed=31)
+            extra.update(bench_served_qps(xserve, N))
+            del xserve
+        except Exception as exc:
+            log(f"served-QPS skipped: {type(exc).__name__}: {exc}")
 
     baseline_ms = 39.0
     size = f"{N // 1_000_000}M" if N >= 1_000_000 else f"{N // 1000}k"

@@ -159,6 +159,16 @@ class MultiHeadAttention(nn.Module):
     # backward, ops/attention.py), so it is differentiable and training
     # keeps the fast forward; False forces plain einsum attention
     fused_attn: bool = True
+    # opt-in int8 attention math (inference-only): QK^T and PV as
+    # int8 x int8 -> i32 MXU matmuls with per-token (Q, K) and per-column
+    # (V) symmetric scales; softmax stays f32, probabilities quantize with
+    # the fixed scale 1/127 (p in [0, 1]). Measured NEUTRAL-to-slower vs
+    # the fused bf16 Pallas MHA on v5e at ViT-L shapes
+    # (benchmarks/exp_int8_attention.py): the QK contraction depth is only
+    # head_dim=64, too shallow for the int8 MXU to pay, and the unfused
+    # i32 score matrix doubles the S-matrix HBM traffic the fused kernel
+    # avoids. Kept for re-evaluation on hardware with deeper int8 wins.
+    int8_attn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -186,6 +196,45 @@ class MultiHeadAttention(nn.Module):
         q = dense("q_proj")(x)
         k = dense("k_proj")(x)
         v = dense("v_proj")(x)
+
+        if self.int8_attn and mask is None:
+            from ..ops.quant import symmetric_int8
+
+            b, t = x.shape[0], x.shape[1]
+            scale = head_dim ** -0.5
+
+            def merge(tt):
+                return (
+                    tt.reshape(b, t, self.num_heads, head_dim)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(b * self.num_heads, t, head_dim)
+                )
+
+            qm, km, vm = merge(q), merge(k), merge(v)
+            # 1/sqrt(d) folds into the query quantization for free
+            q8, qs = symmetric_int8(qm * scale, axis=-1)   # (bh, t, 1)
+            k8, ks = symmetric_int8(km, axis=-1)           # (bh, t, 1)
+            logits = lax.dot_general(
+                q8, k8, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * qs * jnp.transpose(ks, (0, 2, 1))
+            weights = jax.nn.softmax(logits, axis=-1)
+            # probs live in [0, 1]: fixed scale 1/127, no reduction needed
+            p8 = jnp.round(weights * 127.0).astype(jnp.int8)
+            # V scales must be constant along the contracted (token) axis
+            # to factor out of the int matmul -> per-(head, column) scales
+            v8, vs = symmetric_int8(vm, axis=1)            # (bh, 1, hd)
+            out = lax.dot_general(
+                p8, v8, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (vs * (1.0 / 127.0))
+            out = (
+                out.astype(self.dtype)
+                .reshape(b, self.num_heads, t, head_dim)
+                .transpose(0, 2, 1, 3)
+                .reshape(*x.shape)
+            )
+            return dense("out_proj")(out)
 
         if (
             self.fused_attn
@@ -299,6 +348,7 @@ class TransformerBlock(nn.Module):
     w8a8: bool = False
     w8a8_static: bool = False
     fused_attn: bool = True
+    int8_attn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -309,7 +359,8 @@ class TransformerBlock(nn.Module):
         x = x + MultiHeadAttention(
             self.num_heads, dtype=self.dtype, precision=self.precision,
             w8a8=self.w8a8, w8a8_static=self.w8a8_static,
-            fused_attn=self.fused_attn, name="attn"
+            fused_attn=self.fused_attn, int8_attn=self.int8_attn,
+            name="attn"
         )(h, mask)
 
         if self.w8a8:
@@ -372,6 +423,7 @@ class Transformer(nn.Module):
     w8a8: bool = False
     w8a8_static: bool = False
     fused_attn: bool = True
+    int8_attn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -384,7 +436,7 @@ class Transformer(nn.Module):
                 precision=self.precision, act=self.act, ln_eps=self.ln_eps,
                 fused_mlp=self.fused_mlp, w8a8=self.w8a8,
                 w8a8_static=self.w8a8_static, fused_attn=self.fused_attn,
-                name=f"layer_{i}"
+                int8_attn=self.int8_attn, name=f"layer_{i}"
             )(x, mask)
         return x
 
@@ -402,6 +454,7 @@ class CLIPVisionTower(nn.Module):
     w8a8: bool = False
     w8a8_static: bool = False
     fused_attn: bool = True
+    int8_attn: bool = False
 
     @nn.compact
     def __call__(self, pixels: jnp.ndarray) -> jnp.ndarray:
@@ -437,6 +490,7 @@ class CLIPVisionTower(nn.Module):
             cfg.num_layers, cfg.num_heads, cfg.mlp_ratio, dtype=self.dtype,
             precision=self.precision, remat=self.remat, w8a8=self.w8a8,
             w8a8_static=self.w8a8_static, fused_attn=self.fused_attn,
+            int8_attn=self.int8_attn,
             name="transformer"
         )(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(x[:, 0])
@@ -461,6 +515,7 @@ class CLIPTextTower(nn.Module):
     w8a8: bool = False
     w8a8_static: bool = False
     fused_attn: bool = True
+    int8_attn: bool = False
 
     @nn.compact
     def __call__(self, token_ids: jnp.ndarray, eot_positions: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -491,6 +546,7 @@ class CLIPTextTower(nn.Module):
             cfg.num_layers, cfg.num_heads, cfg.mlp_ratio, dtype=self.dtype,
             precision=self.precision, remat=self.remat, w8a8=self.w8a8,
             w8a8_static=self.w8a8_static, fused_attn=self.fused_attn,
+            int8_attn=self.int8_attn,
             name="transformer"
         )(x, mask)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_final")(x)
@@ -522,17 +578,20 @@ class CLIPModel(nn.Module):
     w8a8: bool = False
     w8a8_static: bool = False
     fused_attn: bool = True
+    int8_attn: bool = False
 
     def setup(self) -> None:
         self.vision = CLIPVisionTower(
             self.config.vision, dtype=self.dtype, precision=self.precision,
             remat=self.remat, w8a8=self.w8a8, w8a8_static=self.w8a8_static,
             fused_attn=self.fused_attn,
+            int8_attn=self.int8_attn,
         )
         self.text = CLIPTextTower(
             self.config.text, dtype=self.dtype, precision=self.precision,
             remat=self.remat, w8a8=self.w8a8, w8a8_static=self.w8a8_static,
             fused_attn=self.fused_attn,
+            int8_attn=self.int8_attn,
         )
         self.logit_scale = self.param(
             "logit_scale",

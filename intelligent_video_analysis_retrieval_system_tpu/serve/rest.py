@@ -88,6 +88,12 @@ class RetrievalServer:
                 max_batch=int(system.config.get("api.batching_max_batch", 64)),
             )
             self.batcher.start()
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._executor = ThreadPoolExecutor(
+            max_workers=int(system.config.get("api.executor_workers", 128)),
+            thread_name_prefix="ivars-rest",
+        )
         self.app = web.Application(client_max_size=64 * 1024 * 1024)
         self._setup_routes()
         self._runner: web.AppRunner | None = None
@@ -124,6 +130,8 @@ class RetrievalServer:
         app.router.add_post("/api/export", self._export)
         app.router.add_post("/api/build", self._build)
         app.router.add_get("/api/build/status", self._build_status)
+        app.router.add_post("/api/open", self._open)
+        app.router.add_post("/api/maintenance", self._maintenance)
         app.router.add_post("/api/network/discover", self._net_discover)
         app.router.add_get("/api/network/peers", self._net_peers)
         app.router.add_post("/api/network/connect", self._net_connect)
@@ -146,9 +154,20 @@ class RetrievalServer:
             return None
 
     def _run_sync(self, fn, *args, **kwargs):
-        """Run facade work off the event loop."""
+        """Run facade work off the event loop.
+
+        Uses a dedicated wide thread pool, NOT asyncio's default executor:
+        the default sizes at min(32, cpus+4) — 5 threads on a 1-core host —
+        which caps concurrent blocking requests and starves the
+        QueryBatcher (measured avg batch 4.9 instead of ~64 under
+        64-concurrent load; requests mostly sit queued for a thread).
+        Batched-search requests spend their life BLOCKED on the batcher's
+        event, so many more threads than cores is correct here.
+        """
         loop = asyncio.get_event_loop()
-        return loop.run_in_executor(None, lambda: fn(*args, **kwargs))
+        return loop.run_in_executor(
+            self._executor, lambda: fn(*args, **kwargs)
+        )
 
     # -- REST handlers --------------------------------------------------------
 
@@ -419,6 +438,91 @@ class RetrievalServer:
             body = out.read_bytes()
         ctype = "application/json" if fmt == "json" else "text/csv"
         return web.Response(body=body, content_type=ctype)
+
+    async def _open(self, request: "web.Request") -> "web.Response":
+        """Open an existing index with smart autodetect (the reference GUI's
+        open/smart-load, ``gui.py:5686-5818``): accepts a portable package
+        dir (``manifest.json``), a ``.rvdb`` file, or a directory that is
+        scanned (non-recursively, plus its ``index/`` subdir) for the
+        newest ``.rvdb``. Same host-trust level as ``/api/build``."""
+        payload = await self._json(request)
+        if payload is None or not payload.get("path"):
+            return web.json_response(error_envelope("missing 'path'"), status=400)
+        from pathlib import Path
+
+        path = Path(str(payload["path"])).expanduser()
+        writable = bool(payload.get("writable", False))
+
+        def do_open() -> str:
+            if path.is_dir() and (path / "manifest.json").is_file():
+                self.system.load_portable_index(path)
+                return "portable"
+            if path.is_file() and path.suffix == ".rvdb":
+                self.system.load_system(path, writable=writable)
+                return "rvdb"
+            if path.is_dir():
+                candidates = [
+                    p for pat in ("*.rvdb", "index/*.rvdb")
+                    for p in path.glob(pat)
+                ]
+                if candidates:
+                    newest = max(candidates, key=lambda p: p.stat().st_mtime)
+                    self.system.load_system(newest, writable=writable)
+                    return f"rvdb:{newest.name}"
+            raise FileNotFoundError(f"no index found at {path}")
+
+        try:
+            kind = await self._run_sync(do_open)
+        except FileNotFoundError as exc:
+            return web.json_response(error_envelope(str(exc), 404), status=404)
+        except Exception as exc:
+            return web.json_response(
+                error_envelope(f"{type(exc).__name__}: {exc}", 500), status=500
+            )
+        index = self.system.index
+        return web.json_response({
+            "success": True,
+            "kind": kind,
+            "ntotal": index.ntotal if index is not None else 0,
+            "path": str(index.path) if index is not None and index.path
+            else str(path),
+        })
+
+    async def _maintenance(self, request: "web.Request") -> "web.Response":
+        """Maintenance actions (reference GUI maintenance menu ->
+        ``system.py:1121-1213``): ``optimize`` (temp + cache trim),
+        ``compact`` (physically drop tombstoned rows), ``clear_cache``."""
+        payload = await self._json(request) or {}
+        action = payload.get("action")
+        try:
+            if action == "optimize":
+                report = await self._run_sync(self.system.optimize)
+            elif action == "compact":
+                index = self.system.index
+                if index is None:
+                    return web.json_response(
+                        error_envelope("no index loaded", 404), status=404
+                    )
+                report = await self._run_sync(index.compact)
+            elif action == "clear_cache":
+                await self._run_sync(self.system.cache.clear)
+                report = {"cleared": True}
+            else:
+                return web.json_response(
+                    error_envelope(
+                        "action must be optimize | compact | clear_cache"
+                    ),
+                    status=400,
+                )
+        except PermissionError as exc:
+            return web.json_response(error_envelope(str(exc), 403), status=403)
+        except Exception as exc:
+            return web.json_response(
+                error_envelope(f"{type(exc).__name__}: {exc}", 500), status=500
+            )
+        return web.json_response(
+            {"success": True, "action": action, "report": report}
+        )
 
     async def _console(self, request: "web.Request") -> "web.Response":
         return web.Response(text=_CONSOLE_HTML, content_type="text/html")
@@ -799,6 +903,7 @@ class RetrievalServer:
         if self._thread is not None:
             self._thread.join(timeout=5)
             self._thread = None
+        self._executor.shutdown(wait=False, cancel_futures=True)
 
 
 def _dumps(obj: Any) -> str:
@@ -873,6 +978,13 @@ _CONSOLE_HTML = """<!doctype html>
  <div class="meta" id="bmeta">idle</div>
  <div style="background:#e3e6ef;border-radius:6px;height:10px;overflow:hidden">
   <div id="bbar" style="background:var(--acc);width:0%;height:100%"></div></div>
+ <h3 style="margin-top:1.4rem">Open existing index</h3>
+ <div class="row"><input id="opath" type="text"
+  placeholder="/path/to/index.rvdb, portable package dir, or a folder to scan">
+ <label><input id="owrit" type="checkbox"> writable</label>
+ <button class="go" onclick="doOpen()">Open</button></div>
+ <div class="meta" id="ometa">smart-load: .rvdb file, portable dir
+  (manifest.json), or newest .rvdb inside a folder</div>
 </section>
 <section id="network" class="panel">
  <div class="row"><button class="go" onclick="doDiscover()">Discover peers</button>
@@ -884,9 +996,20 @@ _CONSOLE_HTML = """<!doctype html>
 <section id="stats" class="panel">
  <div class="row">
   <button class="go" onclick="doExport('json')">Export JSON</button>
-  <button class="go" onclick="doExport('csv')">Export CSV</button></div>
+  <button class="go" onclick="doExport('csv')">Export CSV</button>
+  <button class="go" onclick="doMaint('optimize')">Optimize</button>
+  <button class="go" onclick="doMaint('compact')">Compact index</button>
+  <button class="go" onclick="doMaint('clear_cache')">Clear cache</button></div>
  <pre id="statout">loading…</pre></section>
 </main>
+<div id="zoom" style="display:none;position:fixed;inset:0;z-index:50;
+ background:rgba(10,14,30,.88);cursor:zoom-out;overflow:hidden">
+ <img id="zoomimg" style="position:absolute;left:50%;top:48%;
+  transform:translate(-50%,-50%) scale(1);max-width:92vw;max-height:86vh;
+  border-radius:8px;transition:transform .08s">
+ <div id="zoomcap" style="position:absolute;bottom:1rem;left:0;right:0;
+  text-align:center;color:#dde3f5;font-size:.9rem"></div>
+</div>
 <script>
 document.querySelectorAll('nav button').forEach(b=>b.onclick=()=>{
   document.querySelectorAll('nav button').forEach(x=>x.classList.remove('on'));
@@ -897,10 +1020,16 @@ document.querySelectorAll('nav button').forEach(b=>b.onclick=()=>{
 function esc(s){return String(s).replace(/[&<>"']/g,c=>({'&':'&amp;',
   '<':'&lt;','>':'&gt;','"':'&quot;',"'":'&#39;'}[c]));}
 function card(h){
+  // folder/image come from index metadata (untrusted at LAN trust level):
+  // escape into data- attributes, never into inline JS
   const f=encodeURIComponent(h.folder),i=encodeURIComponent(h.image);
   return `<div class="hit"><img src="/api/thumbnail/${f}/${i}"
+   class="zoomable" style="cursor:zoom-in"
+   data-f="${esc(h.folder)}" data-i="${esc(h.image)}"
    onerror="this.style.display='none'">${esc(h.folder)}/${esc(h.image)}<br>
-   <span class="s">${h.similarity_score.toFixed(3)}</span></div>`;
+   <span class="s">${h.similarity_score.toFixed(3)}</span>
+   <a href="#" class="sim" data-f="${esc(h.folder)}"
+    data-i="${esc(h.image)}">similar</a></div>`;
 }
 async function post(url, body){
   const r=await fetch(url,{method:'POST',headers:{'content-type':'application/json'},
@@ -998,6 +1127,55 @@ async function loadStats(){
   const r=await fetch('/api/stats');statout.textContent=
     JSON.stringify(await r.json(),null,2);
 }
+async function doOpen(){
+  ometa.textContent='opening…';
+  const d=await post('/api/open',{path:opath.value,writable:owrit.checked});
+  ometa.textContent=d.success?
+    `opened ${esc(d.kind)} — ${d.ntotal} rows (${esc(d.path)})`
+    :('ERROR: '+JSON.stringify(d.error));
+}
+async function doMaint(action){
+  statout.textContent=action+'…';
+  const d=await post('/api/maintenance',{action});
+  statout.textContent=JSON.stringify(d,null,2);
+}
+async function doSimilar(f,i){
+  // similar-frame click-through (reference GUI similarity navigation):
+  // results land in the Search panel grid
+  document.querySelector('nav button[data-p=search]').click();
+  smeta.textContent=`frames similar to ${f}/${i}…`;
+  const r=await fetch(`/api/similar/${encodeURIComponent(f)}/`
+    +`${encodeURIComponent(i)}?limit=24`);
+  const d=await r.json();
+  smeta.textContent=d.success?`${d.count} frames similar to ${f}/${i}`
+    :JSON.stringify(d.error);
+  lastResults=d.results||[];
+  sout.innerHTML=lastResults.map(card).join('');
+}
+let zscale=1;
+function openZoom(f,i){
+  zscale=1;zoomimg.style.transform='translate(-50%,-50%) scale(1)';
+  zoomimg.src=`/api/image/${encodeURIComponent(f)}/${encodeURIComponent(i)}`;
+  zoomimg.onerror=()=>{zoomimg.onerror=null;
+    zoomimg.src=`/api/thumbnail/${encodeURIComponent(f)}/`
+      +`${encodeURIComponent(i)}`;};
+  zoomcap.textContent=f+'/'+i+' — scroll to zoom, click or Esc to close';
+  zoom.style.display='block';
+}
+zoom.addEventListener('click',e=>{if(e.target!==zoomimg)
+  zoom.style.display='none';});
+zoom.addEventListener('wheel',e=>{e.preventDefault();
+  zscale=Math.min(8,Math.max(.3,zscale*(e.deltaY<0?1.15:1/1.15)));
+  zoomimg.style.transform=`translate(-50%,-50%) scale(${zscale})`;},
+  {passive:false});
+document.addEventListener('keydown',e=>{if(e.key==='Escape')
+  zoom.style.display='none';});
+document.addEventListener('click',e=>{
+  const z=e.target.closest&&e.target.closest('img.zoomable');
+  if(z){openZoom(z.dataset.f,z.dataset.i);return;}
+  const s=e.target.closest&&e.target.closest('a.sim');
+  if(s){e.preventDefault();doSimilar(s.dataset.f,s.dataset.i);}
+});
 q.addEventListener('keydown',e=>{if(e.key==='Enter')doSearch()});
 cmsg.addEventListener('keydown',e=>{if(e.key==='Enter')doChat()});
 </script></body></html>

@@ -184,6 +184,64 @@ class TestModelBasics:
         assert "vision" in params and "text" in params
 
 
+class TestInt8Attention:
+    """Opt-in int8 attention math (VERDICT r2 #7): QK^T / PV as
+    int8 x int8 -> i32 with f32 softmax and fixed-1/127 prob scales.
+    Same param tree; cosine-gated vs the f32 tower."""
+
+    def test_param_tree_identical_and_cosine_gate(self, rng):
+        from intelligent_video_analysis_retrieval_system_tpu.models.clip import (
+            CLIPVisionTower,
+        )
+
+        cfg = CLIPConfig.tiny_test()
+        base = CLIPVisionTower(cfg.vision, dtype=jnp.float32)
+        q = CLIPVisionTower(cfg.vision, dtype=jnp.float32, int8_attn=True)
+        px = rng.standard_normal((3, 32, 32, 3)).astype(np.float32)
+        params = base.init(jax.random.PRNGKey(0), jnp.asarray(px))["params"]
+        assert jax.tree_util.tree_structure(
+            q.init(jax.random.PRNGKey(0), jnp.asarray(px))["params"]
+        ) == jax.tree_util.tree_structure(params)
+        a = np.asarray(base.apply({"params": params}, jnp.asarray(px)))
+        b = np.asarray(q.apply({"params": params}, jnp.asarray(px)))
+        cos = np.mean(
+            (a * b).sum(-1)
+            / np.maximum(np.linalg.norm(a, axis=-1)
+                         * np.linalg.norm(b, axis=-1), 1e-9)
+        )
+        assert cos > 0.999, f"int8 attention cosine {cos}"
+
+    def test_composes_with_w8a8_static(self, rng):
+        """int8_attn stacks on the W8A8-static tower (the production int8
+        mode) without breaking the act_scales calibration plumbing."""
+        from intelligent_video_analysis_retrieval_system_tpu.models.calibrate import (
+            calibrate_act_scales,
+        )
+        from intelligent_video_analysis_retrieval_system_tpu.models.clip import (
+            CLIPVisionTower,
+        )
+
+        cfg = CLIPConfig.tiny_test()
+        base = CLIPVisionTower(cfg.vision, dtype=jnp.float32)
+        px = rng.standard_normal((4, 32, 32, 3)).astype(np.float32)
+        params = base.init(jax.random.PRNGKey(0), jnp.asarray(px))["params"]
+        dyn = CLIPVisionTower(cfg.vision, dtype=jnp.float32, w8a8=True,
+                              int8_attn=True)
+        scales = calibrate_act_scales(dyn, {"params": params},
+                                      [(jnp.asarray(px),)])
+        static = CLIPVisionTower(cfg.vision, dtype=jnp.float32, w8a8=True,
+                                 w8a8_static=True, int8_attn=True)
+        a = np.asarray(base.apply({"params": params}, jnp.asarray(px)))
+        b = np.asarray(static.apply({"params": params, **scales},
+                                    jnp.asarray(px)))
+        cos = np.mean(
+            (a * b).sum(-1)
+            / np.maximum(np.linalg.norm(a, axis=-1)
+                         * np.linalg.norm(b, axis=-1), 1e-9)
+        )
+        assert cos > 0.99, f"w8a8_static + int8_attn cosine {cos}"
+
+
 class TestW8A8Tower:
     """Opt-in int8 (W8A8) dense layers: same param tree as the bf16/f32
     towers, cosine-gated quality (VERDICT r1 #8)."""

@@ -12,6 +12,7 @@ import socket
 import threading
 import time
 import urllib.request
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -315,6 +316,86 @@ class TestConsoleBuildAndNetworkPanel:
         finally:
             server.stop()
             system.cleanup()
+
+    def test_open_smart_load_and_maintenance(self, tmp_path):
+        """Round-3 console surface: /api/open autodetect (rvdb path, folder
+        scan, portable package — reference gui.py:5686-5818) and
+        /api/maintenance actions (system.py:1121-1213)."""
+        rng = np.random.default_rng(13)
+        kf = tmp_path / "keyframes" / "vidY"
+        kf.mkdir(parents=True)
+        for n in range(4):
+            arr = rng.integers(0, 255, (48, 48, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(kf / f"{n}.jpg", quality=95)
+        cfg = Config(config_file=None, base_dir=tmp_path, create_dirs=True,
+                     overrides={"index": {"dtype": "float32",
+                                          "thumbnail_size": 32}})
+        system = EnhancedRetrievalSystem(
+            cfg, embedder=CLIPEmbedder(config=CLIPConfig.tiny_test(),
+                                       compute_dtype="float32")
+        )
+        build = system.build_system(tmp_path / "keyframes")
+        rvdb = build["index_path"]
+        pkg = system.export_portable_index(tmp_path / "pkg")
+        port = free_port()
+        server = system.start_server(host="127.0.0.1", port=port, block=False)
+        try:
+            base = f"http://127.0.0.1:{port}"
+            # exact .rvdb path
+            code, out = http_json(f"{base}/api/open", {"path": rvdb})
+            assert code == 200 and out["success"] and out["kind"] == "rvdb"
+            assert out["ntotal"] == 4
+            # folder scan picks the newest .rvdb
+            code, out = http_json(
+                f"{base}/api/open", {"path": str(Path(rvdb).parent)}
+            )
+            assert code == 200 and out["kind"].startswith("rvdb:")
+            # portable package dir (manifest.json)
+            code, out = http_json(f"{base}/api/open", {"path": str(pkg)})
+            assert code == 200 and out["kind"] == "portable"
+            assert out["ntotal"] == 4
+            # searches work on the opened index
+            code, res = http_json(f"{base}/api/search",
+                                  {"query": "a scene", "limit": 2})
+            assert code == 200 and res["success"] and res["count"] == 2
+            # errors: missing path / nothing there
+            code, _ = http_json(f"{base}/api/open", {})
+            assert code == 400
+            code, _ = http_json(f"{base}/api/open",
+                                {"path": str(tmp_path / "nope")})
+            assert code == 404
+            # maintenance actions
+            code, out = http_json(f"{base}/api/maintenance",
+                                  {"action": "optimize"})
+            assert code == 200 and "cache" in out["report"]
+            code, out = http_json(f"{base}/api/maintenance",
+                                  {"action": "clear_cache"})
+            assert code == 200 and out["report"]["cleared"]
+            # compact on a portable-loaded read-only index may 403; reopen
+            # the rvdb writable first, then compact (0 tombstones -> no-op)
+            code, out = http_json(f"{base}/api/open",
+                                  {"path": rvdb, "writable": True})
+            assert code == 200
+            code, out = http_json(f"{base}/api/maintenance",
+                                  {"action": "compact"})
+            assert code == 200 and out["report"]["compacted"] == 0
+            code, _ = http_json(f"{base}/api/maintenance",
+                                {"action": "bogus"})
+            assert code == 400
+        finally:
+            server.stop()
+            system.cleanup()
+
+    def test_console_has_round3_controls(self, served_system):
+        import urllib.request
+
+        _, _, port = served_system
+        html = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=10
+        ).read().decode()
+        for needle in ("doOpen", "doMaint", "doSimilar", "openZoom",
+                       "zoomable", "/api/open", "/api/maintenance"):
+            assert needle in html, needle
 
     def test_build_validation_and_conflict(self, served_system):
         root, _, port = served_system
