@@ -272,8 +272,12 @@ def bench_served_qps(xd, n_valid: int, embedder=None) -> dict:
     try:
         log("served-QPS: warmup (tower + bucket compiles)...")
         asyncio.run(fire(40, 16, "warm"))
+        asyncio.run(fire(64, 32, "warm2"))  # the timed concurrency pattern
         log("served-QPS: timed run...")
-        elapsed, lat = asyncio.run(fire(256, 64, "timed"))
+        # concurrency 32: this 1-core host runs client + server + batcher
+        # on one core; 64-way queueing measured p95 ~7 s of pure queue
+        # churn without adding throughput
+        elapsed, lat = asyncio.run(fire(256, 32, "timed"))
         qps = 256 / elapsed
         p50 = float(np.percentile(lat, 50)) * 1e3
         p95 = float(np.percentile(lat, 95)) * 1e3

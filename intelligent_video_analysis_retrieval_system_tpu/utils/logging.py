@@ -131,9 +131,21 @@ class Logger:
 
 
 def get_logger(name: str = "ivars", **kwargs: Any) -> Logger:
-    """Named Logger registry (lazy, thread-safe)."""
+    """Named Logger registry (lazy, thread-safe).
+
+    A cached logger is REBUILT when the caller asks for a different
+    ``logs_dir`` than the cached instance writes to — otherwise a second
+    system constructed in one process (new base dir) keeps appending to
+    the first system's log files, and crashes once that directory is
+    deleted (seen in the multi-system lifecycle dryrun).
+    """
     with _LOCK:
         logger = _LOGGERS.get(name)
+        want_dir = kwargs.get("logs_dir")
+        if logger is not None and want_dir is not None:
+            have = getattr(logger, "logs_dir", None)
+            if have is None or str(have) != str(want_dir):
+                logger = None
         if logger is None:
             logger = Logger(name=name, **kwargs)
             _LOGGERS[name] = logger

@@ -245,3 +245,28 @@ class TestAgentCache:
         cache.cache_agent_response("hello", {"response": "hi", "method": "agent"})
         assert cache.get_cached_agent_response("hello")["response"] == "hi"
         assert cache.get_cached_agent_response("other") is None
+
+
+class TestLoggerRegistry:
+    def test_get_logger_rebinds_on_new_logs_dir(self, tmp_path):
+        """A second system in one process (new base dir) must not keep
+        appending to — and crashing on — the first system's deleted logs
+        dir (regression: multi-system lifecycle dryrun)."""
+        from intelligent_video_analysis_retrieval_system_tpu.utils.logging import (
+            get_logger,
+        )
+
+        a = tmp_path / "a" / "logs"
+        b = tmp_path / "b" / "logs"
+        la = get_logger("ivars-regtest", logs_dir=a)
+        assert str(la.logs_dir) == str(a)
+        # same dir -> cached instance
+        assert get_logger("ivars-regtest", logs_dir=a) is la
+        # no dir requested -> cached instance fine
+        assert get_logger("ivars-regtest") is la
+        # NEW dir -> rebuilt, writes under b
+        lb = get_logger("ivars-regtest", logs_dir=b)
+        assert lb is not la
+        lb.info("hello")
+        lb.log_performance("op", 0.01)
+        assert (b / "performance.log").exists()
