@@ -107,7 +107,7 @@ def gemm_level():
     ):
         salt_dtype = jnp.bfloat16 if "bf16" in name else jnp.int8
         ms = marginal_ms(lambda i, f=fn, a=args: f(*a, salt_dtype(i % 8)))
-        log(f"  {name}: {ms:7.2f} ms  {flops / ms / 1e9:7.0f} GFLOP/s")
+        log(f"  {name}: {ms:7.2f} ms  {flops / (ms / 1e3) / 1e12:7.1f} TFLOP/s")
 
 
 def tower_level():

@@ -162,12 +162,15 @@ class MultiHeadAttention(nn.Module):
     # opt-in int8 attention math (inference-only): QK^T and PV as
     # int8 x int8 -> i32 MXU matmuls with per-token (Q, K) and per-column
     # (V) symmetric scales; softmax stays f32, probabilities quantize with
-    # the fixed scale 1/127 (p in [0, 1]). Measured NEUTRAL-to-slower vs
-    # the fused bf16 Pallas MHA on v5e at ViT-L shapes
-    # (benchmarks/exp_int8_attention.py): the QK contraction depth is only
-    # head_dim=64, too shallow for the int8 MXU to pay, and the unfused
-    # i32 score matrix doubles the S-matrix HBM traffic the fused kernel
-    # avoids. Kept for re-evaluation on hardware with deeper int8 wins.
+    # the fixed scale 1/127 (p in [0, 1]). MEASURED NEGATIVE on v5e at
+    # ViT-L/14 B=128 (benchmarks/exp_int8_attention.py): GEMM-level, the
+    # QK^T int8 matmul is 2.6x SLOWER than bf16 (12 vs 31 TFLOP/s — the
+    # 64-deep head_dim contraction is too shallow for the int8 MXU to
+    # pack) while PV int8 wins 4x; tower-level the variant lands at 484
+    # fps vs 1131 for int8_static+fused-bf16-MHA (0.43x) AND the fixed
+    # 1/127 probability quantization compounds over 24 layers to cosine
+    # 0.955 (fails the 0.999 gate). Kept as a documented dead end for
+    # re-evaluation on hardware with deeper int8 matmul wins.
     int8_attn: bool = False
 
     @nn.compact
