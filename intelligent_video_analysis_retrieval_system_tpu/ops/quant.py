@@ -337,14 +337,20 @@ def topk_search_int8(
             dead = jnp.concatenate(
                 [dead, jnp.zeros((n_pad - dead.shape[0], 1), jnp.int8)]
             )
+    # bucketed k: run at the power-of-two bucket, slice the exact prefix
+    # (ops.topk.bucket_k rationale — varying serving k must not compile a
+    # fresh program per value)
+    from .topk import bucket_k
+
+    k_run = min(bucket_k(k), n_live)
     search = _build_int8_searcher(
-        int(n_pad), int(x_i8.shape[1]), int(q_p.shape[0]), int(k),
+        int(n_pad), int(x_i8.shape[1]), int(q_p.shape[0]), int(k_run),
         bool(interpret), backend,
     )
     res = search(x_i8, jnp.asarray(x_scales, jnp.float32), q_p,
                  jnp.int32(n_live), dead)
-    if q_p.shape[0] != b:
-        res = TopKResult(res.scores[:b], res.indices[:b])
+    if q_p.shape[0] != b or res.scores.shape[1] != k:
+        res = TopKResult(res.scores[:b, :k], res.indices[:b, :k])
     return res
 
 

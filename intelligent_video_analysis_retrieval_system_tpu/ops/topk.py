@@ -81,9 +81,36 @@ def pad_database(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def bucket_b(b: int) -> int:
+    """Compile-bucket for the query-batch dimension: next power of two in
+    [8, 256], then 256-multiples.
+
+    Serving batch sizes vary per micro-batching window; the former
+    ceil-to-8 padding compiled a FRESH searcher program per distinct
+    size, and through a congested compile service that measured as 20x
+    batch-time blowups under concurrent load (132 ms -> 2.4 s per batch,
+    served-QPS probe). Power-of-two buckets cap the program count at ~6
+    while the sweep stays database-stream-bound (extra query columns are
+    nearly free).
+    """
+    if b <= _Q_PAD:
+        return _Q_PAD
+    if b >= 256:
+        return _ceil_to(b, 256)
+    return 1 << (b - 1).bit_length()
+
+
+def bucket_k(k: int) -> int:
+    """Compile-bucket for k (same motivation as :func:`bucket_b`): next
+    power of two >= max(k, 8). Callers run the searcher at the bucketed k
+    and slice the exact prefix — the top-k prefix of a top-k_run result
+    is the exact top-k."""
+    return 1 << (max(k, 8) - 1).bit_length()
+
+
 def pad_queries(q: jnp.ndarray) -> jnp.ndarray:
     b = q.shape[0]
-    b_pad = _ceil_to(max(b, _Q_PAD), _Q_PAD)
+    b_pad = bucket_b(b)
     if b_pad == b:
         return q
     return jnp.concatenate(
@@ -266,15 +293,17 @@ def topk_search(
             dead = jnp.concatenate(
                 [dead, jnp.zeros((pad_rows, 1), jnp.int8)], axis=0
             )
+    # run at the bucketed k, slice the exact top-k prefix (see bucket_k)
+    k_run = min(bucket_k(k), n_live)
     search = _build_searcher(
-        int(x_p.shape[0]), int(x_p.shape[1]), int(q_p.shape[0]), int(k),
+        int(x_p.shape[0]), int(x_p.shape[1]), int(q_p.shape[0]), int(k_run),
         bool(interpret), precision, with_mask=dead is not None,
     )
     res = search(x_p, q_p, jnp.int32(n_live), dead) if dead is not None else (
         search(x_p, q_p, jnp.int32(n_live))
     )
-    if q_p.shape[0] != b:
-        res = TopKResult(res.scores[:b], res.indices[:b])
+    if q_p.shape[0] != b or res.scores.shape[1] != k:
+        res = TopKResult(res.scores[:b, :k], res.indices[:b, :k])
     return res
 
 

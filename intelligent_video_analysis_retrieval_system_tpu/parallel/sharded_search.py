@@ -26,7 +26,13 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.topk import TILE_N, TopKResult, topk_masked_reference
+from ..ops.topk import (
+    TILE_N,
+    TopKResult,
+    bucket_b,
+    bucket_k,
+    topk_masked_reference,
+)
 
 __all__ = ["sharded_topk", "sharded_topk_int8", "ShardedIndexSearcher"]
 
@@ -36,7 +42,10 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _pad_b(b: int) -> int:
-    return _ceil_to(max(b, 8), 8)
+    # power-of-two compile buckets, shared with the single-device path
+    # (ops.topk.bucket_b): varying serving batch sizes must not compile a
+    # fresh sharded program per distinct size
+    return bucket_b(b)
 
 
 def _ici_merge(scores, gids, axis, n_dev, k, b):
@@ -154,14 +163,18 @@ def sharded_topk(
         tuple(d.id for d in mesh.devices.flat),
     )
     _MESHES[mesh_key] = mesh
+    # run at the bucketed k, slice the exact top-k prefix (ops.topk.bucket_k)
+    k_run = bucket_k(int(k))
     fn = _searcher_cache(
-        mesh_key, axis, int(x_sharded.shape[0]), int(k), bool(use_pallas),
+        mesh_key, axis, int(x_sharded.shape[0]), k_run, bool(use_pallas),
         bool(interpret), deleted_sharded is not None,
     )
     if deleted_sharded is not None:
         scores, ids = fn(x_sharded, q, jnp.int32(n_valid), deleted_sharded)
     else:
         scores, ids = fn(x_sharded, q, jnp.int32(n_valid))
+    if scores.shape[1] > k:
+        scores, ids = scores[:, :k], ids[:, :k]
     return TopKResult(scores, ids)
 
 
@@ -254,8 +267,9 @@ def sharded_topk_int8(
         tuple(d.id for d in mesh.devices.flat),
     )
     _MESHES[mesh_key] = mesh
+    k_run = bucket_k(int(k))
     fn = _int8_searcher_cache(
-        mesh_key, axis, int(x_i8_sharded.shape[0]), int(k),
+        mesh_key, axis, int(x_i8_sharded.shape[0]), k_run,
         bool(use_pallas), bool(interpret),
     )
     if deleted_sharded is None:
@@ -265,6 +279,8 @@ def sharded_topk_int8(
         )
     scores, ids = fn(x_i8_sharded, scales_sharded, q, jnp.int32(n_valid),
                      deleted_sharded)
+    if scores.shape[1] > k:
+        scores, ids = scores[:, :k], ids[:, :k]
     return TopKResult(scores, ids)
 
 
