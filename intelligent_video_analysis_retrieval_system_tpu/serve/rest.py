@@ -218,19 +218,26 @@ class RetrievalServer:
         )
         t0 = time.perf_counter()
         # micro-batched fast path for plain clip_only queries under load
-        if (
-            self.batcher is not None
-            and self.batcher.is_running
-            and options.mode == "clip_only"
-            and not options.folder_filter
-            and not options.include_temporal
-        ):
-            results = await self._run_sync(
-                self.batcher.search, payload["query"], options.limit
-            )
-        else:
-            results = await self._run_sync(
-                self.system.search, payload["query"], options
+        try:
+            if (
+                self.batcher is not None
+                and self.batcher.is_running
+                and options.mode == "clip_only"
+                and not options.folder_filter
+                and not options.include_temporal
+            ):
+                results = await self._run_sync(
+                    self.batcher.search, payload["query"], options.limit
+                )
+            else:
+                results = await self._run_sync(
+                    self.system.search, payload["query"], options
+                )
+        except Exception as exc:
+            # a failed batch (e.g. the index being swapped mid-flight by
+            # /api/open) must answer with a JSON envelope, not a raw 500
+            return web.json_response(
+                error_envelope(f"search unavailable: {exc}", 503), status=503
             )
         return web.json_response(
             {

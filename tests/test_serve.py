@@ -386,6 +386,74 @@ class TestConsoleBuildAndNetworkPanel:
             server.stop()
             system.cleanup()
 
+    def test_search_survives_index_swap_under_load(self, tmp_path):
+        """Soak: concurrent /api/search while /api/open hot-swaps the live
+        index. Every response must be a JSON envelope (200 success or 503
+        unavailable — never a raw 500), and the server must serve normally
+        afterwards."""
+        rng = np.random.default_rng(21)
+        kf = tmp_path / "keyframes" / "vidZ"
+        kf.mkdir(parents=True)
+        for n in range(4):
+            arr = rng.integers(0, 255, (48, 48, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(kf / f"{n}.jpg", quality=95)
+        cfg = Config(config_file=None, base_dir=tmp_path, create_dirs=True,
+                     overrides={"index": {"dtype": "float32",
+                                          "thumbnail_size": 32},
+                                "api": {"batching": True,
+                                        "rate_limit_per_minute": 10**9}})
+        system = EnhancedRetrievalSystem(
+            cfg, embedder=CLIPEmbedder(config=CLIPConfig.tiny_test(),
+                                       compute_dtype="float32")
+        )
+        build = system.build_system(tmp_path / "keyframes")
+        rvdb = build["index_path"]
+        port = free_port()
+        server = system.start_server(host="127.0.0.1", port=port, block=False)
+        base = f"http://127.0.0.1:{port}"
+        stop = threading.Event()
+        bad: list = []
+
+        def hammer(tid: int) -> None:
+            i = 0
+            while not stop.is_set():
+                i += 1
+                try:
+                    code, out = http_json(
+                        f"{base}/api/search",
+                        {"query": f"scene {tid} {i}", "limit": 2},
+                    )
+                except Exception as exc:  # non-JSON body = raw 500 leak
+                    bad.append(f"t{tid}: {type(exc).__name__}: {exc}")
+                    return
+                if code == 200 and out.get("success"):
+                    continue
+                if code == 503 and out.get("error"):
+                    continue
+                bad.append(f"t{tid}: unexpected {code}: {out}")
+                return
+
+        threads = [threading.Thread(target=hammer, args=(t,))
+                   for t in range(4)]
+        try:
+            for t in threads:
+                t.start()
+            for _ in range(6):  # hot-swap the index under fire
+                code, out = http_json(f"{base}/api/open", {"path": rvdb})
+                assert code == 200, out
+                time.sleep(0.05)
+            stop.set()
+            for t in threads:
+                t.join(timeout=30)
+            assert not bad, bad
+            code, out = http_json(f"{base}/api/search",
+                                  {"query": "after swap", "limit": 2})
+            assert code == 200 and out["success"] and out["count"] == 2
+        finally:
+            stop.set()
+            server.stop()
+            system.cleanup()
+
     def test_console_has_round3_controls(self, served_system):
         import urllib.request
 
