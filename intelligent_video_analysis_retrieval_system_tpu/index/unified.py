@@ -35,6 +35,17 @@ from .container import IndexContainer
 __all__ = ["UnifiedIndex", "UnifiedIndexConfig"]
 
 
+def _fold_norm_into_scales(rows_i8: "np.ndarray", scales: "np.ndarray") -> "np.ndarray":
+    """Fold row L2-normalization into the int8 dequant scale:
+    ``score = (q . int) / ||int||``. The ONE definition shared by every
+    upload and in-place-append site — the bit-exact append-vs-reload
+    contract depends on these staying identical."""
+    int_norms = np.linalg.norm(rows_i8.astype(np.float32), axis=-1)
+    return np.where(
+        int_norms > 0, 1.0 / np.maximum(int_norms, 1e-12), scales
+    ).astype(np.float32)
+
+
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -176,14 +187,7 @@ class UnifiedIndex:
                 # scales shard together; normalization folds into the scale
                 rows, scales = self._container.read_quantized()
                 if self.config.normalize:
-                    int_norms = np.linalg.norm(
-                        rows.astype(np.float32), axis=-1
-                    )
-                    scales = np.where(
-                        int_norms > 0,
-                        1.0 / np.maximum(int_norms, 1e-12),
-                        scales,
-                    ).astype(np.float32)
+                    scales = _fold_norm_into_scales(rows, scales)
                 self._sharded = ShardedIndexSearcher(self.mesh)
                 self._sharded.load_int8(rows, scales,
                                         deleted_rows=self._deleted)
@@ -209,12 +213,7 @@ class UnifiedIndex:
             # its norm == dividing its scale by the norm)
             rows, scales = self._container.read_quantized()
             if self.config.normalize:
-                int_norms = np.linalg.norm(
-                    rows.astype(np.float32), axis=-1
-                )
-                scales = np.where(
-                    int_norms > 0, 1.0 / np.maximum(int_norms, 1e-12), scales
-                ).astype(np.float32)
+                scales = _fold_norm_into_scales(rows, scales)
             cap = _ceil_to(n, TILE_N)
             host = np.zeros((cap, rows.shape[1]), np.int8)
             host[:n] = rows
@@ -331,10 +330,7 @@ class UnifiedIndex:
 
         q, s = quantize_rows_int8(np.asarray(rows, np.float32))
         if self.config.normalize:
-            int_norms = np.linalg.norm(q.astype(np.float32), axis=-1)
-            s = np.where(
-                int_norms > 0, 1.0 / np.maximum(int_norms, 1e-12), s
-            ).astype(np.float32)
+            s = _fold_norm_into_scales(q, s)
         return q, s
 
     def _load_metadata_cache(self) -> None:

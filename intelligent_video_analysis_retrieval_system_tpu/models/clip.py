@@ -171,6 +171,10 @@ class MultiHeadAttention(nn.Module):
     # 1/127 probability quantization compounds over 24 layers to cosine
     # 0.955 (fails the 0.999 gate). Kept as a documented dead end for
     # re-evaluation on hardware with deeper int8 matmul wins.
+    # SCOPE: applies only to UNMASKED attention (the vision tower). Masked
+    # attention (the text tower's causal mask) falls through to the
+    # standard path — enabling the flag on CLIPModel quantizes vision
+    # attention only; text-side numbers are NOT int8-attention numbers.
     int8_attn: bool = False
 
     @nn.compact

@@ -92,11 +92,17 @@ def bucket_b(b: int) -> int:
     served-QPS probe). Power-of-two buckets cap the program count at ~6
     while the sweep stays database-stream-bound (extra query columns are
     nearly free).
+
+    Above 128 the buckets step by 32, not powers of two: the int8 XLA
+    backend materializes an (N, b_pad) i32 score matrix, and rounding a
+    129-query batch up to 256 would double it (~10 GB at 10M rows —
+    past the v5e HBM budget next to the 7.7 GB row buffer, where the
+    ceil-to-8 padding previously fit).
     """
     if b <= _Q_PAD:
         return _Q_PAD
-    if b >= 256:
-        return _ceil_to(b, 256)
+    if b > 128:
+        return _ceil_to(b, 32)
     return 1 << (b - 1).bit_length()
 
 

@@ -88,12 +88,7 @@ class RetrievalServer:
                 max_batch=int(system.config.get("api.batching_max_batch", 64)),
             )
             self.batcher.start()
-        from concurrent.futures import ThreadPoolExecutor
-
-        self._executor = ThreadPoolExecutor(
-            max_workers=int(system.config.get("api.executor_workers", 128)),
-            thread_name_prefix="ivars-rest",
-        )
+        self._executor = self._make_executor()
         self.app = web.Application(client_max_size=64 * 1024 * 1024)
         self._setup_routes()
         self._runner: web.AppRunner | None = None
@@ -152,6 +147,16 @@ class RetrievalServer:
             return data if isinstance(data, dict) else None
         except (json.JSONDecodeError, UnicodeDecodeError):
             return None
+
+    def _make_executor(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        return ThreadPoolExecutor(
+            max_workers=int(
+                self.system.config.get("api.executor_workers", 128)
+            ),
+            thread_name_prefix="ivars-rest",
+        )
 
     def _run_sync(self, fn, *args, **kwargs):
         """Run facade work off the event loop.
@@ -865,6 +870,16 @@ class RetrievalServer:
 
     def run(self, block: bool = True) -> None:
         """Start serving; non-blocking mode runs the loop in a thread."""
+        if getattr(self._executor, "_shutdown", False):
+            # restarting after stop(): fresh executor AND a fresh aiohttp
+            # Application (aiohttp freezes an app to the loop it first ran
+            # on; re-running the old one fails in runner.setup)
+            self._executor = self._make_executor()
+            self.app = web.Application(client_max_size=64 * 1024 * 1024)
+            self._setup_routes()
+        if self.batcher is not None and not self.batcher.is_running:
+            self.batcher.start()
+        self._started.clear()
         if block:
             asyncio.run(self._serve_forever())
         else:

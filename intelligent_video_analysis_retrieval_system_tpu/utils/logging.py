@@ -112,10 +112,28 @@ class Logger:
         record.update(fields)
         line = json.dumps(record, ensure_ascii=False, default=str)
         if self._perf_path is not None:
-            with self._perf_lock, self._perf_path.open("a", encoding="utf-8") as f:
-                f.write(line + "\n")
+            try:
+                with self._perf_lock, self._perf_path.open(
+                    "a", encoding="utf-8"
+                ) as f:
+                    f.write(line + "\n")
+            except OSError:
+                # best-effort stream: a displaced logger whose logs dir was
+                # deleted (multi-system process) must degrade, not crash
+                self._log(logging.DEBUG, f"perf {line}")
         else:
             self._log(logging.DEBUG, f"perf {line}")
+
+    def close(self) -> None:
+        """Close and detach file handlers (called when the registry
+        rebinds this name to a new logs_dir — otherwise every rebind
+        leaks an open rotating-file fd)."""
+        for h in list(self._logger.handlers):
+            self._logger.removeHandler(h)
+            try:
+                h.close()
+            except Exception:
+                pass
 
     def health_check(self) -> Mapping[str, Any]:
         """Logger self-check (reference utils.py:781-806)."""
@@ -145,6 +163,7 @@ def get_logger(name: str = "ivars", **kwargs: Any) -> Logger:
         if logger is not None and want_dir is not None:
             have = getattr(logger, "logs_dir", None)
             if have is None or str(have) != str(want_dir):
+                logger.close()  # release the old dir's file handlers
                 logger = None
         if logger is None:
             logger = Logger(name=name, **kwargs)

@@ -386,6 +386,38 @@ class TestConsoleBuildAndNetworkPanel:
             server.stop()
             system.cleanup()
 
+    def test_server_stop_run_cycle(self, tmp_path):
+        """stop() then run() must serve again: the dedicated executor and
+        the batcher are recreated/restarted (regression: stop() shut the
+        pool down permanently -> every handler failed after a restart)."""
+        cfg = Config(config_file=None, base_dir=tmp_path, create_dirs=True,
+                     overrides={"api": {"batching": True}})
+        system = EnhancedRetrievalSystem(
+            cfg, embedder=CLIPEmbedder(config=CLIPConfig.tiny_test(),
+                                       compute_dtype="float32")
+        )
+        from intelligent_video_analysis_retrieval_system_tpu.serve.rest import (
+            RetrievalServer,
+        )
+
+        port = free_port()
+        server = RetrievalServer(system, host="127.0.0.1", port=port)
+        server.run(block=False)
+        code, out = http_json(f"http://127.0.0.1:{port}/api/stats")
+        assert code == 200 and out["success"]
+        server.stop()
+        server.run(block=False)
+        try:
+            code, out = http_json(f"http://127.0.0.1:{port}/api/stats")
+            assert code == 200 and out["success"], out
+            # the search handler path (executor + batcher) works too
+            code, out = http_json(f"http://127.0.0.1:{port}/api/search",
+                                  {"query": "anything", "limit": 2})
+            assert code == 200 and out["success"], out  # no index -> []
+        finally:
+            server.stop()
+            system.cleanup()
+
     def test_search_survives_index_swap_under_load(self, tmp_path):
         """Soak: concurrent /api/search while /api/open hot-swaps the live
         index. Every response must be a JSON envelope (200 success or 503
