@@ -164,10 +164,11 @@ class MultiHeadAttention(nn.Module):
     # (V) symmetric scales; softmax stays f32, probabilities quantize with
     # the fixed scale 1/127 (p in [0, 1]). MEASURED NEGATIVE on v5e at
     # ViT-L/14 B=128 (benchmarks/exp_int8_attention.py): GEMM-level, the
-    # QK^T int8 matmul is 2.6x SLOWER than bf16 (12 vs 31 TFLOP/s — the
+    # QK^T int8 matmul is 2.7x SLOWER than bf16 (1.9 vs 5.1 TFLOP/s — the
     # 64-deep head_dim contraction is too shallow for the int8 MXU to
-    # pack) while PV int8 wins 4x; tower-level the variant lands at 484
-    # fps vs 1131 for int8_static+fused-bf16-MHA (0.43x) AND the fixed
+    # pack) while PV int8 is ~neutral (7.5 vs 6.6); tower-level the
+    # variant lands at 483 fps vs 1129 for int8_static+fused-bf16-MHA
+    # (0.43x) AND the fixed
     # 1/127 probability quantization compounds over 24 layers to cosine
     # 0.955 (fails the 0.999 gate). Kept as a documented dead end for
     # re-evaluation on hardware with deeper int8 matmul wins.
