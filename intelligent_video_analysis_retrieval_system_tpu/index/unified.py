@@ -682,9 +682,12 @@ class UnifiedIndex:
                 block = src.read_embeddings(lo, hi, as_float32=True)
                 emb = block[np.asarray(rows) - lo]
                 dst.append_embeddings(emb)
+                # bulk metadata read of the covering range (per-record
+                # get_metadata pays ~1 ms of h5py overhead each)
+                range_records = src.read_metadata_range(lo, hi)
                 records = []
                 for new_id, old in enumerate(rows, start=start):
-                    record = src.get_metadata(old)
+                    record = range_records[old - lo]
                     record["row_id"] = new_id
                     records.append(record)
                 dst.append_metadata(records)

@@ -74,6 +74,27 @@ def build_small(tmp_path, **kwargs):
 
 
 class TestContainer:
+    def test_bulk_metadata_reads_match_individual(self, tmp_path):
+        """iter_metadata / read_metadata_range are BULK reads (per-record
+        h5py access measured ~1 ms/record — 200k-row loads took minutes);
+        they must return exactly what per-record get_metadata returns,
+        across slab boundaries and at the edges."""
+        with IndexContainer(tmp_path / "m.rvdb", "w", dim=4,
+                            dtype="float32") as c:
+            n = 257
+            c.append_embeddings(np.zeros((n, 4), np.float32))
+            c.append_metadata([
+                {"folder": f"v{i % 7}", "image": f"{i}.jpg", "frame_id": i,
+                 "row_id": i, "tags": ["x" * (i % 13)]}
+                for i in range(n)
+            ])
+            individual = [c.get_metadata(i) for i in range(n)]
+            assert list(c.iter_metadata()) == individual
+            assert c.read_metadata_range(0, n) == individual
+            assert c.read_metadata_range(10, 20) == individual[10:20]
+            assert c.read_metadata_range(n - 1, n + 5) == individual[n - 1:]
+            assert c.read_metadata_range(5, 5) == []
+
     def test_embeddings_roundtrip_f32(self, tmp_path):
         with IndexContainer(tmp_path / "c.rvdb", "w", dim=8, dtype="float32") as c:
             rows = np.arange(24, dtype=np.float32).reshape(3, 8)
