@@ -20,6 +20,7 @@ TPU-native differences:
 
 from __future__ import annotations
 
+import functools
 import threading
 import time
 from dataclasses import dataclass
@@ -39,11 +40,59 @@ def _fold_norm_into_scales(rows_i8: "np.ndarray", scales: "np.ndarray") -> "np.n
     """Fold row L2-normalization into the int8 dequant scale:
     ``score = (q . int) / ||int||``. The ONE definition shared by every
     upload and in-place-append site — the bit-exact append-vs-reload
-    contract depends on these staying identical."""
-    int_norms = np.linalg.norm(rows_i8.astype(np.float32), axis=-1)
-    return np.where(
-        int_norms > 0, 1.0 / np.maximum(int_norms, 1e-12), scales
-    ).astype(np.float32)
+    contract depends on these staying identical.
+
+    Chunked integer math: sums of squares of int8 rows are exact integers
+    < 2^24, so the result is bit-identical for ANY summation order or
+    chunking (and never materializes an f32 copy of the whole corpus —
+    the old whole-array ``astype(f32)`` cost 4 bytes/elem of RAM and a
+    full-corpus pass at every load)."""
+    out = np.asarray(scales, np.float32).copy()
+    CH = 1_000_000
+    for s in range(0, len(rows_i8), CH):
+        q = rows_i8[s:s + CH].astype(np.int32)
+        n2 = np.einsum("nd,nd->n", q, q)              # exact integers
+        norms = np.sqrt(n2.astype(np.float32))        # exact f32 inputs
+        inv = (1.0 / np.maximum(norms, 1e-12)).astype(np.float32)
+        live = n2 > 0
+        view = out[s:s + CH]
+        view[live] = inv[live]
+    return out
+
+
+@functools.lru_cache(maxsize=16)
+def _norm_upload_program(rows: int, d: int, src: str, out_name: str,
+                         normalize: bool):
+    """Jitted chunk program: raw storage chunk -> (optionally L2-normalized)
+    rows written into a donated (cap, d) device buffer.
+
+    Normalization belongs ON DEVICE: the former host path converted bf16
+    bits to f32 and ran numpy ``norm`` over the whole corpus — measured
+    tens of seconds per 200k rows on this 1-core host (profiled: 40 s
+    convert + 34 s norm) vs milliseconds of device time — and it defeated
+    the container's raw-bits zero-convert upload design.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    out_dtype = jnp.bfloat16 if out_name == "bfloat16" else jnp.float32
+
+    def fn(buf, chunk, start):
+        x = chunk
+        if src == "bf16_bits":
+            x = lax.bitcast_convert_type(x, jnp.bfloat16)
+        xf = x.astype(jnp.float32)
+        if normalize:
+            nrm = jnp.maximum(
+                jnp.linalg.norm(xf, axis=-1, keepdims=True), 1e-12
+            )
+            xf = xf / nrm
+        return lax.dynamic_update_slice(
+            buf, xf.astype(out_dtype), (start, 0)
+        )
+
+    return jax.jit(fn, donate_argnums=(0,))
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -192,11 +241,12 @@ class UnifiedIndex:
                 self._sharded.load_int8(rows, scales,
                                         deleted_rows=self._deleted)
             else:
-                raw = self._read_rows_fast(n)
-                if self.config.normalize:
-                    raw = raw / np.maximum(
-                        np.linalg.norm(raw, axis=-1, keepdims=True), 1e-12
-                    )
+                # normalize ON DEVICE (same program as the single-device
+                # path, so both paths hold bit-identical rows), then hand
+                # the searcher host f32 to shard — lossless round-trip
+                dev = self._rows_to_device(n, _ceil_to(n, TILE_N))
+                raw = np.asarray(dev[:n], np.float32)
+                del dev
                 dtype = (
                     jnp.bfloat16 if self._container.dtype == "bfloat16"
                     else jnp.float32
@@ -223,16 +273,11 @@ class UnifiedIndex:
             self._dev_scales = jnp.asarray(host_s)
             self._capacity = cap
         else:
-            raw = self._read_rows_fast(n)
-            if self.config.normalize:
-                raw = raw / np.maximum(
-                    np.linalg.norm(raw, axis=-1, keepdims=True), 1e-12
-                )
+            # raw-bits upload + ON-DEVICE L2 normalization (the former host
+            # convert+norm pass measured tens of seconds per 200k rows on a
+            # 1-core host; see _norm_upload_program)
             cap = _ceil_to(n, TILE_N)
-            host = np.zeros((cap, raw.shape[1]), dtype=np.float32)
-            host[:n] = raw
-            dtype = jnp.bfloat16 if self._container.dtype == "bfloat16" else jnp.float32
-            self._dev_x = jnp.asarray(host, dtype)
+            self._dev_x = self._rows_to_device(n, cap)
             self._capacity = cap
         # tombstones from the append-only delete log
         self._deleted = self._container.deleted_rows()
@@ -254,6 +299,18 @@ class UnifiedIndex:
         container dataset (sidecars are written by RAGBuilder finalize and
         invalidated by incremental appends)."""
         assert self._container is not None
+        host = self._read_rows_raw(n)
+        if host.dtype == np.uint16:  # bf16 bits
+            from .. import native
+
+            return native.bf16_to_f32(host)
+        return np.asarray(host, np.float32)
+
+    def _read_rows_raw(self, n: int) -> np.ndarray:
+        """Rows in their cheapest host form: f32 from the mmap sidecar when
+        fresh, else RAW storage (u16 bf16 bits / f16 / f32) — no host
+        dtype conversion."""
+        assert self._container is not None
         if self.path is not None:
             flat_path = self.path.with_name(self.path.name + ".flat")
             if flat_path.is_file():
@@ -262,10 +319,41 @@ class UnifiedIndex:
 
                     with native.FlatEmbeddingFile(flat_path) as flat:
                         if flat.rows.shape == (n, self._container.dim):
-                            return flat.as_float32()
+                            return np.array(flat.as_float32())
                 except Exception:
                     pass
-        return self._container.read_embeddings(as_float32=True)
+        return self._container.read_embeddings(0, n)
+
+    def _rows_to_device(self, n: int, cap: int):
+        """Padded (cap, d) device rows in compute dtype, L2-normalized ON
+        DEVICE in chunks (see :func:`_norm_upload_program`)."""
+        import jax.numpy as jnp
+
+        assert self._container is not None
+        d = self._container.dim
+        host = self._read_rows_raw(n)
+        src = "bf16_bits" if host.dtype == np.uint16 else "float"
+        out_name = (
+            "bfloat16" if self._container.dtype == "bfloat16" else "float32"
+        )
+        out_dtype = jnp.bfloat16 if out_name == "bfloat16" else jnp.float32
+        CH = 262_144  # TILE_N multiple; f32 intermediate stays < 1 GB
+        buf = jnp.zeros((cap, d), out_dtype)
+        pos = 0
+        while pos < n:
+            m = min(CH, n - pos)
+            # round odd tails to TILE_N multiples: bounded program count
+            m_pad = min(_ceil_to(m, TILE_N), cap - pos)
+            chunk = host[pos:pos + m]
+            if m_pad != m:
+                pad = np.zeros((m_pad - m, d), host.dtype)
+                chunk = np.concatenate([chunk, pad])
+            fill = _norm_upload_program(
+                m_pad, d, src, out_name, self.config.normalize
+            )
+            buf = fill(buf, jnp.asarray(chunk), jnp.int32(pos))
+            pos += m
+        return buf
 
     def _invalidate_sidecar(self) -> None:
         if self.path is not None:
