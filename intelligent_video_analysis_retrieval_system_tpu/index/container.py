@@ -46,6 +46,10 @@ __all__ = ["IndexContainer", "ContainerStats"]
 FORMAT_VERSION = "2.0"
 MAGIC = "IVARS-TPU-RVDB"
 
+# bytes of blob data per bulk slab read (module constant so tests can
+# shrink it to exercise slab boundaries)
+_BLOB_SLAB = 64 * 1024 * 1024
+
 _DTYPE_CODES = {"bfloat16": 0, "float16": 1, "float32": 2, "int8": 3}
 _STORE_DTYPES = {
     "bfloat16": np.uint16,
@@ -333,27 +337,30 @@ class IndexContainer:
         raw = _decompress(self._read_blob("metadata", row_id), compressed)
         return json.loads(raw.decode("utf-8"))
 
-    def iter_metadata(self) -> Iterator[dict[str, Any]]:
-        """Stream all metadata records via BULK section reads.
+    def _iter_blob_slabs(
+        self, section: str, lo: int, hi: int
+    ) -> Iterator[bytes]:
+        """Stream blobs [lo, hi) of a section via BULK slab reads.
 
         Per-record ``_read_blob`` pays ~1 ms of h5py call overhead per
-        record (measured: 200k records took >180 s at index load); bulk
-        slabs of the offsets + data datasets make load metadata-parse
-        bound instead (~100x faster at scale).
+        record (measured: 200k records took >180 s at index load); 64 MB
+        slabs of the offsets + data datasets make consumers parse-bound
+        instead (~100x faster at scale), with bounded memory even when a
+        caller's range spans gigabytes.
         """
-        n = self.num_metadata
-        if n == 0:
+        count = self._blob_count(section)
+        lo, hi = max(lo, 0), min(hi, count)
+        if hi <= lo:
             return
-        compressed = bool(self._f.attrs.get("compressed_meta", False))
-        offs_ds = self._f["metadata/offsets"]
-        data_ds = self._f["metadata/data"]
-        offs = np.empty((n + 1,), np.int64)
-        offs_ds.read_direct(offs, np.s_[: n + 1])
-        SLAB = 64 * 1024 * 1024  # bytes of blob data per bulk read
+        offs_ds = self._f[f"{section}/offsets"]
+        data_ds = self._f[f"{section}/data"]
+        offs = np.empty((hi - lo + 1,), np.int64)
+        offs_ds.read_direct(offs, np.s_[lo:hi + 1])
         i = 0
+        n = hi - lo
         while i < n:
             j = i + 1
-            while j < n and offs[j + 1] - offs[i] <= SLAB:
+            while j < n and offs[j + 1] - offs[i] <= _BLOB_SLAB:
                 j += 1
             blob = np.empty((int(offs[j] - offs[i]),), np.uint8)
             if blob.size:
@@ -361,34 +368,27 @@ class IndexContainer:
             buf = blob.tobytes()
             base = int(offs[i])
             for r in range(i, j):
-                raw = buf[int(offs[r]) - base:int(offs[r + 1]) - base]
-                yield json.loads(
-                    _decompress(raw, compressed).decode("utf-8")
-                )
+                yield buf[int(offs[r]) - base:int(offs[r + 1]) - base]
             i = j
 
-    def read_metadata_range(self, lo: int, hi: int) -> list[dict[str, Any]]:
-        """Bulk-read records [lo, hi) with ONE offsets + ONE data read
-        (same rationale as :meth:`iter_metadata`)."""
-        n = self.num_metadata
-        lo, hi = max(lo, 0), min(hi, n)
-        if hi <= lo:
-            return []
+    def read_blob_range(self, section: str, lo: int, hi: int) -> list[bytes]:
+        """Bulk-read blobs [lo, hi) of a section (thumbnails/images/...)."""
+        return list(self._iter_blob_slabs(section, lo, hi))
+
+    def iter_metadata(self) -> Iterator[dict[str, Any]]:
+        """Stream all metadata records via bulk slab reads
+        (:meth:`_iter_blob_slabs` rationale)."""
         compressed = bool(self._f.attrs.get("compressed_meta", False))
-        offs = np.empty((hi - lo + 1,), np.int64)
-        self._f["metadata/offsets"].read_direct(offs, np.s_[lo:hi + 1])
-        blob = np.empty((int(offs[-1] - offs[0]),), np.uint8)
-        if blob.size:
-            self._f["metadata/data"].read_direct(
-                blob, np.s_[int(offs[0]):int(offs[-1])]
-            )
-        buf = blob.tobytes()
-        base = int(offs[0])
+        for raw in self._iter_blob_slabs("metadata", 0, self.num_metadata):
+            yield json.loads(_decompress(raw, compressed).decode("utf-8"))
+
+    def read_metadata_range(self, lo: int, hi: int) -> list[dict[str, Any]]:
+        """Bulk-read records [lo, hi) via slab reads (bounded memory even
+        when the range spans a large deleted gap)."""
+        compressed = bool(self._f.attrs.get("compressed_meta", False))
         return [
-            json.loads(_decompress(
-                buf[int(offs[i]) - base:int(offs[i + 1]) - base], compressed
-            ).decode("utf-8"))
-            for i in range(hi - lo)
+            json.loads(_decompress(raw, compressed).decode("utf-8"))
+            for raw in self._iter_blob_slabs("metadata", lo, hi)
         ]
 
     @property

@@ -241,12 +241,7 @@ class UnifiedIndex:
                 self._sharded.load_int8(rows, scales,
                                         deleted_rows=self._deleted)
             else:
-                # normalize ON DEVICE (same program as the single-device
-                # path, so both paths hold bit-identical rows), then hand
-                # the searcher host f32 to shard — lossless round-trip
-                dev = self._rows_to_device(n, _ceil_to(n, TILE_N))
-                raw = np.asarray(dev[:n], np.float32)
-                del dev
+                raw = self._normalized_rows_host(n)
                 dtype = (
                     jnp.bfloat16 if self._container.dtype == "bfloat16"
                     else jnp.float32
@@ -294,18 +289,6 @@ class UnifiedIndex:
                 mask[row, 0] = 1
         self._dev_deleted = jnp.asarray(mask)
 
-    def _read_rows_fast(self, n: int) -> np.ndarray:
-        """Embedding rows as f32: mmap'd flat sidecar when fresh, else the
-        container dataset (sidecars are written by RAGBuilder finalize and
-        invalidated by incremental appends)."""
-        assert self._container is not None
-        host = self._read_rows_raw(n)
-        if host.dtype == np.uint16:  # bf16 bits
-            from .. import native
-
-            return native.bf16_to_f32(host)
-        return np.asarray(host, np.float32)
-
     def _read_rows_raw(self, n: int) -> np.ndarray:
         """Rows in their cheapest host form: f32 from the mmap sidecar when
         fresh, else RAW storage (u16 bf16 bits / f16 / f32) — no host
@@ -323,6 +306,58 @@ class UnifiedIndex:
                 except Exception:
                     pass
         return self._container.read_embeddings(0, n)
+
+    # full-corpus single-device staging is allowed below this many bytes;
+    # larger corpora stream chunk-normalized rows to host instead of
+    # materializing one (cap, d) buffer on the default device (a 10M bf16
+    # mesh load would otherwise stage ~15 GB on a single 16 GB chip)
+    _MESH_STAGE_BYTES = 2 << 30
+
+    def _normalized_rows_host(self, n: int) -> np.ndarray:
+        """(n, d) host f32 rows, L2-normalized by THE SAME device program
+        the single-device path uses — mesh and single-device backends hold
+        bit-identical rows (bf16 -> f32 round-trips are lossless).
+
+        Small corpora stage the whole single-device buffer; above
+        ``_MESH_STAGE_BYTES`` rows stream through chunk-sized buffers of
+        the same program shape, so peak device memory is one chunk."""
+        import jax.numpy as jnp
+
+        assert self._container is not None
+        d = self._container.dim
+        cap = _ceil_to(n, TILE_N)
+        itemsize = 2 if self._container.dtype == "bfloat16" else 4
+        if cap * d * itemsize <= self._MESH_STAGE_BYTES:
+            dev = self._rows_to_device(n, cap)
+            out = np.asarray(dev[:n], np.float32)
+            del dev
+            return out
+        host = self._read_rows_raw(n)
+        src = "bf16_bits" if host.dtype == np.uint16 else "float"
+        out_name = (
+            "bfloat16" if self._container.dtype == "bfloat16" else "float32"
+        )
+        out_dtype = jnp.bfloat16 if out_name == "bfloat16" else jnp.float32
+        CH = 262_144
+        out = np.empty((n, d), np.float32)
+        pos = 0
+        while pos < n:
+            m = min(CH, n - pos)
+            m_pad = _ceil_to(m, TILE_N)
+            chunk = host[pos:pos + m]
+            if m_pad != m:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((m_pad - m, d), host.dtype)]
+                )
+            fill = _norm_upload_program(
+                m_pad, d, src, out_name, self.config.normalize
+            )
+            buf = fill(jnp.zeros((m_pad, d), out_dtype),
+                       jnp.asarray(chunk), jnp.int32(0))
+            out[pos:pos + m] = np.asarray(buf[:m], np.float32)
+            del buf
+            pos += m
+        return out
 
     def _rows_to_device(self, n: int, cap: int):
         """Padded (cap, d) device rows in compute dtype, L2-normalized ON
@@ -780,9 +815,11 @@ class UnifiedIndex:
                     records.append(record)
                 dst.append_metadata(records)
                 if src.num_thumbnails:
-                    dst.append_thumbnails([src.get_thumbnail(r) for r in rows])
+                    thumbs = src.read_blob_range("thumbnails", lo, hi)
+                    dst.append_thumbnails([thumbs[r - lo] for r in rows])
                 if src.num_images:
-                    dst.append_images([src.get_image(r) for r in rows])
+                    imgs = src.read_blob_range("images", lo, hi)
+                    dst.append_images([imgs[r - lo] for r in rows])
             # carry journal hashes + maps + system config
             dst.append_journal(sorted(src.journal_hashes()))
             for folder in src.map_folders():

@@ -94,6 +94,26 @@ class TestContainer:
             assert c.read_metadata_range(10, 20) == individual[10:20]
             assert c.read_metadata_range(n - 1, n + 5) == individual[n - 1:]
             assert c.read_metadata_range(5, 5) == []
+            # force MANY slabs (tiny slab bound): boundary off-by-ones
+            # (dropped/re-yielded records at slab edges, single record
+            # bigger than a slab) must not change results
+            from intelligent_video_analysis_retrieval_system_tpu.index import (
+                container as container_mod,
+            )
+
+            old = container_mod._BLOB_SLAB
+            container_mod._BLOB_SLAB = 64  # smaller than one record
+            try:
+                assert list(c.iter_metadata()) == individual
+                assert c.read_metadata_range(3, 200) == individual[3:200]
+            finally:
+                container_mod._BLOB_SLAB = old
+            # thumbnails bulk range equals per-record reads too
+            c.append_thumbnails([bytes([i % 251]) * (i % 97 + 1)
+                                 for i in range(n)])
+            per = [c.get_thumbnail(i) for i in range(n)]
+            assert c.read_blob_range("thumbnails", 0, n) == per
+            assert c.read_blob_range("thumbnails", 40, 60) == per[40:60]
 
     def test_embeddings_roundtrip_f32(self, tmp_path):
         with IndexContainer(tmp_path / "c.rvdb", "w", dim=8, dtype="float32") as c:
