@@ -1,0 +1,301 @@
+"""IVF approximate search (`ops.ann`): build invariants, exactness at full
+probing, recall on clustered corpora, tombstones, tail appends, int8 metric
+equality. All on the CPU backend — the IVF programs are pure XLA (no
+Pallas), so the tested programs are the production programs."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from intelligent_video_analysis_retrieval_system_tpu.ops import ann
+from intelligent_video_analysis_retrieval_system_tpu.ops.ann import (
+    IVFState,
+    build_ivf,
+    default_nlist,
+    ivf_topk,
+    tail_append,
+)
+from intelligent_video_analysis_retrieval_system_tpu.ops.quant import (
+    quantize_rows_int8,
+    topk_search_int8,
+)
+from intelligent_video_analysis_retrieval_system_tpu.ops.topk import (
+    topk_search,
+)
+
+
+def _normed(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def _clustered(rng, n, d, n_clusters=32, noise=0.35):
+    """CLIP-like corpus: rows concentrate around cluster directions.
+    ``noise`` is the TOTAL noise-vector norm relative to the unit center
+    (per-dim std scales by 1/sqrt(d) — at 0.35 the intra-cluster cosine is
+    ~0.94, matching measured CLIP video-frame corpora)."""
+    centers = _normed(rng, n_clusters, d)
+    assign = rng.integers(0, n_clusters, size=n)
+    x = centers[assign] + (noise / d**0.5) * rng.standard_normal(
+        (n, d)
+    ).astype(np.float32)
+    return (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
+
+
+def _reader(x):
+    return lambda s, e: x[s:e]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    """Clustered corpus + queries drawn NEAR corpus items (retrieval
+    queries embed close to their matches; fully random directions in
+    high-d have scattered neighbor sets no IVF can cover)."""
+    rng = np.random.default_rng(7)
+    x = _clustered(rng, 4096, 64)
+    picks = rng.choice(len(x), size=16, replace=False)
+    q = x[picks] + (0.5 / 64**0.5) * rng.standard_normal((16, 64)).astype(
+        np.float32
+    )
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return x, q
+
+
+@pytest.fixture(scope="module")
+def ivf(corpus):
+    x, _ = corpus
+    state, report = build_ivf(
+        _reader(x), len(x), x.shape[1], nlist=64, kmeans_iters=6, seed=0
+    )
+    return state, report
+
+
+class TestBuild:
+    def test_default_nlist_scaling(self):
+        assert default_nlist(0) == 64
+        assert default_nlist(10_000) in (256, 512)
+        assert 4096 <= default_nlist(10_000_000) <= 16384
+        assert default_nlist(10**9) == 16384  # clamp
+
+    def test_partition_invariant(self, corpus, ivf):
+        """Every row id appears exactly once across buckets + tail."""
+        x, _ = corpus
+        state, report = ivf
+        bucket = np.asarray(state.bucket_ids)
+        tail = np.asarray(state.tail_ids)[: int(state.tail_count)]
+        ids = np.concatenate([bucket[bucket >= 0].ravel(), tail])
+        assert sorted(ids.tolist()) == list(range(len(x)))
+        assert report.nlist == 64
+        assert report.bucket_cap % 128 == 0
+
+    def test_bucket_geometry(self, corpus, ivf):
+        """Bucketed rows are near their bucket's centroid (spill keeps the
+        most-similar rows in the home bucket)."""
+        x, _ = corpus
+        state, _ = ivf
+        cent = np.asarray(state.centroids)
+        assert np.allclose(np.linalg.norm(cent, axis=1), 1.0, atol=1e-5)
+        bucket = np.asarray(state.bucket_ids)
+        # mean member->own-centroid sim must beat member->random-centroid
+        own, rand = [], []
+        rng = np.random.default_rng(0)
+        for c in range(bucket.shape[0]):
+            members = bucket[c][bucket[c] >= 0]
+            if len(members) == 0:
+                continue
+            own.append(float(np.mean(x[members] @ cent[c])))
+            rand.append(
+                float(np.mean(x[members] @ cent[rng.integers(bucket.shape[0])]))
+            )
+        assert np.mean(own) > np.mean(rand) + 0.1
+
+    def test_overflow_widens_caps(self):
+        """Pathological distribution (all rows identical -> one cluster)
+        still builds: caps widen, leftovers land in the tail."""
+        rng = np.random.default_rng(1)
+        base = _normed(rng, 1, 32)
+        x = np.repeat(base, 600, axis=0) + 1e-4 * rng.standard_normal(
+            (600, 32)
+        ).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        state, report = build_ivf(
+            _reader(x), len(x), 32, nlist=64, cap_factor=1.0, kmeans_iters=3
+        )
+        bucket = np.asarray(state.bucket_ids)
+        tail = np.asarray(state.tail_ids)[: int(state.tail_count)]
+        ids = np.concatenate([bucket[bucket >= 0].ravel(), tail])
+        assert sorted(ids.tolist()) == list(range(len(x)))
+
+
+class TestSearch:
+    def test_full_probe_is_exact(self, corpus, ivf):
+        """nprobe == nlist scans every bucket + tail => exact top-k."""
+        x, q = corpus
+        state, _ = ivf
+        xd = jnp.asarray(x)
+        got = ivf_topk(xd, state, jnp.asarray(q), k=10, nprobe=64)
+        want = topk_search(xd, jnp.asarray(q), k=10, use_pallas=False)
+        np.testing.assert_array_equal(
+            np.asarray(got.indices), np.asarray(want.indices)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.scores), np.asarray(want.scores), atol=1e-5
+        )
+
+    def test_recall_at_moderate_nprobe(self, corpus, ivf):
+        x, q = corpus
+        state, _ = ivf
+        xd = jnp.asarray(x)
+        got = ivf_topk(xd, state, jnp.asarray(q), k=10, nprobe=8)
+        want = topk_search(xd, jnp.asarray(q), k=10, use_pallas=False)
+        hits = sum(
+            len(set(g) & set(w))
+            for g, w in zip(
+                np.asarray(got.indices).tolist(),
+                np.asarray(want.indices).tolist(),
+            )
+        )
+        recall = hits / (len(q) * 10)
+        assert recall >= 0.9, f"recall@10 {recall} too low at nprobe=8/64"
+
+    def test_scores_match_dense_metric(self, corpus, ivf):
+        """Returned scores equal the dense path's scores for the same ids
+        (same metric — approximation is only in candidate coverage)."""
+        x, q = corpus
+        state, _ = ivf
+        got = ivf_topk(jnp.asarray(x), state, jnp.asarray(q), k=5, nprobe=16)
+        ids = np.asarray(got.indices)
+        scores = np.asarray(got.scores)
+        for b in range(len(q)):
+            expect = x[ids[b]] @ q[b]
+            np.testing.assert_allclose(scores[b], expect, atol=1e-5)
+
+    def test_tombstones_respected(self, corpus, ivf):
+        x, q = corpus
+        state, _ = ivf
+        xd = jnp.asarray(x)
+        first = ivf_topk(xd, state, jnp.asarray(q), k=5, nprobe=64)
+        kill = np.unique(np.asarray(first.indices)[:, 0])
+        deleted = np.zeros((len(x), 1), np.int8)
+        deleted[kill] = 1
+        got = ivf_topk(
+            xd, state, jnp.asarray(q), k=5, nprobe=64,
+            deleted=jnp.asarray(deleted),
+        )
+        assert not set(np.asarray(got.indices).ravel()) & set(kill.tolist())
+        want = topk_search(
+            xd, jnp.asarray(q), k=5, use_pallas=False,
+            deleted=jnp.asarray(deleted),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.indices), np.asarray(want.indices)
+        )
+
+    def test_n_valid_masks_padding(self, corpus, ivf):
+        """Rows beyond n_valid (padded capacity) never surface."""
+        x, q = corpus
+        state, _ = ivf
+        pad = np.concatenate([x, np.ones((128, x.shape[1]), np.float32)])
+        got = ivf_topk(
+            jnp.asarray(pad), state, jnp.asarray(q), k=10, nprobe=64,
+            n_valid=len(x),
+        )
+        assert np.asarray(got.indices).max() < len(x)
+
+    def test_k_exceeds_candidates(self, corpus, ivf):
+        """k larger than live rows: finite prefix, -inf tail."""
+        x, q = corpus
+        state, _ = ivf
+        got = ivf_topk(
+            jnp.asarray(x), state, jnp.asarray(q[:2]), k=30, nprobe=2
+        )
+        s = np.asarray(got.scores)
+        assert s.shape == (2, 30)
+        assert np.isfinite(s[:, 0]).all()
+
+    def test_empty_corpus(self, corpus, ivf):
+        x, q = corpus
+        state, _ = ivf
+        got = ivf_topk(
+            jnp.asarray(x), state, jnp.asarray(q), k=5, nprobe=4, n_valid=0
+        )
+        assert got.scores.shape == (len(q), 0)
+
+
+class TestTail:
+    def test_tail_append_rows_found(self, corpus, ivf):
+        """Appended rows (registered in the tail) are searchable even at
+        nprobe=1 — the tail is always scanned."""
+        x, q = corpus
+        state, _ = ivf
+        new = q[:3]  # append the query vectors themselves
+        pad = np.concatenate([x, new]).astype(np.float32)
+        state2 = tail_append(state, [len(x), len(x) + 1, len(x) + 2])
+        got = ivf_topk(
+            jnp.asarray(pad), state2, jnp.asarray(q[:3]), k=1, nprobe=1
+        )
+        ids = np.asarray(got.indices)[:, 0]
+        np.testing.assert_array_equal(ids, [len(x), len(x) + 1, len(x) + 2])
+        np.testing.assert_allclose(
+            np.asarray(got.scores)[:, 0], 1.0, atol=1e-5
+        )
+
+    def test_tail_overflow_raises(self, ivf):
+        state, _ = ivf
+        with pytest.raises(OverflowError):
+            tail_append(state, list(range(ann.TAIL_MAX + 1)))
+
+    def test_original_state_unchanged(self, corpus, ivf):
+        state, _ = ivf
+        before = int(state.tail_count)
+        tail_append(state, [4096])
+        assert int(state.tail_count) == before  # functional update
+
+
+class TestInt8:
+    def test_int8_full_probe_matches_dense_int8(self, corpus):
+        """int8 IVF at full probing == dense int8 path (same integer
+        metric, bit-exact)."""
+        x, q = corpus
+        rows, scales = quantize_rows_int8(x)
+        state, _ = build_ivf(
+            _reader(x), len(x), x.shape[1], nlist=64, kmeans_iters=4
+        )
+        got = ivf_topk(
+            jnp.asarray(rows), state, jnp.asarray(q), k=10, nprobe=64,
+            x_scales=jnp.asarray(scales),
+        )
+        want = topk_search_int8(
+            jnp.asarray(rows), jnp.asarray(scales), jnp.asarray(q), k=10,
+            use_pallas=False,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.indices), np.asarray(want.indices)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.scores), np.asarray(want.scores), rtol=1e-6
+        )
+
+    def test_int8_recall(self, corpus):
+        x, q = corpus
+        rows, scales = quantize_rows_int8(x)
+        state, _ = build_ivf(
+            _reader(x), len(x), x.shape[1], nlist=64, kmeans_iters=4
+        )
+        got = ivf_topk(
+            jnp.asarray(rows), state, jnp.asarray(q), k=10, nprobe=8,
+            x_scales=jnp.asarray(scales),
+        )
+        want = topk_search_int8(
+            jnp.asarray(rows), jnp.asarray(scales), jnp.asarray(q), k=10,
+            use_pallas=False,
+        )
+        hits = sum(
+            len(set(g) & set(w))
+            for g, w in zip(
+                np.asarray(got.indices).tolist(),
+                np.asarray(want.indices).tolist(),
+            )
+        )
+        assert hits / (len(q) * 10) >= 0.9
