@@ -13,32 +13,38 @@ for XLA:
   (nlist, d) f32 centroid matrix and a small dynamic "tail" id list. No row
   duplication, and tombstones/n_valid masking work unchanged (ids map
   through the same masks as the exact kernels).
+- **The whole build runs on device.** The host<->device tunnel moves
+  ~1 MB/s here (CLAUDE.md), so the corpus can never round-trip: k-means
+  samples by device gather, assignment sweeps are chunked device matmuls,
+  and capacity-bucketing is a device sort pass per spill round
+  (lexicographic ``lax.sort`` on (cluster, -sim) — exact, no float-packed
+  keys). Only O(nlist) scalars ever reach the host.
 - **Static shapes throughout.** Clusters are capacity-bucketed
   (``bucket_cap`` slots, -1 padding); rows overflowing their nearest
-  cluster spill to their 2nd..A-th nearest with free slots (host-side
-  vectorized pass at build); the rare final leftovers land in the tail,
-  which is also where post-build appends go. Every live row is therefore in
-  EXACTLY ONE bucket slot or the tail — probing all ``nlist`` clusters is
-  provably exact, which anchors the test oracle.
+  cluster spill to their 2nd..A-th nearest with free slots; the rare final
+  leftovers land in the tail, which is also where post-build appends go.
+  Every live row is therefore in EXACTLY ONE bucket slot or the tail —
+  probing all ``nlist`` clusters is provably exact, which anchors the test
+  oracle.
 - **Search = three matmul/gather stages**, all XLA (no Pallas needed —
-  gathers and batched GEMMs are XLA strengths, and the same program runs on
+  gathers and batched GEMMs are XLA strengths, and the same programs run on
   the CPU test backend): (1) probe selection ``q @ C^T`` + top-nprobe;
   (2) candidate gather ``x[bucket_ids[probes]]`` + batched scoring einsum
-  (f32-exact for bf16 rows; the bit-exact integer metric of ``ops.quant``
+  (f32-exact for float rows; the bit-exact integer metric of ``ops.quant``
   for int8 rows); (3) chunk-max two-phase selection over the (B, C)
   candidate scores (C can be ~100k; a flat ``lax.top_k`` at that width is
   sort-bound).
 
 Why small batches only: candidate traffic is per-query (B x nprobe x
 bucket_cap rows), while the dense exact sweep amortizes ONE corpus pass
-over the whole batch. At 10M int8 rows, nprobe=32, cap~2.5k: ~60 MB/query
+over the whole batch. At 10M int8 rows, nprobe=32, cap~2.5k: ~80 MB/query
 vs 7.7 GB/pass — a big win at B<=8, a loss at B>=64. Callers auto-fall back
-to the dense path above ``max_batch``.
+to the dense path above ``UnifiedIndexConfig.ann_max_batch``.
 
 Approximation contract: results are exact *within the probed candidate
 set* (same metric as the dense path, including the int8 integer metric);
 recall is controlled by ``nprobe``/``nlist`` and measured per-corpus with
-``retrieval.evaluation`` (see ``cli.py evaluate --ann``).
+``retrieval.evaluation``.
 """
 
 from __future__ import annotations
@@ -55,6 +61,7 @@ __all__ = [
     "IVFBuildReport",
     "build_ivf",
     "ivf_topk",
+    "tail_append",
     "default_nlist",
     "TAIL_MAX",
 ]
@@ -63,10 +70,12 @@ __all__ = [
 # are ALWAYS scanned (shared across the batch). When appends outgrow it the
 # caller must rebuild (UnifiedIndex falls back to dense until then).
 TAIL_MAX = 8192
-# Selection chunk for phase-3 (mirrors ops.topk.CHUNK).
+# Selection chunk for the search's two-phase top-k (mirrors ops.topk.CHUNK).
 _SEL_CHUNK = 128
-# Row chunk for build-time assignment sweeps over the corpus.
-_ASSIGN_CHUNK = 65_536
+# Row chunk for build-time assignment sweeps over the corpus: bounds the
+# transient (chunk, nlist) f32 score block (64k x 16384 x 4B = 4 GB worst
+# case -> use 16k rows: <= 1 GB).
+_ASSIGN_CHUNK = 16_384
 
 
 class IVFState(NamedTuple):
@@ -83,7 +92,6 @@ class IVFState(NamedTuple):
 class IVFBuildReport(NamedTuple):
     nlist: int
     bucket_cap: int
-    spilled: int          # rows placed in a 2nd..A-th choice bucket
     leftover: int         # rows that fell through to the tail
     kmeans_iters: int
     sample_rows: int
@@ -104,34 +112,43 @@ def default_nlist(n_rows: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# Build: spherical k-means (device) + capacity bucketing with spill (host)
+# Build: spherical k-means + capacity bucketing, all on device
 # ---------------------------------------------------------------------------
 
 
 @functools.lru_cache(maxsize=32)
-def _assign_program(a_top: int):
-    """rows-chunk x centroids -> per-row top-A (cluster ids, sims)."""
+def _gather_f32_program(int8: bool):
+    """x[ids] as f32 rows (dequantized for int8 corpora)."""
     import jax
     import jax.numpy as jnp
-    from jax import lax
 
-    def fn(chunk, centroids):
-        s = jnp.dot(
-            chunk.astype(jnp.float32), centroids.T,
-            preferred_element_type=jnp.float32,
-        )
-        top_s, top_ids = lax.top_k(s, a_top)
-        return top_ids.astype(jnp.int32), top_s
+    if int8:
+
+        def fn(x, scales, ids):
+            return x[ids].astype(jnp.float32) * scales[ids][:, None]
+
+    else:
+
+        def fn(x, ids):
+            return x[ids].astype(jnp.float32)
 
     return jax.jit(fn)
 
 
+def _rows_f32(x, x_scales, ids):
+    import jax.numpy as jnp
+
+    if x_scales is not None:
+        return _gather_f32_program(True)(x, x_scales, jnp.asarray(ids))
+    return _gather_f32_program(False)(x, jnp.asarray(ids))
+
+
 @functools.lru_cache(maxsize=8)
 def _kmeans_step_program():
-    """One Lloyd step over a sample: assign + scatter-add accumulate."""
+    """One Lloyd step over the (device-resident) sample: assign +
+    scatter-add accumulate. Returns (acc, counts)."""
     import jax
     import jax.numpy as jnp
-    from jax import lax
 
     def fn(x, centroids):
         s = jnp.dot(x, centroids.T, preferred_element_type=jnp.float32)
@@ -143,171 +160,244 @@ def _kmeans_step_program():
     return jax.jit(fn)
 
 
-def _spherical_kmeans(
-    sample: np.ndarray, nlist: int, iters: int, seed: int
-) -> np.ndarray:
-    """Unit-norm centroids by Lloyd's on the unit sphere (assignment =
-    max inner product; update = mean then re-normalize). Sample rows must
-    be L2-normalized f32."""
+@functools.lru_cache(maxsize=8)
+def _kmeans_finish_program():
+    """mean + re-normalize, with empty clusters re-seeded from given rows."""
+    import jax
+    import jax.numpy as jnp
+
+    def fn(acc, counts, reseed_rows):
+        empty = (counts == 0)[:, None]
+        mean = jnp.where(
+            empty, reseed_rows, acc / jnp.maximum(counts, 1)[:, None]
+        )
+        norms = jnp.maximum(
+            jnp.linalg.norm(mean, axis=1, keepdims=True), 1e-12
+        )
+        return mean / norms
+
+    return jax.jit(fn)
+
+
+def _spherical_kmeans(sample, nlist: int, iters: int, seed: int):
+    """Unit-norm centroids by Lloyd's on the unit sphere; ``sample`` is a
+    device (S, d) f32 array of unit rows. Empty clusters re-seed from
+    random sample rows. Everything stays on device."""
     import jax.numpy as jnp
 
     rng = np.random.default_rng(seed)
-    n = len(sample)
+    n = int(sample.shape[0])
     init = rng.choice(n, size=nlist, replace=n < nlist)
-    centroids = jnp.asarray(sample[init], jnp.float32)
-    x = jnp.asarray(sample, jnp.float32)
+    centroids = sample[jnp.asarray(init)]
     step = _kmeans_step_program()
+    finish = _kmeans_finish_program()
     for _ in range(max(iters, 1)):
-        acc, counts = step(x, centroids)
-        acc_np = np.array(acc)      # writable host copies
-        counts_np = np.array(counts)
-        empty = counts_np == 0
-        if empty.any():
-            # re-seed empty clusters from random sample rows
-            acc_np[empty] = sample[rng.choice(n, size=int(empty.sum()))]
-            counts_np[empty] = 1
-        mean = acc_np / counts_np[:, None]
-        norms = np.maximum(np.linalg.norm(mean, axis=1, keepdims=True), 1e-12)
-        centroids = jnp.asarray(mean / norms, jnp.float32)
-    return np.asarray(centroids)
+        acc, counts = step(sample, centroids)
+        reseed = sample[jnp.asarray(rng.choice(n, size=nlist))]
+        centroids = finish(acc, counts, reseed)
+    return centroids
 
 
-def _bucket_with_spill(
-    choice_ids: np.ndarray,   # (N, A) i32 per-row nearest clusters, best first
-    choice_sims: np.ndarray,  # (N, A) f32 matching sims
-    nlist: int,
-    cap: int,
-) -> tuple[np.ndarray, np.ndarray, int]:
-    """Capacity-bucketed assignment, fully vectorized.
+@functools.lru_cache(maxsize=32)
+def _assign_chunk_program(a_top: int, int8: bool):
+    """Top-A nearest centroids for a dynamic row chunk of the corpus."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
 
-    Pass a: sort this pass's unplaced rows by (cluster, -sim); within each
-    cluster segment the first ``free`` rows take slots (keeps the rows most
-    similar to the centroid in their home bucket); the rest retry with
-    their next-nearest cluster. Returns (bucket_ids, leftover_row_ids,
-    n_spilled)."""
-    n, a_top = choice_ids.shape
-    bucket = np.full((nlist, cap), -1, np.int32)
-    fill = np.zeros(nlist, np.int64)
-    remaining = np.arange(n, dtype=np.int64)
-    spilled = 0
-    for a in range(a_top):
-        if len(remaining) == 0:
-            break
-        c = choice_ids[remaining, a].astype(np.int64)
-        s = choice_sims[remaining, a]
-        order = np.lexsort((-s, c))
-        rows_sorted = remaining[order]
-        c_sorted = c[order]
-        seg_start = np.searchsorted(c_sorted, np.arange(nlist))
-        pos = np.arange(len(rows_sorted)) - seg_start[c_sorted]
-        slot = fill[c_sorted] + pos
-        ok = slot < cap
-        bucket[c_sorted[ok], slot[ok]] = rows_sorted[ok]
-        if a > 0:
-            spilled += int(ok.sum())
-        fill += np.bincount(c_sorted[ok], minlength=nlist)
-        remaining = rows_sorted[~ok]
-    return bucket, remaining.astype(np.int64), spilled
+    def fn(x, *rest):
+        if int8:
+            scales, centroids, start = rest
+            chunk = lax.dynamic_slice_in_dim(x, start, _ASSIGN_CHUNK, 0)
+            cs = lax.dynamic_slice_in_dim(scales, start, _ASSIGN_CHUNK, 0)
+            chunk = chunk.astype(jnp.float32) * cs[:, None]
+        else:
+            centroids, start = rest
+            chunk = lax.dynamic_slice_in_dim(
+                x, start, _ASSIGN_CHUNK, 0
+            ).astype(jnp.float32)
+        s = jnp.dot(chunk, centroids.T, preferred_element_type=jnp.float32)
+        top_s, top_ids = lax.top_k(s, a_top)
+        return top_ids.astype(jnp.int32), top_s
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=32)
+def _bucket_pass_program(n_pad: int, nlist: int, cap: int):
+    """One spill round of capacity bucketing, entirely on device.
+
+    Sorts this round's unplaced rows lexicographically by (cluster, -sim)
+    — exact multi-key ``lax.sort``, no packed float keys — then within
+    each cluster segment the first ``cap - fill`` rows take slots (keeping
+    the rows most similar to the centroid in their home bucket). Returns
+    the updated (bucket_flat, placed, fill).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def fn(bucket_flat, placed, fill, choice_c, choice_s, n_rows):
+        row = jnp.arange(n_pad, dtype=jnp.int32)
+        active = (~placed) & (row < n_rows)
+        # inactive rows sort to the end (cluster key = nlist)
+        c_key = jnp.where(active, choice_c, nlist)
+        neg_s = jnp.where(active, -choice_s, jnp.inf)
+        c_sorted, _, rows_sorted = lax.sort(
+            (c_key, neg_s, row), num_keys=2
+        )
+        seg_start = jnp.searchsorted(c_sorted, jnp.arange(nlist))
+        in_active = c_sorted < nlist
+        c_safe = jnp.minimum(c_sorted, nlist - 1)
+        pos = jnp.arange(n_pad, dtype=jnp.int32) - seg_start[c_safe].astype(
+            jnp.int32
+        )
+        slot = fill[c_safe] + pos
+        ok = in_active & (slot < cap)
+        flat = jnp.where(ok, c_safe * cap + slot, nlist * cap)  # dump slot
+        bucket_flat = bucket_flat.at[flat].set(
+            jnp.where(ok, rows_sorted, -1)
+        )
+        placed = placed | jnp.zeros_like(placed).at[rows_sorted].set(ok)
+        fill = fill + jnp.zeros_like(fill).at[c_safe].add(ok.astype(jnp.int32))
+        return bucket_flat, placed, fill
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=8)
+def _leftover_program(n_pad: int, tail_max: int):
+    """Compact unplaced live rows into a (tail_max,) id list + count."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def fn(placed, n_rows):
+        row = jnp.arange(n_pad, dtype=jnp.int32)
+        active = (~placed) & (row < n_rows)
+        # active rows first (sort by ~active), stable -> ascending row ids
+        key = (~active).astype(jnp.int32)
+        _, rows_sorted = lax.sort((key, row), num_keys=1)
+        count = jnp.sum(active.astype(jnp.int32))
+        ids = jnp.where(
+            jnp.arange(tail_max) < count, rows_sorted[:tail_max], -1
+        ).astype(jnp.int32)
+        return ids, count
+
+    return jax.jit(fn)
 
 
 def build_ivf(
-    read_rows,                # callable (start, end) -> (m, d) np f32 rows
-    n_rows: int,
-    dim: int,
+    x,
+    n_rows: int | None = None,
+    x_scales=None,
     nlist: int | None = None,
     bucket_cap: int | None = None,
     cap_factor: float = 1.5,
-    nprobe_spill: int = 4,
+    spill_rounds: int = 4,
     kmeans_iters: int = 10,
     sample_per_list: int = 128,
     seed: int = 0,
 ) -> tuple[IVFState, IVFBuildReport]:
-    """Build the IVF structure over an externally-stored corpus.
+    """Build the IVF structure over the flat (device) row buffer ``x``.
 
-    ``read_rows`` abstracts the row source (host arrays, container reads, or
-    device-buffer slices) so the builder never needs the whole corpus in
-    host RAM at once. Rows must be L2-normalized f32 (the index stores
-    normalized rows; int8 corpora pass dequantized rows — probing uses the
-    f32 geometry either way, while in-bucket scoring stays in the corpus
-    metric).
+    ``x`` is the SAME array the dense search paths use: (cap, d) float rows
+    (bf16/f32, L2-normalized) or int8 rows with ``x_scales`` (norm folded
+    into the scale, as ``index.unified`` stores them). ``n_rows`` = live
+    rows (defaults to all). The whole build executes on device; only
+    O(nlist) scalars are fetched.
     """
     import jax.numpy as jnp
 
-    assert n_rows > 0, "empty corpus"
+    x = jnp.asarray(x)
+    n_pad_src = int(x.shape[0])
+    n = n_pad_src if n_rows is None else int(n_rows)
+    assert 0 < n <= n_pad_src, f"n_rows {n} out of range"
     if nlist is None:
-        nlist = default_nlist(n_rows)
-    nlist = int(min(nlist, max(64, n_rows)))
+        nlist = default_nlist(n)
+    nlist = int(min(nlist, max(64, n)))
     if bucket_cap is None:
         bucket_cap = _ceil_to(
-            max(int(cap_factor * n_rows / nlist), _SEL_CHUNK), _SEL_CHUNK
+            max(int(cap_factor * n / nlist), _SEL_CHUNK), _SEL_CHUNK
         )
     assert bucket_cap % _SEL_CHUNK == 0
 
-    # --- k-means on a subsample ------------------------------------------
-    sample_n = int(min(n_rows, max(sample_per_list * nlist, 4096)))
+    # --- k-means on a device-gathered subsample ---------------------------
+    sample_n = int(min(n, max(sample_per_list * nlist, 4096)))
     rng = np.random.default_rng(seed)
-    if sample_n < n_rows:
-        # sorted strided sample: keeps read_rows access sequential-ish
-        idx = np.sort(rng.choice(n_rows, size=sample_n, replace=False))
-        parts = []
-        pos = 0
-        while pos < len(idx):
-            lo = idx[pos]
-            hi_pos = int(
-                np.searchsorted(idx, lo + _ASSIGN_CHUNK, side="left")
-            )
-            hi_pos = max(hi_pos, pos + 1)
-            block_ids = idx[pos:hi_pos]
-            block = read_rows(int(lo), int(block_ids[-1]) + 1)
-            parts.append(block[block_ids - lo])
-            pos = hi_pos
-        sample = np.concatenate(parts, axis=0)
-    else:
-        sample = read_rows(0, n_rows)
-    sample = np.ascontiguousarray(sample, np.float32)
+    idx = (
+        np.arange(n) if sample_n >= n
+        else np.sort(rng.choice(n, size=sample_n, replace=False))
+    )
+    sample = _rows_f32(x, x_scales, idx.astype(np.int32))
     centroids = _spherical_kmeans(sample, nlist, kmeans_iters, seed)
     del sample
 
     # --- full-corpus top-A assignment (chunked device sweeps) -------------
-    a_top = int(min(nprobe_spill, nlist))
-    cdev = jnp.asarray(centroids)
-    assign = _assign_program(a_top)
-    choice_ids = np.empty((n_rows, a_top), np.int32)
-    choice_sims = np.empty((n_rows, a_top), np.float32)
-    for start in range(0, n_rows, _ASSIGN_CHUNK):
-        end = min(start + _ASSIGN_CHUNK, n_rows)
-        ids, sims = assign(jnp.asarray(read_rows(start, end)), cdev)
-        choice_ids[start:end] = np.asarray(ids)
-        choice_sims[start:end] = np.asarray(sims)
+    a_top = int(min(spill_rounds, nlist))
+    n_pad = _ceil_to(n, _ASSIGN_CHUNK)
+    if n_pad > n_pad_src:
+        pad = jnp.zeros((n_pad - n_pad_src, x.shape[1]), x.dtype)
+        x_a = jnp.concatenate([x, pad], axis=0)
+        s_a = (
+            None if x_scales is None
+            else jnp.concatenate(
+                [x_scales, jnp.zeros((n_pad - n_pad_src,), jnp.float32)]
+            )
+        )
+    else:
+        x_a, s_a = x, x_scales
+    assign = _assign_chunk_program(a_top, x_scales is not None)
+    choice_c = jnp.zeros((n_pad, a_top), jnp.int32)
+    choice_s = jnp.zeros((n_pad, a_top), jnp.float32)
+    from jax import lax as _lax
 
-    bucket, leftover, spilled = _bucket_with_spill(
-        choice_ids, choice_sims, nlist, bucket_cap
-    )
-    if len(leftover) > TAIL_MAX:
+    for start in range(0, n_pad, _ASSIGN_CHUNK):
+        if s_a is not None:
+            ids, sims = assign(x_a, s_a, centroids, jnp.int32(start))
+        else:
+            ids, sims = assign(x_a, centroids, jnp.int32(start))
+        choice_c = _lax.dynamic_update_slice(choice_c, ids, (start, 0))
+        choice_s = _lax.dynamic_update_slice(choice_s, sims, (start, 0))
+
+    # --- capacity bucketing with spill (device sort passes) ---------------
+    def _bucket(cap: int):
+        bucket_flat = jnp.full((nlist * cap + 1,), -1, jnp.int32)
+        placed = jnp.zeros((n_pad,), bool)
+        fill = jnp.zeros((nlist,), jnp.int32)
+        step = _bucket_pass_program(n_pad, nlist, cap)
+        for a in range(a_top):
+            bucket_flat, placed, fill = step(
+                bucket_flat, placed, fill,
+                choice_c[:, a], choice_s[:, a], jnp.int32(n),
+            )
+        tail_ids, tail_count = _leftover_program(n_pad, TAIL_MAX)(
+            placed, jnp.int32(n)
+        )
+        return bucket_flat, tail_ids, int(tail_count)
+
+    bucket_flat, tail_ids, leftover = _bucket(bucket_cap)
+    if leftover > TAIL_MAX:
         # capacity too tight for this distribution: widen and re-bucket
         bucket_cap = _ceil_to(bucket_cap * 2, _SEL_CHUNK)
-        bucket, leftover, spilled = _bucket_with_spill(
-            choice_ids, choice_sims, nlist, bucket_cap
-        )
-        assert len(leftover) <= TAIL_MAX, (
-            f"{len(leftover)} leftover rows exceed tail capacity even at "
-            f"bucket_cap={bucket_cap}; raise cap_factor"
-        )
-    tail = np.full((TAIL_MAX,), -1, np.int32)
-    tail[: len(leftover)] = leftover
+        bucket_flat, tail_ids, leftover = _bucket(bucket_cap)
+        if leftover > TAIL_MAX:
+            raise ValueError(
+                f"{leftover} leftover rows exceed tail capacity even at "
+                f"bucket_cap={bucket_cap}; raise cap_factor"
+            )
 
     state = IVFState(
-        centroids=cdev,
-        bucket_ids=jnp.asarray(bucket),
-        tail_ids=jnp.asarray(tail),
-        tail_count=jnp.asarray(len(leftover), jnp.int32),
-        ann_rows=int(n_rows),
+        centroids=centroids,
+        bucket_ids=bucket_flat[:-1].reshape(nlist, bucket_cap),
+        tail_ids=tail_ids,
+        tail_count=jnp.asarray(min(leftover, TAIL_MAX), jnp.int32),
+        ann_rows=int(n),
     )
     report = IVFBuildReport(
         nlist=nlist,
         bucket_cap=bucket_cap,
-        spilled=spilled,
-        leftover=len(leftover),
+        leftover=leftover,
         kmeans_iters=kmeans_iters,
         sample_rows=sample_n,
     )
@@ -393,6 +483,17 @@ def _build_ivf_searcher(
         top_ids = jnp.take_along_axis(cand, top_cand_pos, axis=1)
         return TopKResult(top_s, top_ids.astype(jnp.int32))
 
+    def _candidates(centroids, bucket_ids, tail_ids, tail_count, qf, n_valid):
+        cs = jnp.dot(qf, centroids.T, preferred_element_type=jnp.float32)
+        _, probes = lax.top_k(cs, nprobe)                    # (B, nprobe)
+        cand = bucket_ids[probes].reshape(b_pad, nprobe * cap)
+        tids = jnp.where(jnp.arange(tail_max) < tail_count, tail_ids, -1)
+        cand = jnp.concatenate(
+            [cand, jnp.broadcast_to(tids[None], (b_pad, tail_max))], axis=1
+        )                                                    # (B, n_cand)
+        valid = (cand >= 0) & (cand < n_valid)
+        return cand, valid
+
     if int8:
 
         def search(x_i8, x_scales, centroids, bucket_ids, tail_ids,
@@ -400,17 +501,9 @@ def _build_ivf_searcher(
             from .quant import _quantize_q
 
             qf = q.astype(jnp.float32)
-            cs = jnp.dot(qf, centroids.T, preferred_element_type=jnp.float32)
-            _, probes = lax.top_k(cs, nprobe)                # (B, nprobe)
-            cand = bucket_ids[probes].reshape(b_pad, nprobe * cap)
-            tids = jnp.where(
-                jnp.arange(tail_max) < tail_count, tail_ids, -1
+            cand, valid = _candidates(
+                centroids, bucket_ids, tail_ids, tail_count, qf, n_valid
             )
-            cand = jnp.concatenate(
-                [cand, jnp.broadcast_to(tids[None], (b_pad, tail_max))],
-                axis=1,
-            )                                                # (B, n_cand)
-            valid = (cand >= 0) & (cand < n_valid)
             safe = jnp.where(valid, cand, 0)
             if deleted is not None:
                 valid &= deleted[safe, 0] == 0
@@ -430,14 +523,9 @@ def _build_ivf_searcher(
     def search(x, centroids, bucket_ids, tail_ids, tail_count, q, n_valid,
                deleted):
         qf = q.astype(jnp.float32)
-        cs = jnp.dot(qf, centroids.T, preferred_element_type=jnp.float32)
-        _, probes = lax.top_k(cs, nprobe)
-        cand = bucket_ids[probes].reshape(b_pad, nprobe * cap)
-        tids = jnp.where(jnp.arange(tail_max) < tail_count, tail_ids, -1)
-        cand = jnp.concatenate(
-            [cand, jnp.broadcast_to(tids[None], (b_pad, tail_max))], axis=1
+        cand, valid = _candidates(
+            centroids, bucket_ids, tail_ids, tail_count, qf, n_valid
         )
-        valid = (cand >= 0) & (cand < n_valid)
         safe = jnp.where(valid, cand, 0)
         if deleted is not None:
             valid &= deleted[safe, 0] == 0

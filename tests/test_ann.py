@@ -43,10 +43,6 @@ def _clustered(rng, n, d, n_clusters=32, noise=0.35):
     return (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
 
 
-def _reader(x):
-    return lambda s, e: x[s:e]
-
-
 @pytest.fixture(scope="module")
 def corpus():
     """Clustered corpus + queries drawn NEAR corpus items (retrieval
@@ -66,7 +62,7 @@ def corpus():
 def ivf(corpus):
     x, _ = corpus
     state, report = build_ivf(
-        _reader(x), len(x), x.shape[1], nlist=64, kmeans_iters=6, seed=0
+        jnp.asarray(x), len(x), nlist=64, kmeans_iters=6, seed=0
     )
     return state, report
 
@@ -120,7 +116,7 @@ class TestBuild:
         ).astype(np.float32)
         x /= np.linalg.norm(x, axis=1, keepdims=True)
         state, report = build_ivf(
-            _reader(x), len(x), 32, nlist=64, cap_factor=1.0, kmeans_iters=3
+            jnp.asarray(x), len(x), nlist=64, cap_factor=1.0, kmeans_iters=3
         )
         bucket = np.asarray(state.bucket_ids)
         tail = np.asarray(state.tail_ids)[: int(state.tail_count)]
@@ -260,7 +256,8 @@ class TestInt8:
         x, q = corpus
         rows, scales = quantize_rows_int8(x)
         state, _ = build_ivf(
-            _reader(x), len(x), x.shape[1], nlist=64, kmeans_iters=4
+            jnp.asarray(rows), len(x), x_scales=jnp.asarray(scales),
+            nlist=64, kmeans_iters=4
         )
         got = ivf_topk(
             jnp.asarray(rows), state, jnp.asarray(q), k=10, nprobe=64,
@@ -281,7 +278,8 @@ class TestInt8:
         x, q = corpus
         rows, scales = quantize_rows_int8(x)
         state, _ = build_ivf(
-            _reader(x), len(x), x.shape[1], nlist=64, kmeans_iters=4
+            jnp.asarray(rows), len(x), x_scales=jnp.asarray(scales),
+            nlist=64, kmeans_iters=4
         )
         got = ivf_topk(
             jnp.asarray(rows), state, jnp.asarray(q), k=10, nprobe=8,
