@@ -457,6 +457,35 @@ class IndexContainer:
             return default
         return json.loads(bytes(grp[key][:]).decode("utf-8"))
 
+    # -- ANN sidecar (optional "ann" group) --------------------------------
+    # Persists the IVF structure (ops.ann) so reopening a large index skips
+    # the k-means/bucketing build. The group is OPTIONAL: absent in older
+    # files, ignored by older readers, dropped whenever row ids shift
+    # (compaction). ``attrs["ann_rows"]`` records the corpus size the
+    # buckets cover; rows appended after that land in the tail at load.
+
+    def put_ann(self, arrays: dict[str, np.ndarray],
+                attrs: dict[str, Any]) -> None:
+        f = self._f
+        if "ann" in f:
+            del f["ann"]
+        grp = f.create_group("ann")
+        for key, arr in arrays.items():
+            grp.create_dataset(key, data=np.asarray(arr))
+        for key, val in attrs.items():
+            grp.attrs[key] = val
+
+    def get_ann(self) -> tuple[dict[str, np.ndarray], dict[str, Any]] | None:
+        if "ann" not in self._f:
+            return None
+        grp = self._f["ann"]
+        arrays = {key: np.asarray(grp[key]) for key in grp}
+        return arrays, {k: v for k, v in grp.attrs.items()}
+
+    def drop_ann(self) -> None:
+        if "ann" in self._f and self.mode != "r":
+            del self._f["ann"]
+
     # -- consistency & lifecycle ------------------------------------------
 
     def flush_checkpoint(self, extra: dict[str, Any] | None = None) -> None:

@@ -112,6 +112,15 @@ class UnifiedIndexConfig:
     incremental_rebuild_threshold: float = 0.10
     temporal_window: int = 5  # reference precomputes +-5 (unified_index.py:1133)
     normalize: bool = True
+    # IVF approximate search (ops.ann): opt-in latency mode matching the
+    # reference's approximate index types (core.py:1213-1216). Applies to
+    # single-device backends only (the mesh path is dense by design);
+    # batches larger than ann_max_batch fall back to the dense sweep
+    # (candidate traffic is per-query; the dense pass amortizes).
+    ann: bool = False
+    ann_nlist: int | None = None     # None = ops.ann.default_nlist(n)
+    ann_nprobe: int = 32
+    ann_max_batch: int = 8
 
 
 class UnifiedIndex:
@@ -142,6 +151,8 @@ class UnifiedIndex:
         # tombstones
         self._deleted: set[int] = set()
         self._dev_deleted = None    # (cap, 1) int8 device mask (lazy)
+        # IVF structure (ops.ann.IVFState) when the ANN mode is active
+        self._ann = None
         # monotonically increasing mutation counter: bumps on load/append/
         # delete/compact so result caches keyed on it can never serve stale
         # hits after the index changes
@@ -201,6 +212,7 @@ class UnifiedIndex:
             self._dev_x = None
             self._dev_scales = None
             self._sharded = None
+            self._ann = None
             self._n_valid = 0
             self._capacity = 0
             self._metadata = []
@@ -222,6 +234,7 @@ class UnifiedIndex:
         self.generation += 1
         self._dev_scales = None
         self._sharded = None
+        self._ann = None
         if n == 0:
             self._dev_x = None
             self._capacity = 0
@@ -279,6 +292,137 @@ class UnifiedIndex:
         self._dev_deleted = None
         if self._deleted:
             self._rebuild_deleted_mask()
+        self._restore_or_build_ann()
+
+    # -- ANN (IVF approximate search, ops.ann) -----------------------------
+
+    def _restore_or_build_ann(self) -> None:
+        """Restore the persisted IVF structure (rows appended since the
+        persisted build go to the always-scanned tail) or build it fresh
+        when the config enables ANN. Single-device backends only."""
+        self._ann = None
+        if self._sharded is not None or self._dev_x is None:
+            return
+        restored = self._restore_persisted_ann()
+        if not restored and self.config.ann:
+            try:
+                self.build_ann()
+            except Exception:
+                import logging
+
+                logging.getLogger("ivars").exception(
+                    "ANN build failed; falling back to dense search"
+                )
+
+    def _restore_persisted_ann(self) -> bool:
+        import jax.numpy as jnp
+
+        from ..ops.ann import IVFState, TAIL_MAX, tail_append
+
+        assert self._container is not None
+        got = self._container.get_ann()
+        if got is None:
+            return False
+        arrays, attrs = got
+        ann_rows = int(attrs.get("ann_rows", -1))
+        if (
+            ann_rows < 0
+            or ann_rows > self._n_valid
+            or int(attrs.get("dim", self.dim)) != self.dim
+        ):
+            self._container.drop_ann()  # stale (no-op when read-only)
+            return False
+        tail_count = int(attrs.get("tail_count", 0))
+        extra = self._n_valid - ann_rows
+        if tail_count + extra > TAIL_MAX:
+            return False  # appends outgrew the tail: dense until rebuilt
+        state = IVFState(
+            centroids=jnp.asarray(arrays["centroids"], jnp.float32),
+            bucket_ids=jnp.asarray(arrays["bucket_ids"], jnp.int32),
+            tail_ids=jnp.asarray(arrays["tail_ids"], jnp.int32),
+            tail_count=jnp.asarray(tail_count, jnp.int32),
+            ann_rows=ann_rows,
+        )
+        if extra:
+            state = tail_append(state, list(range(ann_rows, self._n_valid)))
+        self._ann = state
+        return True
+
+    def build_ann(
+        self,
+        nlist: int | None = None,
+        persist: bool = True,
+        **build_kwargs,
+    ) -> dict[str, Any]:
+        """Build (or rebuild) the IVF structure over the current device
+        rows and activate approximate search (config ``ann_nprobe`` probes
+        per query, exact within the probed candidates; see ``ops.ann``).
+
+        Runs entirely on device. ``persist=True`` stores the structure in
+        the container so later loads skip the build.
+        """
+        from ..ops.ann import build_ivf
+
+        with self._lock:
+            if self._sharded is not None:
+                raise NotImplementedError(
+                    "ANN is a single-device latency mode; the mesh path "
+                    "is dense by design (docs/SCALING.md)"
+                )
+            if self._dev_x is None or self._n_valid == 0:
+                raise RuntimeError("no device rows loaded")
+            state, report = build_ivf(
+                self._dev_x,
+                n_rows=self._n_valid,
+                x_scales=self._dev_scales,
+                nlist=nlist or self.config.ann_nlist,
+                **build_kwargs,
+            )
+            self._ann = state
+            if persist and self._container is not None \
+                    and self._container.mode != "r":
+                self._persist_ann()
+        return report._asdict()
+
+    def _persist_ann(self) -> None:
+        assert self._container is not None and self._ann is not None
+        state = self._ann
+        self._container.put_ann(
+            {
+                "centroids": np.asarray(state.centroids, np.float32),
+                "bucket_ids": np.asarray(state.bucket_ids, np.int32),
+                "tail_ids": np.asarray(state.tail_ids, np.int32),
+            },
+            {
+                "ann_rows": int(state.ann_rows),
+                "tail_count": int(state.tail_count),
+                "dim": self.dim,
+                "nlist": int(state.bucket_ids.shape[0]),
+                "version": 1,
+            },
+        )
+
+    @property
+    def ann_active(self) -> bool:
+        return self._ann is not None
+
+    def _ann_register_append(self, start: int, count: int) -> None:
+        """Track appended rows in the IVF tail; on overflow drop to dense
+        search until the next :meth:`build_ann` (or reload rebuild)."""
+        if self._ann is None or count == 0:
+            return
+        from ..ops.ann import tail_append
+
+        try:
+            self._ann = tail_append(self._ann, list(range(start, start + count)))
+        except OverflowError:
+            import logging
+
+            logging.getLogger("ivars").warning(
+                "IVF tail full after append; reverting to dense search "
+                "until build_ann() is called again"
+            )
+            self._ann = None
 
     def _rebuild_deleted_mask(self) -> None:
         import jax.numpy as jnp
@@ -431,6 +575,7 @@ class UnifiedIndex:
             self._dev_scales = jax.lax.dynamic_update_slice(
                 self._dev_scales, jnp.asarray(s), (self._n_valid,)
             )
+            self._ann_register_append(self._n_valid, m)
             self._n_valid += m
             return
         if self._dev_x is None or self._n_valid + m > self._capacity:
@@ -441,6 +586,7 @@ class UnifiedIndex:
         self._dev_x = jax.lax.dynamic_update_slice(
             self._dev_x, update, (self._n_valid, 0)
         )
+        self._ann_register_append(self._n_valid, m)
         self._n_valid += m
 
     def _quantize_like_upload(
@@ -474,8 +620,14 @@ class UnifiedIndex:
         top_k: int = 20,
         filter_fn: Callable[[KeyframeMetadata], bool] | None = None,
         over_fetch: int = 4,
+        exact: bool = False,
     ) -> list[list[SearchResult]]:
-        """Exact top-k per query vector. Returns ranked SearchResults.
+        """Top-k per query vector. Returns ranked SearchResults.
+
+        Exact by default; when the IVF ANN mode is active (``config.ann`` /
+        :meth:`build_ann`) small batches (<= ``config.ann_max_batch``) use
+        approximate probing instead — pass ``exact=True`` to force the
+        dense sweep for a call.
 
         ``filter_fn``: metadata predicate applied post-search with
         ``over_fetch``x candidates (reference enrich+filter semantics,
@@ -489,8 +641,26 @@ class UnifiedIndex:
             q = np.atleast_2d(np.asarray(query_vectors, dtype=np.float32))
             q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
             fetch = min(self._n_valid, top_k * over_fetch if filter_fn else top_k)
-            if self._sharded is not None:  # multi-chip mesh backend
-                result: TopKResult = self._sharded.search(q, fetch)
+            use_ann = (
+                not exact
+                and self._ann is not None
+                and len(q) <= self.config.ann_max_batch
+            )
+            if use_ann:  # IVF latency mode (single-device backends)
+                from ..ops.ann import ivf_topk
+
+                result: TopKResult = ivf_topk(
+                    self._dev_x,
+                    self._ann,
+                    jnp.asarray(q, jnp.float32),
+                    fetch,
+                    nprobe=self.config.ann_nprobe,
+                    n_valid=self._n_valid,
+                    deleted=self._dev_deleted,
+                    x_scales=self._dev_scales,
+                )
+            elif self._sharded is not None:  # multi-chip mesh backend
+                result = self._sharded.search(q, fetch)
             elif self._dev_scales is not None:  # int8 quantized mode
                 from ..ops.quant import topk_search_int8
 
@@ -851,7 +1021,16 @@ class UnifiedIndex:
             "capacity": self._capacity,
             "load_time_s": self.load_time_s,
             "loaded": self.is_loaded,
+            "ann_active": self._ann is not None,
         }
+        if self._ann is not None:
+            stats["ann"] = {
+                "nlist": int(self._ann.bucket_ids.shape[0]),
+                "bucket_cap": int(self._ann.bucket_ids.shape[1]),
+                "nprobe": self.config.ann_nprobe,
+                "tail_count": int(self._ann.tail_count),
+                "ann_rows": self._ann.ann_rows,
+            }
         if self._container is not None:
             stats["container"] = self._container.stats().as_dict()
         return stats

@@ -297,3 +297,172 @@ class TestInt8:
             )
         )
         assert hits / (len(q) * 10) >= 0.9
+
+
+# ---------------------------------------------------------------------------
+# UnifiedIndex integration: config plumbing, persistence, lifecycle
+# ---------------------------------------------------------------------------
+
+from intelligent_video_analysis_retrieval_system_tpu.index import (  # noqa: E402
+    IndexContainer,
+    UnifiedIndex,
+    UnifiedIndexConfig,
+)
+
+
+def _make_index(tmp_path, x, dtype="float32", **cfg_kwargs):
+    path = tmp_path / "ann.rvdb"
+    with IndexContainer(path, "w", dim=x.shape[1], dtype=dtype) as c:
+        c.append_embeddings(x)
+        c.append_metadata(
+            [
+                {"folder": "v", "image": f"{i}.jpg", "frame_id": i,
+                 "row_id": i}
+                for i in range(len(x))
+            ]
+        )
+        c.flush_checkpoint()
+    defaults = dict(ann=True, ann_nlist=64, ann_nprobe=64)
+    defaults.update(cfg_kwargs)
+    cfg = UnifiedIndexConfig(**defaults)
+    return UnifiedIndex(cfg).load_unified_index(path, mode="a")
+
+
+@pytest.fixture(scope="module")
+def big_corpus():
+    rng = np.random.default_rng(11)
+    x = _clustered(rng, 2048, 32)
+    q = x[rng.choice(2048, 4, replace=False)]
+    return x, q
+
+
+class TestUnifiedIndexANN:
+    def test_full_probe_matches_exact_path(self, tmp_path, big_corpus):
+        x, q = big_corpus
+        idx = _make_index(tmp_path, x)
+        assert idx.ann_active
+        approx = idx.search_vectors(q, top_k=5)
+        exact = idx.search_vectors(q, top_k=5, exact=True)
+        for a_hits, e_hits in zip(approx, exact):
+            assert [h.metadata.row_id for h in a_hits] == [
+                h.metadata.row_id for h in e_hits
+            ]
+        idx.close()
+
+    def test_moderate_nprobe_recall(self, tmp_path, big_corpus):
+        x, q = big_corpus
+        idx = _make_index(tmp_path, x, ann_nprobe=8)
+        approx = idx.search_vectors(q, top_k=10)
+        exact = idx.search_vectors(q, top_k=10, exact=True)
+        hits = sum(
+            len(
+                {h.metadata.row_id for h in a}
+                & {h.metadata.row_id for h in e}
+            )
+            for a, e in zip(approx, exact)
+        )
+        assert hits / (len(q) * 10) >= 0.9
+        idx.close()
+
+    def test_persist_and_restore(self, tmp_path, big_corpus):
+        """ANN persists in the container; a later open (even with a
+        default config, matching FAISS's persisted-index-type semantics)
+        restores it without a rebuild."""
+        x, q = big_corpus
+        idx = _make_index(tmp_path, x)
+        idx.close()
+        reloaded = UnifiedIndex().load_unified_index(tmp_path / "ann.rvdb")
+        assert reloaded.ann_active
+        stats = reloaded.get_stats()
+        assert stats["ann"]["nlist"] == 64
+        assert stats["ann"]["ann_rows"] == len(x)
+        reloaded.close()
+
+    def test_append_goes_to_tail_and_survives_reload(
+        self, tmp_path, big_corpus
+    ):
+        x, _ = big_corpus
+        idx = _make_index(tmp_path, x)
+        # fresh random directions: appended rows are their own unique
+        # nearest neighbors (querying corpus-near vectors would tie with
+        # the original rows)
+        rng = np.random.default_rng(99)
+        new = _normed(rng, 4, x.shape[1])
+        idx.incremental_update(
+            new,
+            [
+                {"folder": "w", "image": f"n{i}.jpg", "frame_id": i}
+                for i in range(len(new))
+            ],
+        )
+        assert idx.ann_active
+        hits = idx.search_vectors(new, top_k=1)
+        got = [h[0].metadata.row_id for h in hits]
+        assert got == [len(x) + i for i in range(len(new))]
+        idx.close()
+        # reload: persisted ann covers len(x) rows; the 4 appended rows
+        # must re-enter the tail at restore
+        re = UnifiedIndex().load_unified_index(tmp_path / "ann.rvdb")
+        assert re.ann_active
+        assert re.get_stats()["ann"]["ann_rows"] == len(x) + len(new)
+        hits = re.search_vectors(new, top_k=1)
+        assert [h[0].metadata.row_id for h in hits] == got
+        re.close()
+
+    def test_delete_respected(self, tmp_path, big_corpus):
+        x, q = big_corpus
+        idx = _make_index(tmp_path, x)
+        top = idx.search_vectors(q[:1], top_k=1)[0][0].metadata.row_id
+        idx.delete_rows([top])
+        hits = idx.search_vectors(q[:1], top_k=5)[0]
+        assert top not in [h.metadata.row_id for h in hits]
+        idx.close()
+
+    def test_compact_rebuilds(self, tmp_path, big_corpus):
+        """Compaction shifts row ids -> persisted ANN is NOT carried; the
+        post-compact reload rebuilds because config.ann is on."""
+        x, q = big_corpus
+        idx = _make_index(tmp_path, x)
+        kill = idx.search_vectors(q[:1], top_k=3)[0]
+        idx.delete_rows([h.metadata.row_id for h in kill])
+        out = idx.compact()
+        assert out["compacted"] == 3
+        assert idx.ann_active  # rebuilt on the post-compact reload
+        approx = idx.search_vectors(q, top_k=5)
+        exact = idx.search_vectors(q, top_k=5, exact=True)
+        for a_hits, e_hits in zip(approx, exact):
+            assert [h.metadata.row_id for h in a_hits] == [
+                h.metadata.row_id for h in e_hits
+            ]
+        idx.close()
+
+    def test_large_batch_falls_back_dense(self, tmp_path, big_corpus):
+        x, _ = big_corpus
+        idx = _make_index(tmp_path, x, ann_max_batch=2)
+        rng = np.random.default_rng(3)
+        qs = x[rng.choice(len(x), 6, replace=False)]
+        # 6 > max_batch 2: dense path; equality with exact is trivial but
+        # exercises the routing branch
+        approx = idx.search_vectors(qs, top_k=3)
+        exact = idx.search_vectors(qs, top_k=3, exact=True)
+        for a_hits, e_hits in zip(approx, exact):
+            assert [h.metadata.row_id for h in a_hits] == [
+                h.metadata.row_id for h in e_hits
+            ]
+        idx.close()
+
+    def test_int8_container_ann(self, tmp_path, big_corpus):
+        x, q = big_corpus
+        idx = _make_index(tmp_path, x, dtype="int8")
+        assert idx.ann_active
+        approx = idx.search_vectors(q, top_k=5)
+        exact = idx.search_vectors(q, top_k=5, exact=True)
+        for a_hits, e_hits in zip(approx, exact):
+            assert [h.metadata.row_id for h in a_hits] == [
+                h.metadata.row_id for h in e_hits
+            ]
+            for a, e in zip(a_hits, e_hits):
+                assert a.similarity_score == pytest.approx(
+                    e.similarity_score, rel=1e-6
+                )
+        idx.close()
