@@ -297,7 +297,36 @@ class EnhancedRetrievalSystem:
             incremental_rebuild_threshold=sec.get(
                 "incremental_rebuild_threshold", 0.10
             ),
+            ann=self._resolve_index_type(sec.get("index_type", "flat")),
+            ann_nlist=sec.get("ann_nlist"),
+            ann_nprobe=int(sec.get("ann_nprobe", 32)),
+            ann_max_batch=int(sec.get("ann_max_batch", 8)),
         )
+
+    def _resolve_index_type(self, index_type: str) -> bool:
+        """Map the configured index type to exact/ANN, honoring the
+        reference's FAISS type names (``core.py:1204-1218``). The
+        reference silently converted IVF requests to exact Flat; here the
+        approximate types genuinely activate the IVF latency mode
+        (``ops.ann``), and unknown names fall back to exact with the same
+        warning the reference logged."""
+        name = str(index_type or "flat")
+        exact_names = {"flat", "exact", "IndexFlatIP", "IndexFlatL2"}
+        ann_names = {"ivf", "ann", "IndexIVFFlat", "IndexHNSW", "IndexLSH"}
+        if name in exact_names:
+            return False
+        if name in ann_names:
+            if name in ("IndexHNSW", "IndexLSH"):
+                self.logger.info(
+                    "index_type served by the IVF ANN mode (graph/hash "
+                    "indexes are hostile to TPUs; same approximate-search "
+                    "capability)", index_type=name,
+                )
+            return True
+        self.logger.warning(
+            f"Unknown index type: {name}, using exact flat search"
+        )
+        return False
 
     def _rebuild_metadata(self) -> None:
         if self.index is None or self.index.ntotal == 0:

@@ -77,6 +77,14 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "store_full_images": False,
         "incremental_rebuild_threshold": 0.10,  # unified_index.py:55
         "dtype": "bfloat16",
+        # "flat" = exact (reference default IndexFlatIP); "ivf" = the
+        # TPU-native ANN latency mode (ops.ann). Reference FAISS names
+        # (IndexFlatIP/IndexIVFFlat/IndexHNSW/IndexLSH, core.py:1213-1216)
+        # are accepted and mapped in the facade.
+        "index_type": "flat",
+        "ann_nlist": None,           # None = ops.ann.default_nlist(n)
+        "ann_nprobe": 32,
+        "ann_max_batch": 8,
     },
     "ingest": {
         "dedup_threshold": 0.98,     # video_frame_filter.py:63-70

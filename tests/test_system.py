@@ -603,3 +603,47 @@ class TestInt8StaticFacade:
         assert "bogus_ascale" not in str(payload), "stale sidecar imported"
         assert "vision" in payload["towers"]
         system.cleanup()
+
+
+class TestIndexTypeMapping:
+    """Config index_type -> exact/ANN routing (reference FAISS names
+    accepted, core.py:1204-1218)."""
+
+    def _system(self, tmp_path, index_type):
+        rng = np.random.default_rng(5)
+        folder = tmp_path / "keyframes" / "v"
+        folder.mkdir(parents=True)
+        for n in range(8):
+            arr = rng.integers(0, 255, (48, 48, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(folder / f"{n}.jpg", quality=95)
+        cfg = Config(
+            config_file=None, base_dir=tmp_path, create_dirs=True,
+            overrides={"index": {"chunk_size": 8, "dtype": "float32",
+                                 "thumbnail_size": 32,
+                                 "index_type": index_type,
+                                 "ann_nlist": 64, "ann_nprobe": 64}},
+        )
+        system = EnhancedRetrievalSystem(cfg, embedder=tiny_embedder())
+        system.build_system(tmp_path / "keyframes")
+        return system
+
+    def test_ivf_name_activates_ann(self, tmp_path):
+        system = self._system(tmp_path, "IndexIVFFlat")
+        assert system.index.ann_active
+        results = system.search("anything", SearchOptions(limit=3))
+        assert len(results) == 3
+        system.cleanup()
+
+    def test_hnsw_name_maps_to_ann(self, tmp_path):
+        system = self._system(tmp_path, "IndexHNSW")
+        assert system.index.ann_active
+        system.cleanup()
+
+    def test_unknown_name_falls_back_exact(self, tmp_path):
+        system = self._system(tmp_path, "IndexBanana")
+        assert not system.index.ann_active
+        system.cleanup()
+
+    def test_default_is_exact(self, built_system):
+        _, system = built_system
+        assert not system.index.ann_active
