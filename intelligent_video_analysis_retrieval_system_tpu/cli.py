@@ -143,6 +143,14 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="perturbation added to sampled rows (0 = exact "
                          "self-retrieval probes)")
     ev.add_argument("--seed", type=int, default=0)
+    ev.add_argument("--search", choices=["auto", "exact", "ann"],
+                    default="auto",
+                    help="candidate path: auto = whatever the index would "
+                         "serve; ann = force IVF probing (batches chunked "
+                         "to the ANN batch limit); exact = force the "
+                         "dense sweep")
+    ev.add_argument("--nprobe", type=int, default=None,
+                    help="override ann_nprobe for --search ann")
 
     pa = sub.add_parser(
         "parity",
@@ -461,8 +469,27 @@ def cmd_evaluate(args) -> int:
         q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
         k = min(args.top_k, int((~dead).sum()))
 
+        search_mode = getattr(args, "search", "auto")
+        if search_mode == "ann":
+            if not index.ann_active:
+                index.build_ann(persist=False)
+            if args.nprobe:
+                index.config.ann_nprobe = int(args.nprobe)
+
         def candidate(queries):
-            per_query = index.search_vectors(queries, top_k=k)
+            if search_mode == "ann":
+                # chunk to the ANN batch limit so every query actually
+                # takes the IVF path (larger batches fall back dense)
+                step = max(1, index.config.ann_max_batch)
+                per_query = []
+                for s in range(0, len(queries), step):
+                    per_query.extend(
+                        index.search_vectors(queries[s:s + step], top_k=k)
+                    )
+            else:
+                per_query = index.search_vectors(
+                    queries, top_k=k, exact=search_mode == "exact"
+                )
             ids = np.array(
                 [[h.metadata.row_id for h in hits] for hits in per_query]
             )
@@ -504,6 +531,9 @@ def cmd_evaluate(args) -> int:
         out["index"] = str(args.index_path)
         out["dtype"] = index.get_stats()["container"]["dtype"]
         out["rows"] = n
+        out["search"] = search_mode
+        if index.ann_active:
+            out["ann"] = index.get_stats()["ann"]
         print(json.dumps(out, indent=2))
         return 0
     finally:

@@ -116,11 +116,14 @@ class UnifiedIndexConfig:
     # reference's approximate index types (core.py:1213-1216). Applies to
     # single-device backends only (the mesh path is dense by design);
     # batches larger than ann_max_batch fall back to the dense sweep
-    # (candidate traffic is per-query; the dense pass amortizes).
+    # (candidate traffic is per-query; the dense pass amortizes — measured
+    # on v5e at 10M int8: B=1 IVF 2.5-7.4 ms vs dense 15.5 ms, but B=8
+    # IVF 21.5 ms/batch vs dense 13.7 — crossover sits near B=4;
+    # benchmarks/exp_ivf_10m.py).
     ann: bool = False
     ann_nlist: int | None = None     # None = ops.ann.default_nlist(n)
     ann_nprobe: int = 32
-    ann_max_batch: int = 8
+    ann_max_batch: int = 4
 
 
 class UnifiedIndex:

@@ -54,7 +54,7 @@ from typing import NamedTuple
 
 import numpy as np
 
-from .topk import TopKResult, bucket_b, bucket_k
+from .topk import TopKResult, bucket_k
 
 __all__ = [
     "IVFState",
@@ -72,6 +72,10 @@ __all__ = [
 TAIL_MAX = 8192
 # Selection chunk for the search's two-phase top-k (mirrors ops.topk.CHUNK).
 _SEL_CHUNK = 128
+# Max in-program query batch: candidate gather memory is per-query
+# (B x nprobe x bucket_cap x d bytes); larger batches slice through the
+# same compiled program.
+_MAX_PROGRAM_B = 8
 # Row chunk for build-time assignment sweeps over the corpus: bounds the
 # transient (chunk, nlist) f32 score block (64k x 16384 x 4B = 4 GB worst
 # case -> use 16k rows: <= 1 GB).
@@ -99,6 +103,16 @@ class IVFBuildReport(NamedTuple):
 
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _bucket_b_ann(b: int) -> int:
+    """Power-of-two compile bucket for the query batch, starting at 1.
+
+    NOT ``ops.topk.bucket_b`` (whose floor is 8, the sublane width): here
+    the dominant cost is the per-query candidate GATHER, so padding a
+    single query to 8 would pull 8x the candidate bytes. Matmul sublane
+    padding is irrelevant — the scoring einsum is gather-bound."""
+    return 1 << (max(b, 1) - 1).bit_length()
 
 
 def default_nlist(n_rows: int) -> int:
@@ -335,24 +349,32 @@ def build_ivf(
 
     # --- full-corpus top-A assignment (chunked device sweeps) -------------
     a_top = int(min(spill_rounds, nlist))
-    n_pad = _ceil_to(n, _ASSIGN_CHUNK)
-    if n_pad > n_pad_src:
-        pad = jnp.zeros((n_pad - n_pad_src, x.shape[1]), x.dtype)
+    if n_pad_src < _ASSIGN_CHUNK:
+        # tiny corpus: pad up to one chunk (cheap copy)
+        pad = jnp.zeros((_ASSIGN_CHUNK - n_pad_src, x.shape[1]), x.dtype)
         x_a = jnp.concatenate([x, pad], axis=0)
         s_a = (
             None if x_scales is None
             else jnp.concatenate(
-                [x_scales, jnp.zeros((n_pad - n_pad_src,), jnp.float32)]
+                [x_scales,
+                 jnp.zeros((_ASSIGN_CHUNK - n_pad_src,), jnp.float32)]
             )
         )
+        n_pad = _ASSIGN_CHUNK
     else:
+        # NO padded copy of a multi-GB corpus: the last chunk overlaps the
+        # previous one (same rows -> identical recomputed choices)
         x_a, s_a = x, x_scales
+        n_pad = n_pad_src
     assign = _assign_chunk_program(a_top, x_scales is not None)
     choice_c = jnp.zeros((n_pad, a_top), jnp.int32)
     choice_s = jnp.zeros((n_pad, a_top), jnp.float32)
     from jax import lax as _lax
 
-    for start in range(0, n_pad, _ASSIGN_CHUNK):
+    starts = list(range(0, n_pad - _ASSIGN_CHUNK + 1, _ASSIGN_CHUNK))
+    if starts[-1] + _ASSIGN_CHUNK < n_pad:
+        starts.append(n_pad - _ASSIGN_CHUNK)
+    for start in starts:
         if s_a is not None:
             ids, sims = assign(x_a, s_a, centroids, jnp.int32(start))
         else:
@@ -463,9 +485,10 @@ def _build_ivf_searcher(
     num_chunks = n_cand // _SEL_CHUNK
     k_chunks = min(k, num_chunks)
 
-    def _select(scores, cand):
-        """Two-phase top-k over (B, n_cand) scores (flat top_k at ~100k
-        width is sort-bound; chunk-max first)."""
+    def _select_blocks(scores, cand):
+        """Chunk-max block selection over (B, n_cand) scores (flat top_k at
+        ~100k width is sort-bound). Returns the winning blocks' candidate
+        ids (B, kc*CH) and their selection scores."""
         cm = jnp.max(scores.reshape(b_pad, num_chunks, _SEL_CHUNK), axis=2)
         _, cid = lax.top_k(cm, k_chunks)                     # (B, kc)
         blocks = jnp.take_along_axis(
@@ -477,11 +500,8 @@ def _build_ivf_searcher(
         flat_pos = (
             cid[:, :, None] * _SEL_CHUNK + jnp.arange(_SEL_CHUNK)[None, None]
         ).reshape(b_pad, k_chunks * _SEL_CHUNK)
-        k_eff = min(k, flat.shape[1])
-        top_s, pos = lax.top_k(flat, k_eff)
-        top_cand_pos = jnp.take_along_axis(flat_pos, pos, axis=1)
-        top_ids = jnp.take_along_axis(cand, top_cand_pos, axis=1)
-        return TopKResult(top_s, top_ids.astype(jnp.int32))
+        block_cand = jnp.take_along_axis(cand, flat_pos, axis=1)
+        return flat, block_cand
 
     def _candidates(centroids, bucket_ids, tail_ids, tail_count, qf, n_valid):
         cs = jnp.dot(qf, centroids.T, preferred_element_type=jnp.float32)
@@ -508,15 +528,23 @@ def _build_ivf_searcher(
             if deleted is not None:
                 valid &= deleted[safe, 0] == 0
             q_i8, q_scales = _quantize_q(qf)
-            int_dot = jnp.einsum(
-                "bd,bcd->bc",
-                q_i8.astype(jnp.float32),
-                x_i8[safe].astype(jnp.float32),
-                precision=lax.Precision.HIGHEST,
-            )
+            # native int8 x int8 -> i32 batched dot: the gathered rows stay
+            # int8 end to end (an f32 convert would materialize 4 bytes per
+            # candidate element — measured as a 20 GB allocation at scale).
+            # The i32 accumulation is exact (< 2^24), bit-matching the
+            # dense int8 metric.
+            int_dot = lax.dot_general(
+                q_i8, x_i8[safe],
+                dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)                            # (B, n_cand)
             scores = int_dot * x_scales[safe] * q_scales[:, None]
             scores = jnp.where(valid, scores, -jnp.inf)
-            return _select(scores, cand)
+            flat, block_cand = _select_blocks(scores, cand)
+            k_eff = min(k, flat.shape[1])
+            top_s, pos = lax.top_k(flat, k_eff)
+            top_ids = jnp.take_along_axis(block_cand, pos, axis=1)
+            return TopKResult(top_s, top_ids.astype(jnp.int32))
 
         return jax.jit(search)
 
@@ -529,14 +557,36 @@ def _build_ivf_searcher(
         safe = jnp.where(valid, cand, 0)
         if deleted is not None:
             valid &= deleted[safe, 0] == 0
-        scores = jnp.einsum(
+        # Phase A: score candidates in the STORAGE dtype (bf16 rows stay
+        # bf16 into the MXU — an f32 convert would materialize 4 bytes per
+        # candidate element, measured as a 20 GB allocation at scale).
+        rows = x[safe]                                       # (B, C, d)
+        approx = lax.dot_general(
+            qf.astype(x.dtype), rows,
+            dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        approx = jnp.where(valid, approx, -jnp.inf)
+        # Phase B: exact f32-HIGHEST rescore of the selected blocks only
+        # (k_chunks*128 rows per query) — the dense kernel's own
+        # two-phase structure, so final scores carry the same metric as
+        # ops.topk phase 2.
+        _, block_cand = _select_blocks(approx, cand)
+        bvalid = (block_cand >= 0) & (block_cand < n_valid)
+        bsafe = jnp.where(bvalid, block_cand, 0)
+        if deleted is not None:
+            bvalid &= deleted[bsafe, 0] == 0
+        rescored = jnp.einsum(
             "bd,bcd->bc",
             qf,
-            x[safe].astype(jnp.float32),
+            x[bsafe].astype(jnp.float32),
             precision=lax.Precision.HIGHEST,
         )
-        scores = jnp.where(valid, scores, -jnp.inf)
-        return _select(scores, cand)
+        rescored = jnp.where(bvalid, rescored, -jnp.inf)
+        k_eff = min(k, rescored.shape[1])
+        top_s, pos = lax.top_k(rescored, k_eff)
+        top_ids = jnp.take_along_axis(block_cand, pos, axis=1)
+        return TopKResult(top_s, top_ids.astype(jnp.int32))
 
     return jax.jit(search)
 
@@ -558,8 +608,12 @@ def ivf_topk(
     pass ``x_scales`` for int8 corpora. ``nprobe == nlist`` probes every
     bucket and (with the always-scanned tail) is provably exact.
 
-    Batch size and k are compile-bucketed exactly like the dense path
-    (``ops.topk.bucket_b/bucket_k``).
+    Batch size is compile-bucketed in powers of two from 1; k like the
+    dense path (``ops.topk.bucket_k``). Batches above ``_MAX_PROGRAM_B``
+    run as slices through the same compiled program: candidate gather
+    memory scales with the in-program batch (B x nprobe x cap x d), so an
+    unbounded batch would materialize tens of GB (measured: 20 GB at 64
+    queries x nprobe=128 x 10M rows).
     """
     import jax.numpy as jnp
 
@@ -570,12 +624,24 @@ def ivf_topk(
             jnp.full((b, 0), -jnp.inf, jnp.float32),
             jnp.zeros((b, 0), jnp.int32),
         )
+    if b > _MAX_PROGRAM_B:
+        parts = [
+            ivf_topk(
+                x, state, q[s:s + _MAX_PROGRAM_B], k, nprobe=nprobe,
+                n_valid=n_valid, deleted=deleted, x_scales=x_scales,
+            )
+            for s in range(0, b, _MAX_PROGRAM_B)
+        ]
+        return TopKResult(
+            jnp.concatenate([p.scores for p in parts], axis=0),
+            jnp.concatenate([p.indices for p in parts], axis=0),
+        )
     k = min(k, n_live)
     nlist, cap = int(state.bucket_ids.shape[0]), int(state.bucket_ids.shape[1])
     nprobe = int(min(max(nprobe, 1), nlist))
     tail_max = int(state.tail_ids.shape[0])
 
-    b_pad = bucket_b(b)
+    b_pad = _bucket_b_ann(b)
     qf = jnp.asarray(q, jnp.float32)
     if b_pad != b:
         qf = jnp.concatenate(

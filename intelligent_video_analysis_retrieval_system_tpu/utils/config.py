@@ -84,7 +84,7 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "index_type": "flat",
         "ann_nlist": None,           # None = ops.ann.default_nlist(n)
         "ann_nprobe": 32,
-        "ann_max_batch": 8,
+        "ann_max_batch": 4,          # measured dense/IVF crossover on v5e
     },
     "ingest": {
         "dedup_threshold": 0.98,     # video_frame_filter.py:63-70
