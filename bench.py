@@ -725,6 +725,86 @@ def main() -> None:
         except Exception as exc:
             log(f"served-QPS skipped: {type(exc).__name__}: {exc}")
 
+    # -- IVF ANN latency mode at 10M (ops.ann, round 3) -----------------------
+    # Composed e2e (text encode + IVF probe) at B=1 over a regenerated 10M
+    # int8 buffer (gen is ~10 s; running last keeps the established
+    # artifact keys' sections unstarved — this section has the newest
+    # claim and the experiment backup). Latency is data-independent
+    # (fixed candidate traffic); recall is corpus-dependent and lives
+    # with benchmarks/exp_ivf_10m.py (0.995-1.0 at nprobe 16-64 on a
+    # clustered 10M corpus; this uniform buffer is the no-structure
+    # adversarial case).
+    if (
+        on_tpu
+        and not os.environ.get("IVARS_BENCH_SKIP_IVF")
+        and not over_budget(780, "IVF ANN section")
+    ):
+        try:
+            import gc
+
+            gc.collect()
+            from intelligent_video_analysis_retrieval_system_tpu.ops.ann import (
+                _build_ivf_searcher,
+                build_ivf,
+            )
+            from intelligent_video_analysis_retrieval_system_tpu.ops.topk import (
+                TILE_N as _TILE_I,
+            )
+
+            N10 = 10_000_000
+            n_pad = -(-N10 // _TILE_I) * _TILE_I
+            log("IVF section: regenerating 10M int8 DB on device...")
+            x10, s10 = gen_db_int8_device(n_pad)
+            t0 = time.perf_counter()
+            ivf_state, ivf_report = build_ivf(
+                x10, n_rows=N10, x_scales=s10, nlist=8192,
+                sample_per_list=48, kmeans_iters=6,
+            )
+            extra["ivf_build_10M_s"] = round(time.perf_counter() - t0, 1)
+            log(f"IVF build over 10M: {extra['ivf_build_10M_s']}s "
+                f"(nlist={ivf_report.nlist} cap={ivf_report.bucket_cap})")
+            ivf_nlist = int(ivf_state.bucket_ids.shape[0])
+            ivf_cap = int(ivf_state.bucket_ids.shape[1])
+            ivf_tail = int(ivf_state.tail_ids.shape[0])
+            for nprobe in (16, 64):
+                if over_budget(900, f"IVF nprobe={nprobe} point"):
+                    break
+                inner = _build_ivf_searcher(
+                    ivf_nlist, ivf_cap, D, 1, 16, nprobe, ivf_tail,
+                    int8=True,
+                )
+
+                @jax.jit
+                def query_ivf(tp, x10, s10, cent, bid, tid, tcnt,
+                              tokens, salt, _inner=inner):
+                    emb = encode(tp, tokens, salt)        # (1, D)
+                    res = _inner(x10, s10, cent, bid, tid, tcnt,
+                                 emb, jnp.int32(N10), None)
+                    return res.scores[0, 0]
+
+                log(f"compiling 10M IVF e2e (nprobe={nprobe})...")
+                float(query_ivf(
+                    tp, x10, s10, ivf_state.centroids,
+                    ivf_state.bucket_ids, ivf_state.tail_ids,
+                    ivf_state.tail_count, tokens, jnp.float32(0),
+                ))
+                i50, i95, _ = percentile_rounds(
+                    lambda i: query_ivf(
+                        tp, x10, s10, ivf_state.centroids,
+                        ivf_state.bucket_ids, ivf_state.tail_ids,
+                        ivf_state.tail_count, tokens, jnp.float32(i + 1),
+                    ),
+                    8, 8, round_overhead(8),
+                )
+                log(f"10M int8 IVF e2e nprobe={nprobe}: "
+                    f"p50={i50:.2f} ms p95={i95:.2f} ms")
+                extra[f"latency_10M_int8_ivf_np{nprobe}_p50_ms"] = (
+                    round(i50, 2)
+                )
+            del ivf_state, x10, s10
+        except Exception as exc:
+            log(f"IVF section skipped: {type(exc).__name__}: {exc}")
+
     baseline_ms = 39.0
     size = f"{N // 1_000_000}M" if N >= 1_000_000 else f"{N // 1000}k"
     result = {
