@@ -519,10 +519,25 @@ class RetrievalServer:
             elif action == "clear_cache":
                 await self._run_sync(self.system.cache.clear)
                 report = {"cleared": True}
+            elif action == "build_ann":
+                # build/rebuild the IVF latency structure (ops.ann) on a
+                # live server; persists in the container when writable
+                index = self.system.index
+                if index is None:
+                    return web.json_response(
+                        error_envelope("no index loaded", 404), status=404
+                    )
+                kwargs = {}
+                if payload.get("nlist"):
+                    kwargs["nlist"] = int(payload["nlist"])
+                report = await self._run_sync(
+                    lambda: index.build_ann(**kwargs)
+                )
             else:
                 return web.json_response(
                     error_envelope(
                         "action must be optimize | compact | clear_cache"
+                        " | build_ann"
                     ),
                     status=400,
                 )
@@ -1021,7 +1036,8 @@ _CONSOLE_HTML = """<!doctype html>
   <button class="go" onclick="doExport('csv')">Export CSV</button>
   <button class="go" onclick="doMaint('optimize')">Optimize</button>
   <button class="go" onclick="doMaint('compact')">Compact index</button>
-  <button class="go" onclick="doMaint('clear_cache')">Clear cache</button></div>
+  <button class="go" onclick="doMaint('clear_cache')">Clear cache</button>
+  <button class="go" onclick="doMaint('build_ann')">Build ANN (IVF)</button></div>
  <pre id="statout">loading…</pre></section>
 </main>
 <div id="zoom" style="display:none;position:fixed;inset:0;z-index:50;

@@ -379,6 +379,14 @@ class TestConsoleBuildAndNetworkPanel:
             code, out = http_json(f"{base}/api/maintenance",
                                   {"action": "compact"})
             assert code == 200 and out["report"]["compacted"] == 0
+            # build the IVF latency structure on the live server
+            code, out = http_json(f"{base}/api/maintenance",
+                                  {"action": "build_ann", "nlist": 2})
+            assert code == 200 and out["report"]["nlist"] == 2
+            assert system.index.ann_active
+            code, res = http_json(f"{base}/api/search",
+                                  {"query": "a scene", "limit": 2})
+            assert code == 200 and res["success"] and res["count"] == 2
             code, _ = http_json(f"{base}/api/maintenance",
                                 {"action": "bogus"})
             assert code == 400
