@@ -457,6 +457,130 @@ def tail_append(state: IVFState, row_ids: np.ndarray | list[int]) -> IVFState:
 # ---------------------------------------------------------------------------
 
 
+def _select_blocks(scores, cand, k: int):
+    """Chunk-max block selection over (B, n_cand) scores (flat top_k at
+    ~100k width is sort-bound). Returns the winning blocks' candidate
+    ids (B, kc*CH) and their selection scores.
+
+    Exactness: every true top-k element lives in some 128-chunk; the top-k
+    chunks by max contain all of them (standard chunk-max argument, see
+    ``ops.topk``), so a flat top-k over the selected blocks is exact."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    b_pad, n_cand = scores.shape
+    assert n_cand % _SEL_CHUNK == 0
+    num_chunks = n_cand // _SEL_CHUNK
+    k_chunks = min(k, num_chunks)
+    cm = jnp.max(scores.reshape(b_pad, num_chunks, _SEL_CHUNK), axis=2)
+    _, cid = lax.top_k(cm, k_chunks)                     # (B, kc)
+    blocks = jnp.take_along_axis(
+        scores.reshape(b_pad, num_chunks, _SEL_CHUNK),
+        cid[:, :, None],
+        axis=1,
+    )                                                    # (B, kc, CH)
+    flat = blocks.reshape(b_pad, k_chunks * _SEL_CHUNK)
+    flat_pos = (
+        cid[:, :, None] * _SEL_CHUNK + jnp.arange(_SEL_CHUNK)[None, None]
+    ).reshape(b_pad, k_chunks * _SEL_CHUNK)
+    block_cand = jnp.take_along_axis(cand, flat_pos, axis=1)
+    return flat, block_cand
+
+
+def _probe_candidates(centroids, bucket_ids, tail_ids, tail_count, qf,
+                      n_valid, nprobe: int):
+    """Probe selection + candidate id assembly shared by the single-device
+    and sharded (``parallel.sharded_ann``) searchers. ``n_valid`` bounds the
+    VALID id range (local live rows for a shard)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    b_pad = qf.shape[0]
+    cap = bucket_ids.shape[1]
+    tail_max = tail_ids.shape[0]
+    cs = jnp.dot(qf, centroids.T, preferred_element_type=jnp.float32)
+    _, probes = lax.top_k(cs, nprobe)                    # (B, nprobe)
+    cand = bucket_ids[probes].reshape(b_pad, nprobe * cap)
+    tids = jnp.where(jnp.arange(tail_max) < tail_count, tail_ids, -1)
+    cand = jnp.concatenate(
+        [cand, jnp.broadcast_to(tids[None], (b_pad, tail_max))], axis=1
+    )                                                    # (B, n_cand)
+    valid = (cand >= 0) & (cand < n_valid)
+    return cand, valid
+
+
+def _topk_over_candidates_int8(x_i8, x_scales, qf, cand, valid, k: int):
+    """Exact int8-metric top-k over an explicit candidate id set.
+
+    ``valid`` must already include range AND tombstone checks. The i32
+    accumulation is exact (< 2^24), bit-matching the dense int8 metric
+    (``ops.quant``). Shared by the single-device and sharded searchers."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from .quant import _quantize_q
+
+    safe = jnp.where(valid, cand, 0)
+    q_i8, q_scales = _quantize_q(qf)
+    # native int8 x int8 -> i32 batched dot: the gathered rows stay
+    # int8 end to end (an f32 convert would materialize 4 bytes per
+    # candidate element — measured as a 20 GB allocation at scale).
+    int_dot = lax.dot_general(
+        q_i8, x_i8[safe],
+        dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)                            # (B, n_cand)
+    scores = int_dot * x_scales[safe] * q_scales[:, None]
+    scores = jnp.where(valid, scores, -jnp.inf)
+    flat, block_cand = _select_blocks(scores, cand, k)
+    k_eff = min(k, flat.shape[1])
+    top_s, pos = lax.top_k(flat, k_eff)
+    top_ids = jnp.take_along_axis(block_cand, pos, axis=1)
+    return TopKResult(top_s, top_ids.astype(jnp.int32))
+
+
+def _topk_over_candidates_float(x, qf, cand, valid, k: int, n_valid, deleted):
+    """Two-phase float top-k over an explicit candidate id set.
+
+    Phase A scores in the STORAGE dtype; phase B rescores the selected
+    blocks f32-HIGHEST — the dense kernel's own structure, so final scores
+    carry the same metric as ``ops.topk`` phase 2. ``valid`` is the phase-A
+    mask (range + tombstones); ``n_valid``/``deleted`` re-derive validity
+    for phase B. Shared by the single-device and sharded searchers."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    safe = jnp.where(valid, cand, 0)
+    # Phase A: score candidates in the STORAGE dtype (bf16 rows stay
+    # bf16 into the MXU — an f32 convert would materialize 4 bytes per
+    # candidate element, measured as a 20 GB allocation at scale).
+    rows = x[safe]                                       # (B, C, d)
+    approx = lax.dot_general(
+        qf.astype(x.dtype), rows,
+        dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    approx = jnp.where(valid, approx, -jnp.inf)
+    # Phase B: exact f32-HIGHEST rescore of the selected blocks only
+    # (k_chunks*128 rows per query).
+    _, block_cand = _select_blocks(approx, cand, k)
+    bvalid = (block_cand >= 0) & (block_cand < n_valid)
+    bsafe = jnp.where(bvalid, block_cand, 0)
+    if deleted is not None:
+        bvalid &= deleted[bsafe, 0] == 0
+    rescored = jnp.einsum(
+        "bd,bcd->bc",
+        qf,
+        x[bsafe].astype(jnp.float32),
+        precision=lax.Precision.HIGHEST,
+    )
+    rescored = jnp.where(bvalid, rescored, -jnp.inf)
+    k_eff = min(k, rescored.shape[1])
+    top_s, pos = lax.top_k(rescored, k_eff)
+    top_ids = jnp.take_along_axis(block_cand, pos, axis=1)
+    return TopKResult(top_s, top_ids.astype(jnp.int32))
+
+
 @functools.lru_cache(maxsize=64)
 def _build_ivf_searcher(
     nlist: int,
@@ -478,115 +602,37 @@ def _build_ivf_searcher(
     """
     import jax
     import jax.numpy as jnp
-    from jax import lax
 
-    n_cand = nprobe * cap + tail_max
-    assert n_cand % _SEL_CHUNK == 0
-    num_chunks = n_cand // _SEL_CHUNK
-    k_chunks = min(k, num_chunks)
-
-    def _select_blocks(scores, cand):
-        """Chunk-max block selection over (B, n_cand) scores (flat top_k at
-        ~100k width is sort-bound). Returns the winning blocks' candidate
-        ids (B, kc*CH) and their selection scores."""
-        cm = jnp.max(scores.reshape(b_pad, num_chunks, _SEL_CHUNK), axis=2)
-        _, cid = lax.top_k(cm, k_chunks)                     # (B, kc)
-        blocks = jnp.take_along_axis(
-            scores.reshape(b_pad, num_chunks, _SEL_CHUNK),
-            cid[:, :, None],
-            axis=1,
-        )                                                    # (B, kc, CH)
-        flat = blocks.reshape(b_pad, k_chunks * _SEL_CHUNK)
-        flat_pos = (
-            cid[:, :, None] * _SEL_CHUNK + jnp.arange(_SEL_CHUNK)[None, None]
-        ).reshape(b_pad, k_chunks * _SEL_CHUNK)
-        block_cand = jnp.take_along_axis(cand, flat_pos, axis=1)
-        return flat, block_cand
-
-    def _candidates(centroids, bucket_ids, tail_ids, tail_count, qf, n_valid):
-        cs = jnp.dot(qf, centroids.T, preferred_element_type=jnp.float32)
-        _, probes = lax.top_k(cs, nprobe)                    # (B, nprobe)
-        cand = bucket_ids[probes].reshape(b_pad, nprobe * cap)
-        tids = jnp.where(jnp.arange(tail_max) < tail_count, tail_ids, -1)
-        cand = jnp.concatenate(
-            [cand, jnp.broadcast_to(tids[None], (b_pad, tail_max))], axis=1
-        )                                                    # (B, n_cand)
-        valid = (cand >= 0) & (cand < n_valid)
-        return cand, valid
+    assert (nprobe * cap + tail_max) % _SEL_CHUNK == 0
 
     if int8:
 
         def search(x_i8, x_scales, centroids, bucket_ids, tail_ids,
                    tail_count, q, n_valid, deleted):
-            from .quant import _quantize_q
-
             qf = q.astype(jnp.float32)
-            cand, valid = _candidates(
-                centroids, bucket_ids, tail_ids, tail_count, qf, n_valid
+            cand, valid = _probe_candidates(
+                centroids, bucket_ids, tail_ids, tail_count, qf, n_valid,
+                nprobe,
             )
-            safe = jnp.where(valid, cand, 0)
             if deleted is not None:
-                valid &= deleted[safe, 0] == 0
-            q_i8, q_scales = _quantize_q(qf)
-            # native int8 x int8 -> i32 batched dot: the gathered rows stay
-            # int8 end to end (an f32 convert would materialize 4 bytes per
-            # candidate element — measured as a 20 GB allocation at scale).
-            # The i32 accumulation is exact (< 2^24), bit-matching the
-            # dense int8 metric.
-            int_dot = lax.dot_general(
-                q_i8, x_i8[safe],
-                dimension_numbers=(((1,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.int32,
-            ).astype(jnp.float32)                            # (B, n_cand)
-            scores = int_dot * x_scales[safe] * q_scales[:, None]
-            scores = jnp.where(valid, scores, -jnp.inf)
-            flat, block_cand = _select_blocks(scores, cand)
-            k_eff = min(k, flat.shape[1])
-            top_s, pos = lax.top_k(flat, k_eff)
-            top_ids = jnp.take_along_axis(block_cand, pos, axis=1)
-            return TopKResult(top_s, top_ids.astype(jnp.int32))
+                valid &= deleted[jnp.where(valid, cand, 0), 0] == 0
+            return _topk_over_candidates_int8(
+                x_i8, x_scales, qf, cand, valid, k
+            )
 
         return jax.jit(search)
 
     def search(x, centroids, bucket_ids, tail_ids, tail_count, q, n_valid,
                deleted):
         qf = q.astype(jnp.float32)
-        cand, valid = _candidates(
-            centroids, bucket_ids, tail_ids, tail_count, qf, n_valid
+        cand, valid = _probe_candidates(
+            centroids, bucket_ids, tail_ids, tail_count, qf, n_valid, nprobe
         )
-        safe = jnp.where(valid, cand, 0)
         if deleted is not None:
-            valid &= deleted[safe, 0] == 0
-        # Phase A: score candidates in the STORAGE dtype (bf16 rows stay
-        # bf16 into the MXU — an f32 convert would materialize 4 bytes per
-        # candidate element, measured as a 20 GB allocation at scale).
-        rows = x[safe]                                       # (B, C, d)
-        approx = lax.dot_general(
-            qf.astype(x.dtype), rows,
-            dimension_numbers=(((1,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+            valid &= deleted[jnp.where(valid, cand, 0), 0] == 0
+        return _topk_over_candidates_float(
+            x, qf, cand, valid, k, n_valid, deleted
         )
-        approx = jnp.where(valid, approx, -jnp.inf)
-        # Phase B: exact f32-HIGHEST rescore of the selected blocks only
-        # (k_chunks*128 rows per query) — the dense kernel's own
-        # two-phase structure, so final scores carry the same metric as
-        # ops.topk phase 2.
-        _, block_cand = _select_blocks(approx, cand)
-        bvalid = (block_cand >= 0) & (block_cand < n_valid)
-        bsafe = jnp.where(bvalid, block_cand, 0)
-        if deleted is not None:
-            bvalid &= deleted[bsafe, 0] == 0
-        rescored = jnp.einsum(
-            "bd,bcd->bc",
-            qf,
-            x[bsafe].astype(jnp.float32),
-            precision=lax.Precision.HIGHEST,
-        )
-        rescored = jnp.where(bvalid, rescored, -jnp.inf)
-        k_eff = min(k, rescored.shape[1])
-        top_s, pos = lax.top_k(rescored, k_eff)
-        top_ids = jnp.take_along_axis(block_cand, pos, axis=1)
-        return TopKResult(top_s, top_ids.astype(jnp.int32))
 
     return jax.jit(search)
 
