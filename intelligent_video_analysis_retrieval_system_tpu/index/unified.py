@@ -267,6 +267,7 @@ class UnifiedIndex:
             self._capacity = int(self._sharded._x.shape[0])
             self._dev_x = None
             self._dev_deleted = None
+            self._restore_or_build_ann()
             return
         if self._container.dtype == "int8":
             # int8 fast path: upload quantized rows directly; row
@@ -302,9 +303,11 @@ class UnifiedIndex:
     def _restore_or_build_ann(self) -> None:
         """Restore the persisted IVF structure (rows appended since the
         persisted build go to the always-scanned tail) or build it fresh
-        when the config enables ANN. Single-device backends only."""
+        when the config enables ANN. On a mesh the same global state is
+        additionally partitioned over the shards (``parallel.sharded_ann``)
+        — the persisted format is backend-portable."""
         self._ann = None
-        if self._sharded is not None or self._dev_x is None:
+        if self._dev_x is None and self._sharded is None:
             return
         restored = self._restore_persisted_ann()
         if not restored and self.config.ann:
@@ -349,6 +352,8 @@ class UnifiedIndex:
         if extra:
             state = tail_append(state, list(range(ann_rows, self._n_valid)))
         self._ann = state
+        if self._sharded is not None:
+            self._sharded.set_ann(state)
         return True
 
     def build_ann(
@@ -368,20 +373,32 @@ class UnifiedIndex:
 
         with self._lock:
             if self._sharded is not None:
-                raise NotImplementedError(
-                    "ANN is a single-device latency mode; the mesh path "
-                    "is dense by design (docs/SCALING.md)"
+                # mesh backend: build over the SHARDED buffer (GSPMD routes
+                # the k-means/assignment sweeps; no unsharded copy is ever
+                # materialized), then partition per shard
+                if self._sharded._x is None or self._n_valid == 0:
+                    raise RuntimeError("no device rows loaded")
+                scales = self._sharded._scales
+                state, report = build_ivf(
+                    self._sharded._x,
+                    n_rows=self._n_valid,
+                    x_scales=None if scales is None else scales.reshape(-1),
+                    nlist=nlist or self.config.ann_nlist,
+                    **build_kwargs,
                 )
-            if self._dev_x is None or self._n_valid == 0:
-                raise RuntimeError("no device rows loaded")
-            state, report = build_ivf(
-                self._dev_x,
-                n_rows=self._n_valid,
-                x_scales=self._dev_scales,
-                nlist=nlist or self.config.ann_nlist,
-                **build_kwargs,
-            )
-            self._ann = state
+                self._ann = state
+                self._sharded.set_ann(state)
+            else:
+                if self._dev_x is None or self._n_valid == 0:
+                    raise RuntimeError("no device rows loaded")
+                state, report = build_ivf(
+                    self._dev_x,
+                    n_rows=self._n_valid,
+                    x_scales=self._dev_scales,
+                    nlist=nlist or self.config.ann_nlist,
+                    **build_kwargs,
+                )
+                self._ann = state
             if persist and self._container is not None \
                     and self._container.mode != "r":
                 self._persist_ann()
@@ -411,7 +428,13 @@ class UnifiedIndex:
 
     def _ann_register_append(self, start: int, count: int) -> None:
         """Track appended rows in the IVF tail; on overflow drop to dense
-        search until the next :meth:`build_ann` (or reload rebuild)."""
+        search until the next :meth:`build_ann` (or reload rebuild).
+
+        On a mesh the sharded searcher's partitioned tails re-target from
+        the updated global state; if the append overflowed capacity and
+        forced a re-shard (shard_rows changed, making local bucket ids
+        stale — the searcher clears its partition), the whole state is
+        re-partitioned instead."""
         if self._ann is None or count == 0:
             return
         from ..ops.ann import tail_append
@@ -426,6 +449,17 @@ class UnifiedIndex:
                 "until build_ann() is called again"
             )
             self._ann = None
+            if self._sharded is not None:
+                self._sharded.clear_ann()
+            return
+        if self._sharded is not None:
+            if self._sharded.ann_active:
+                self._sharded.update_ann_tail(
+                    np.asarray(self._ann.tail_ids, np.int32),
+                    int(self._ann.tail_count),
+                )
+            else:
+                self._sharded.set_ann(self._ann)
 
     def _rebuild_deleted_mask(self) -> None:
         import jax.numpy as jnp
@@ -558,6 +592,7 @@ class UnifiedIndex:
         if m == 0:
             return
         if self._sharded is not None:  # mesh backend, both dtypes
+            start = self._n_valid
             if self._sharded._scales is not None:
                 self._sharded.append_quantized(
                     *self._quantize_like_upload(rows)
@@ -566,6 +601,7 @@ class UnifiedIndex:
                 self._sharded.append(np.asarray(rows, np.float32))
             self._n_valid += m
             self._capacity = int(self._sharded._x.shape[0])
+            self._ann_register_append(start, m)
             return
         if self._dev_scales is not None:  # single-device int8
             if self._dev_x is None or self._n_valid + m > self._capacity:
@@ -649,10 +685,16 @@ class UnifiedIndex:
                 and self._ann is not None
                 and len(q) <= self.config.ann_max_batch
             )
-            if use_ann:  # IVF latency mode (single-device backends)
+            if use_ann and self._sharded is not None:
+                # sharded IVF latency mode (parallel.sharded_ann): equal to
+                # the single-device ANN result for the same state
+                result: TopKResult = self._sharded.search_ann(
+                    q, fetch, nprobe=self.config.ann_nprobe
+                )
+            elif use_ann:  # IVF latency mode (single-device backends)
                 from ..ops.ann import ivf_topk
 
-                result: TopKResult = ivf_topk(
+                result = ivf_topk(
                     self._dev_x,
                     self._ann,
                     jnp.asarray(q, jnp.float32),

@@ -8,6 +8,7 @@ collectives inside one ``shard_map`` program (SURVEY.md §2.3, §5.8).
 """
 
 from .mesh import MeshSpec, create_mesh, device_info
+from .sharded_ann import ShardedIVF, make_sharded_ivf, sharded_ivf_topk
 from .sharded_search import ShardedIndexSearcher, sharded_topk
 from .train import CLIPTrainer, TrainConfig
 
@@ -16,6 +17,9 @@ __all__ = [
     "create_mesh",
     "device_info",
     "ShardedIndexSearcher",
+    "ShardedIVF",
+    "make_sharded_ivf",
+    "sharded_ivf_topk",
     "sharded_topk",
     "CLIPTrainer",
     "TrainConfig",

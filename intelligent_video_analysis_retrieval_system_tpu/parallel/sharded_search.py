@@ -314,6 +314,7 @@ class ShardedIndexSearcher:
         self._x = None
         self._scales = None  # (n_pad, 1) f32 when int8-quantized
         self._dead = None
+        self._ann = None     # parallel.sharded_ann.ShardedIVF when active
 
     @property
     def n_devices(self) -> int:
@@ -330,6 +331,7 @@ class ShardedIndexSearcher:
         self._scales = None
         self.n_valid = n
         self._dead = None
+        self._ann = None  # shard_rows changed: local bucket ids are stale
         if deleted_rows:
             self.set_deleted(deleted_rows)
 
@@ -356,6 +358,7 @@ class ShardedIndexSearcher:
         self._scales = jax.device_put(jnp.asarray(host_s), sharding)
         self.n_valid = n
         self._dead = None
+        self._ann = None  # shard_rows changed: local bucket ids are stale
         if deleted_rows:
             self.set_deleted(deleted_rows)
 
@@ -473,6 +476,47 @@ class ShardedIndexSearcher:
             deleted_rows=self._live_tombstones(),
         )
 
+    # -- ANN (sharded IVF latency mode, parallel.sharded_ann) --------------
+
+    @property
+    def ann_active(self) -> bool:
+        return self._ann is not None
+
+    def set_ann(self, state) -> None:
+        """Partition a global ``ops.ann.IVFState`` over this mesh and
+        activate :meth:`search_ann` (see ``parallel.sharded_ann``)."""
+        from .sharded_ann import make_sharded_ivf
+
+        assert self._x is not None, "no database loaded"
+        shard_rows = int(self._x.shape[0]) // self.n_devices
+        self._ann = make_sharded_ivf(self.mesh, self.axis, state, shard_rows)
+
+    def clear_ann(self) -> None:
+        self._ann = None
+
+    def update_ann_tail(self, tail_ids: np.ndarray, tail_count: int) -> None:
+        """Re-partition only the tail (appends since the build live there)."""
+        from .sharded_ann import retarget_tail
+
+        assert self._ann is not None
+        self._ann = retarget_tail(
+            self._ann, self.mesh, self.axis, tail_ids, tail_count
+        )
+
+    def search_ann(self, q: np.ndarray, k: int, nprobe: int = 32) -> TopKResult:
+        """Approximate replicated top-k via the partitioned IVF; results
+        equal single-device ``ops.ann.ivf_topk`` with the same state."""
+        from .sharded_ann import sharded_ivf_topk
+
+        assert self._ann is not None, "no ANN structure set"
+        k = min(k, max(self.n_valid, 1))
+        qd = jnp.asarray(np.atleast_2d(q), jnp.float32)
+        return sharded_ivf_topk(
+            self.mesh, self._x, self._ann, qd, k, nprobe=nprobe,
+            n_valid=self.n_valid, deleted_sharded=self._dead,
+            scales_sharded=self._scales, axis=self.axis,
+        )
+
     def search(
         self, q: np.ndarray, k: int,
         use_pallas: bool | None = None, interpret: bool = False,
@@ -502,4 +546,5 @@ class ShardedIndexSearcher:
             "padded_rows": 0 if self._x is None else int(self._x.shape[0]),
             "rows_per_device": 0 if self._x is None
             else int(self._x.shape[0]) // self.n_devices,
+            "ann_active": self._ann is not None,
         }
