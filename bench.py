@@ -801,6 +801,74 @@ def main() -> None:
                 extra[f"latency_10M_int8_ivf_np{nprobe}_p50_ms"] = (
                     round(i50, 2)
                 )
+            # -- sharded ANN (parallel.sharded_ann): the SAME state through
+            # the partitioned-bucket shard_map program on a 1-dev mesh —
+            # the per-chip program of the multi-chip latency mode (real
+            # meshes divide the candidate traffic by n_dev; the merge is
+            # ~KBs). Reuses the built state and buffers.
+            if not over_budget(900, "sharded ANN point"):
+                from jax.sharding import (
+                    Mesh as _Mesh,
+                    NamedSharding as _NS,
+                    PartitionSpec as _P,
+                )
+
+                from intelligent_video_analysis_retrieval_system_tpu.parallel.sharded_ann import (
+                    _sharded_ivf_searcher_cache,
+                    make_sharded_ivf,
+                )
+                from intelligent_video_analysis_retrieval_system_tpu.parallel.sharded_search import (
+                    _MESHES as _SMESHES,
+                )
+
+                smesh = _Mesh(np.array(jax.devices()[:1]), ("index",))
+                rowsh = _NS(smesh, _P("index", None))
+                x10_sh = jax.device_put(x10, rowsh)
+                s10_sh = jax.device_put(s10[:, None], rowsh)
+                sivf = make_sharded_ivf(smesh, "index", ivf_state, n_pad)
+                dead_sh = jax.device_put(
+                    jnp.zeros((n_pad, 1), jnp.int8), rowsh
+                )
+                mesh_key = (
+                    id(smesh), smesh.axis_names,
+                    tuple(smesh.devices.shape),
+                    tuple(d.id for d in smesh.devices.flat),
+                )
+                _SMESHES[mesh_key] = smesh
+                s_inner = _sharded_ivf_searcher_cache(
+                    mesh_key, "index", ivf_nlist,
+                    int(sivf.bucket_ids.shape[1]), 1, 16, 32,
+                    int(sivf.tail_ids.shape[1]), n_pad, True,
+                )
+
+                @jax.jit
+                def query_sivf(tp, x, s, bid, tid, tcnt, cent, tokens,
+                               salt):
+                    emb = encode(tp, tokens, salt)
+                    sc, _ = s_inner(x, s, bid, tid, tcnt, cent, emb,
+                                    jnp.int32(N10), dead_sh)
+                    return sc[0, 0]
+
+                log("compiling 10M sharded-ANN e2e (nprobe=32)...")
+                float(query_sivf(
+                    tp, x10_sh, s10_sh, sivf.bucket_ids, sivf.tail_ids,
+                    sivf.tail_counts, sivf.centroids, tokens,
+                    jnp.float32(0),
+                ))
+                s50, s95, _ = percentile_rounds(
+                    lambda i: query_sivf(
+                        tp, x10_sh, s10_sh, sivf.bucket_ids,
+                        sivf.tail_ids, sivf.tail_counts, sivf.centroids,
+                        tokens, jnp.float32(i + 1),
+                    ),
+                    8, 8, round_overhead(8),
+                )
+                log(f"10M int8 sharded-ANN e2e nprobe=32: "
+                    f"p50={s50:.2f} ms p95={s95:.2f} ms")
+                extra["latency_10M_int8_sharded_ivf_np32_p50_ms"] = (
+                    round(s50, 2)
+                )
+                del x10_sh, s10_sh, sivf, dead_sh
             del ivf_state, x10, s10
         except Exception as exc:
             log(f"IVF section skipped: {type(exc).__name__}: {exc}")
