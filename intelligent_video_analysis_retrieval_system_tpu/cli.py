@@ -151,6 +151,11 @@ def _build_parser() -> argparse.ArgumentParser:
                          "dense sweep")
     ev.add_argument("--nprobe", type=int, default=None,
                     help="override ann_nprobe for --search ann")
+    ev.add_argument("--tune-nprobe", type=float, default=None,
+                    metavar="RECALL",
+                    help="auto-pick the smallest nprobe reaching this "
+                         "recall@k target before evaluating (implies "
+                         "--search ann; prints the tested ladder)")
 
     pa = sub.add_parser(
         "parity",
@@ -470,11 +475,19 @@ def cmd_evaluate(args) -> int:
         k = min(args.top_k, int((~dead).sum()))
 
         search_mode = getattr(args, "search", "auto")
+        tune_target = getattr(args, "tune_nprobe", None)
+        if tune_target:
+            search_mode = "ann"
         if search_mode == "ann":
             if not index.ann_active:
                 index.build_ann(persist=False)
             if args.nprobe:
                 index.config.ann_nprobe = int(args.nprobe)
+        tune_report = None
+        if tune_target:
+            tune_report = index.tune_nprobe(
+                target_recall=float(tune_target), top_k=k, seed=args.seed
+            )
 
         def candidate(queries):
             if search_mode == "ann":
@@ -534,6 +547,8 @@ def cmd_evaluate(args) -> int:
         out["search"] = search_mode
         if index.ann_active:
             out["ann"] = index.get_stats()["ann"]
+        if tune_report is not None:
+            out["tuned"] = tune_report
         print(json.dumps(out, indent=2))
         return 0
     finally:

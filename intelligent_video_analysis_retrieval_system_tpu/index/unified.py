@@ -114,8 +114,9 @@ class UnifiedIndexConfig:
     normalize: bool = True
     # IVF approximate search (ops.ann): opt-in latency mode matching the
     # reference's approximate index types (core.py:1213-1216). Applies to
-    # single-device backends only (the mesh path is dense by design);
-    # batches larger than ann_max_batch fall back to the dense sweep
+    # every device backend — mesh-backed indexes run the partitioned
+    # sharded program (parallel.sharded_ann), equal to the single-device
+    # result. Batches larger than ann_max_batch fall back to the dense sweep
     # (candidate traffic is per-query; the dense pass amortizes — measured
     # on v5e at 10M int8: B=1 IVF 2.5-7.4 ms vs dense 15.5 ms, but B=8
     # IVF 21.5 ms/batch vs dense 13.7 — crossover sits near B=4;
@@ -403,6 +404,94 @@ class UnifiedIndex:
                     and self._container.mode != "r":
                 self._persist_ann()
         return report._asdict()
+
+    def tune_nprobe(
+        self,
+        target_recall: float = 0.99,
+        sample: int = 32,
+        top_k: int = 10,
+        seed: int = 0,
+    ) -> dict[str, Any]:
+        """Pick the smallest ``ann_nprobe`` reaching ``target_recall``.
+
+        FAISS users hand-tune nprobe per corpus; here the index tunes
+        itself: sample ``sample`` stored rows as queries (retrieval
+        queries embed near their matches, so corpus rows are the natural
+        probe set), compare the ANN path against the exact dense sweep at
+        each rung of a doubling ladder, and stop at the first rung whose
+        mean recall@``top_k`` meets the target. Sets ``config.ann_nprobe``
+        and returns ``{"nprobe", "recall", "ladder": [(nprobe, recall)...]}``.
+
+        Cost: one exact sweep + a few small ANN sweeps over ``sample``
+        queries — seconds, not minutes, at any corpus size.
+        """
+        with self._lock:
+            if self._ann is None:
+                raise RuntimeError("ANN not active; call build_ann() first")
+            assert self._container is not None
+            rng = np.random.default_rng(seed)
+            live = [r for r in range(self._n_valid)
+                    if r not in self._deleted]
+            if not live:
+                raise RuntimeError("no live rows to sample")
+            picks = sorted(
+                rng.choice(len(live), size=min(sample, len(live)),
+                           replace=False).tolist()
+            )
+            rows = np.stack(
+                [
+                    self._container.read_embeddings(
+                        live[p], live[p] + 1, as_float32=True
+                    )[0]
+                    for p in picks
+                ]
+            )
+            q = rows / np.maximum(
+                np.linalg.norm(rows, axis=1, keepdims=True), 1e-12
+            )
+            exact = self.search_vectors(q, top_k=top_k, exact=True)
+            exact_ids = [{h.metadata.row_id for h in hits}
+                         for hits in exact]
+            nlist = int(self._ann.bucket_ids.shape[0])
+            saved = self.config.ann_nprobe
+            ladder: list[tuple[int, float]] = []
+            best = nlist
+            try:
+                nprobe = 4
+                while True:
+                    nprobe = min(nprobe, nlist)
+                    self.config.ann_nprobe = nprobe
+                    got: list[list] = []
+                    step = max(int(self.config.ann_max_batch), 1)
+                    for s in range(0, len(q), step):
+                        got.extend(
+                            self.search_vectors(q[s:s + step], top_k=top_k)
+                        )
+                    recall = float(
+                        np.mean(
+                            [
+                                len({h.metadata.row_id for h in hits}
+                                    & ids) / max(len(ids), 1)
+                                for hits, ids in zip(got, exact_ids)
+                            ]
+                        )
+                    )
+                    ladder.append((nprobe, recall))
+                    if recall >= target_recall or nprobe >= nlist:
+                        best = nprobe
+                        break
+                    nprobe *= 2
+            finally:
+                self.config.ann_nprobe = saved
+            self.config.ann_nprobe = best
+            return {
+                "nprobe": best,
+                "recall": ladder[-1][1],
+                "target": target_recall,
+                "ladder": ladder,
+                "sample": len(q),
+                "top_k": top_k,
+            }
 
     def _persist_ann(self) -> None:
         assert self._container is not None and self._ann is not None

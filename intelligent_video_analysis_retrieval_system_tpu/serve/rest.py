@@ -533,11 +533,27 @@ class RetrievalServer:
                 report = await self._run_sync(
                     lambda: index.build_ann(**kwargs)
                 )
+            elif action == "tune_ann":
+                # auto-pick the smallest nprobe reaching a target recall
+                # (sampled corpus queries vs the exact dense sweep)
+                index = self.system.index
+                if index is None:
+                    return web.json_response(
+                        error_envelope("no index loaded", 404), status=404
+                    )
+                kwargs = {}
+                if payload.get("target_recall"):
+                    kwargs["target_recall"] = float(payload["target_recall"])
+                if payload.get("sample"):
+                    kwargs["sample"] = int(payload["sample"])
+                report = await self._run_sync(
+                    lambda: index.tune_nprobe(**kwargs)
+                )
             else:
                 return web.json_response(
                     error_envelope(
                         "action must be optimize | compact | clear_cache"
-                        " | build_ann"
+                        " | build_ann | tune_ann"
                     ),
                     status=400,
                 )
@@ -1037,7 +1053,8 @@ _CONSOLE_HTML = """<!doctype html>
   <button class="go" onclick="doMaint('optimize')">Optimize</button>
   <button class="go" onclick="doMaint('compact')">Compact index</button>
   <button class="go" onclick="doMaint('clear_cache')">Clear cache</button>
-  <button class="go" onclick="doMaint('build_ann')">Build ANN (IVF)</button></div>
+  <button class="go" onclick="doMaint('build_ann')">Build ANN (IVF)</button>
+  <button class="go" onclick="doMaint('tune_ann')">Tune ANN recall</button></div>
  <pre id="statout">loading…</pre></section>
 </main>
 <div id="zoom" style="display:none;position:fixed;inset:0;z-index:50;

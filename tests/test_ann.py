@@ -466,3 +466,39 @@ class TestUnifiedIndexANN:
                     e.similarity_score, rel=1e-6
                 )
         idx.close()
+
+    def test_tune_nprobe_hits_target(self, tmp_path, big_corpus):
+        """tune_nprobe walks the doubling ladder against the exact path,
+        stops at the first rung meeting the target, and installs it."""
+        x, _ = big_corpus
+        idx = _make_index(tmp_path, x, ann_nprobe=1)
+        rep = idx.tune_nprobe(target_recall=0.95, sample=12, top_k=5,
+                              seed=4)
+        assert idx.config.ann_nprobe == rep["nprobe"]
+        assert rep["ladder"][0][0] == 4  # ladder starts at 4
+        nlist = idx.get_stats()["ann"]["nlist"]
+        assert rep["recall"] >= 0.95 or rep["nprobe"] == nlist
+        # ladder is strictly doubling and capped at nlist
+        probes = [p for p, _ in rep["ladder"]]
+        assert probes == sorted(set(probes))
+        assert all(p <= nlist for p in probes)
+        # tuned config actually serves >= target recall on fresh queries
+        rng = np.random.default_rng(6)
+        qs = x[rng.choice(len(x), 4, replace=False)]
+        approx = idx.search_vectors(qs, top_k=5)
+        exact = idx.search_vectors(qs, top_k=5, exact=True)
+        hit = sum(
+            len({h.metadata.row_id for h in a}
+                & {h.metadata.row_id for h in e})
+            for a, e in zip(approx, exact)
+        )
+        assert hit / (4 * 5) >= 0.8
+        idx.close()
+
+    def test_tune_nprobe_requires_ann(self, tmp_path, big_corpus):
+        x, _ = big_corpus
+        idx = _make_index(tmp_path, x, ann=False)
+        assert not idx.ann_active
+        with pytest.raises(RuntimeError, match="ANN not active"):
+            idx.tune_nprobe()
+        idx.close()

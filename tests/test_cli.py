@@ -288,3 +288,32 @@ class TestEvaluateCommand:
         assert out["queries"] == 16 and out["k"] == 5
         assert out["recall_at_k"] > 0.8          # int8 on random data
         assert 0.0 <= out["overlap_at_k"] <= 1.0
+
+    def test_evaluate_tune_nprobe(self, tmp_path, monkeypatch, capsys):
+        """--tune-nprobe RECALL auto-picks nprobe (implies --search ann)
+        and reports the tested ladder in the JSON output."""
+        monkeypatch.chdir(tmp_path)
+        rng = np.random.default_rng(6)
+        kf = tmp_path / "keyframes" / "v"
+        kf.mkdir(parents=True)
+        for n in range(40):
+            Image.fromarray(rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+                            ).save(kf / f"{n}.jpg")
+        from intelligent_video_analysis_retrieval_system_tpu.index import (
+            RAGBuilder,
+            UnifiedIndexConfig,
+        )
+
+        builder = RAGBuilder(fake_embed, DIM, input_size=32,
+                             config=UnifiedIndexConfig(thumbnail_size=32))
+        index, _ = builder.build_index(kf.parent, tmp_path / "t.rvdb")
+        index.close()
+        rc = cli_main(["evaluate", str(tmp_path / "t.rvdb"),
+                       "--queries", "8", "--top-k", "3",
+                       "--tune-nprobe", "0.9"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["search"] == "ann"
+        tuned = out["tuned"]
+        assert tuned["target"] == 0.9 and tuned["ladder"]
+        assert tuned["nprobe"] == tuned["ladder"][-1][0]

@@ -308,6 +308,73 @@ class ShardedSearcherMachine(RuleBasedStateMachine):
             self.searcher.load(self.rows)
         self.deleted = set()
 
+    @precondition(
+        lambda self: self.searcher is not None
+        and not getattr(self, "ann_checked", False)
+        and len(self.rows) - len(self.deleted) >= 5
+    )
+    @rule(qseed=st.integers(0, 2**16))
+    def sharded_ann_full_probe_matches_model(self, qseed):
+        """Build a sharded IVF over the CURRENT mutated state and check the
+        full-probe (nprobe == nlist) search against the numpy model — the
+        ANN partition invariant under whatever loads/appends/deletes this
+        example has performed so far. One shot per example (the k-means
+        build compiles per live-row count). Tie-aware: bucket candidate
+        order is not id-sorted, so equal scores may legally permute ids —
+        assert the score multiset and per-id score correctness instead of
+        the dense invariant's positional equality."""
+        from intelligent_video_analysis_retrieval_system_tpu.ops.ann import (
+            build_ivf,
+        )
+
+        self.ann_checked = True
+        scales = self.searcher._scales
+        state, _ = build_ivf(
+            self.searcher._x,
+            n_rows=len(self.rows),
+            x_scales=None if scales is None else scales.reshape(-1),
+            nlist=8,
+            kmeans_iters=2,
+            sample_per_list=16,
+        )
+        self.searcher.set_ann(state)
+        try:
+            rng = np.random.default_rng(qseed)
+            q = rng.integers(-8, 9, (1, _DIM)).astype(np.float32)
+            res = self.searcher.search_ann(q, k=5, nprobe=8)
+            scores = np.asarray(res.scores, np.float64)[0]
+            ids = np.asarray(res.indices)[0]
+            finite = np.isfinite(scores)
+            got = list(zip(ids[finite].tolist(), scores[finite].tolist()))
+            model = self._model_scores(q)
+            live = [r for r in range(len(self.rows))
+                    if r not in self.deleted]
+            order = sorted(live, key=lambda r: (-model[r], r))[: len(got)]
+            assert sorted(s for _, s in got) == sorted(
+                float(model[r]) for r in order
+            ), "ANN full probe: top-k score multiset differs from model"
+            for r, s in got:
+                assert r in set(live) and float(model[r]) == s, (
+                    f"ANN returned ({r}, {s}) but model[{r}] = {model[r]}"
+                )
+            assert len(got) == min(5, len(live))
+        finally:
+            self.searcher.clear_ann()
+
+    def _model_scores(self, q: np.ndarray) -> np.ndarray:
+        """Exact per-row scores of the numpy model (the same metric the
+        dense invariant asserts positionally)."""
+        if self.quantized:
+            qs = np.maximum(
+                np.abs(q[0]).max(), np.float32(1e-12)
+            ).astype(np.float32) / np.float32(127.0)
+            q8 = np.clip(np.rint(q[0].astype(np.float32) / qs), -127, 127)
+            int_dot = (self.q8.astype(np.float64) @ q8.astype(np.float64)
+                       ).astype(np.float32)
+            return ((int_dot * self.scales.astype(np.float32)) * qs
+                    ).astype(np.float64)
+        return self.rows.astype(np.float64) @ q[0]
+
     @invariant()
     def search_matches_model(self):
         if self.searcher is None:
@@ -322,19 +389,9 @@ class ShardedSearcherMachine(RuleBasedStateMachine):
         got = list(zip(ids[finite].tolist(), scores[finite].tolist()))
         # numpy model: exact integer dots, deleted masked, stable sort by
         # (-score, id). The int8 metric quantizes the QUERY too
-        # (ops.quant.symmetric_int8); replicate it bit-for-bit in numpy,
-        # multiplying in the same f32 order as the device program.
-        if self.quantized:
-            qs = np.maximum(
-                np.abs(q[0]).max(), np.float32(1e-12)
-            ).astype(np.float32) / np.float32(127.0)  # f32 / f32 -> f32
-            q8 = np.clip(np.rint(q[0].astype(np.float32) / qs), -127, 127)
-            int_dot = (self.q8.astype(np.float64) @ q8.astype(np.float64)
-                       ).astype(np.float32)
-            model = (int_dot * self.scales.astype(np.float32)) * qs
-            model = model.astype(np.float64)
-        else:
-            model = self.rows.astype(np.float64) @ q[0]
+        # (ops.quant.symmetric_int8); _model_scores replicates it
+        # bit-for-bit, multiplying in the same f32 order as the device.
+        model = self._model_scores(q)
         live = [r for r in range(len(self.rows)) if r not in self.deleted]
         order = sorted(live, key=lambda r: (-model[r], r))[: len(got)]
         want = [(r, float(model[r])) for r in order]

@@ -387,6 +387,15 @@ class TestConsoleBuildAndNetworkPanel:
             code, res = http_json(f"{base}/api/search",
                                   {"query": "a scene", "limit": 2})
             assert code == 200 and res["success"] and res["count"] == 2
+            # auto-tune nprobe to a recall target on the live server
+            code, out = http_json(
+                f"{base}/api/maintenance",
+                {"action": "tune_ann", "target_recall": 0.9, "sample": 4},
+            )
+            assert code == 200
+            rep = out["report"]
+            assert rep["nprobe"] >= 1 and rep["ladder"]
+            assert system.index.config.ann_nprobe == rep["nprobe"]
             code, _ = http_json(f"{base}/api/maintenance",
                                 {"action": "bogus"})
             assert code == 400
