@@ -233,9 +233,13 @@ def bench_served_qps(xd, n_valid: int, embedder=None) -> dict:
     # per-request timeout and cascade into request failures.
     log("served-QPS: pre-warming encode + search buckets...")
     t0 = time.perf_counter()
-    for b in (1, 32):   # embedder buckets 8, 32 (covers batches <= 32)
+    # batching_max_batch=64, so live batches can hit ANY bucket up to 64:
+    # warm them all (encode buckets 8/32/64+, search buckets 8/16/32/64).
+    # A previously unwarmed b=32/64 search bucket compiling on a live
+    # request measured as multi-second p95 stalls (served_qps 30 vs ~100).
+    for b in (1, 32, 64):
         system.embedder.encode_text([f"warm {i}" for i in range(b)])
-    for b in (1, 9):    # search b-buckets 8, 16 at the serving k
+    for b in (1, 9, 17, 33):   # search b-buckets 8, 16, 32, 64
         qv = system.embedder.encode_text([f"warm s{i}" for i in range(b)])
         index.search_vectors(qv, top_k=10)
     log(f"served-QPS: buckets warm in {time.perf_counter() - t0:.1f}s")

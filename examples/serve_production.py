@@ -86,11 +86,20 @@ def main() -> None:
         print("no index given - building a tiny demo index...")
         system = build_demo_index(root)
 
-    # 1. pre-warm the buckets the load pattern will hit
-    print("pre-warming text-encode buckets...")
+    # 1. pre-warm the buckets the load pattern will hit — ENCODE and
+    # SEARCH both: the batcher can form any batch size up to its max, and
+    # an unwarmed search bucket compiling on a live request reads as a
+    # multi-second p95 stall
+    print("pre-warming text-encode + search buckets...")
     t0 = time.perf_counter()
     for b in (1, 32, 64):
         system.embedder.encode_text([f"warm {i}" for i in range(b)])
+    if system.index is not None and system.index.ntotal:
+        for b in (1, 9, 17, 33):   # search b-buckets 8/16/32/64
+            qv = system.embedder.encode_text(
+                [f"warm s{i}" for i in range(b)]
+            )
+            system.index.search_vectors(qv, top_k=10)
     print(f"buckets warm in {time.perf_counter() - t0:.1f}s")
 
     # 2+3. serve (batching + wide executor come from the config above)
