@@ -189,6 +189,7 @@ class EnhancedRetrievalSystem:
             # step 6: finalize
             self.is_built = True
             self._wire_act_scale_persistence(output_path, import_existing=False)
+            self._maybe_tune_ann()
             self._emit("build_progress", stage="done", done=6, total=6)
             self.logger.info("build complete", **report.as_dict())
             return {"report": report.as_dict(), "index_path": str(output_path)}
@@ -243,10 +244,30 @@ class EnhancedRetrievalSystem:
             self._rebuild_metadata()
             self.is_built = True
             self._wire_act_scale_persistence(index_path, import_existing=True)
+            self._maybe_tune_ann()
             self.logger.info(
                 "system loaded", ntotal=index.ntotal,
                 load_time_s=round(index.load_time_s or 0, 3),
             )
+
+    def _maybe_tune_ann(self) -> None:
+        """Self-tuning ANN: when ``index.ann_target_recall`` is configured
+        and the ANN mode is active, pick the smallest nprobe hitting the
+        target on this corpus (seconds of work; see
+        ``UnifiedIndex.tune_nprobe``). Failures degrade to the configured
+        nprobe — tuning is an optimization, never a load blocker."""
+        target = self.config.section("index").get("ann_target_recall")
+        if not target or self.index is None or not self.index.ann_active:
+            return
+        try:
+            rep = self.index.tune_nprobe(target_recall=float(target))
+            self.logger.info(
+                "ANN self-tuned", nprobe=rep["nprobe"],
+                recall=round(rep["recall"], 4), target=float(target),
+            )
+        except Exception:
+            self.logger.exception("ANN self-tuning failed; keeping "
+                                  "configured ann_nprobe")
 
     def _wire_act_scale_persistence(
         self, index_path: str | Path, import_existing: bool

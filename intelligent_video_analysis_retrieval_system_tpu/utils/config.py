@@ -85,6 +85,10 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "ann_nlist": None,           # None = ops.ann.default_nlist(n)
         "ann_nprobe": 32,
         "ann_max_batch": 4,          # measured dense/IVF crossover on v5e
+        # when set (e.g. 0.99), the facade self-tunes ann_nprobe to the
+        # smallest value hitting this recall@k on every build/load
+        # (UnifiedIndex.tune_nprobe — seconds of work, never a blocker)
+        "ann_target_recall": None,
     },
     "ingest": {
         "dedup_threshold": 0.98,     # video_frame_filter.py:63-70

@@ -647,3 +647,32 @@ class TestIndexTypeMapping:
     def test_default_is_exact(self, built_system):
         _, system = built_system
         assert not system.index.ann_active
+
+    def test_target_recall_self_tunes(self, tmp_path):
+        """index.ann_target_recall makes the facade auto-pick nprobe on
+        build (and load): config's ann_nprobe is only the starting point."""
+        rng = np.random.default_rng(5)
+        folder = tmp_path / "keyframes" / "v"
+        folder.mkdir(parents=True)
+        for n in range(24):
+            arr = rng.integers(0, 255, (48, 48, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(folder / f"{n}.jpg", quality=95)
+        cfg = Config(
+            config_file=None, base_dir=tmp_path, create_dirs=True,
+            overrides={"index": {"chunk_size": 8, "dtype": "float32",
+                                 "thumbnail_size": 32,
+                                 "index_type": "ivf",
+                                 "ann_nlist": 8, "ann_nprobe": 999,
+                                 "ann_target_recall": 0.9}},
+        )
+        system = EnhancedRetrievalSystem(cfg, embedder=tiny_embedder())
+        out = system.build_system(tmp_path / "keyframes")
+        assert system.index.ann_active
+        # tuned: a real ladder rung (<= nlist), not the configured 999
+        tuned_after_build = system.index.config.ann_nprobe
+        assert 1 <= tuned_after_build <= 8
+        # load path tunes too
+        system.load_system(out["index_path"])
+        assert 1 <= system.index.config.ann_nprobe <= 8
+        assert len(system.search("anything", SearchOptions(limit=3))) == 3
+        system.cleanup()
