@@ -45,6 +45,25 @@ def main() -> None:
     res = searcher.search(q, k=5)
     print("top-1 ids:", np.asarray(res.indices)[:, 0])
 
+    # -- sharded ANN: the IVF latency mode through the same mesh ----------
+    # (global k-means, per-shard partitioned buckets, identical results to
+    # single-device IVF; see docs/SCALING.md §2 and parallel/sharded_ann.py)
+    from intelligent_video_analysis_retrieval_system_tpu.ops.ann import (
+        build_ivf,
+    )
+
+    state, report = build_ivf(searcher._x, n_rows=searcher.n_valid,
+                              nlist=256, kmeans_iters=4)
+    searcher.set_ann(state)
+    print(f"sharded ANN: nlist={report.nlist} cap={report.bucket_cap} "
+          f"(buckets partitioned over {n_dev} shards)")
+    ares = searcher.search_ann(q, k=5, nprobe=16)
+    print("ANN top-1 ids:", np.asarray(ares.indices)[:, 0],
+          "(probe 16/256 clusters per query)")
+    exact_top1 = np.asarray(res.indices)[:, 0]
+    ann_top1 = np.asarray(ares.indices)[:, 0]
+    print("ANN == exact at rank 1:", bool((exact_top1 == ann_top1).all()))
+
 
 if __name__ == "__main__":
     main()
