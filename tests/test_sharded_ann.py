@@ -434,3 +434,97 @@ class TestUnifiedIndexMeshANN:
             [h.metadata.row_id for h in hits] for hits in want
         ]
         idx.close()
+
+
+class TestMeshServingStack:
+    """The whole serving stack composed over the mesh + sharded ANN:
+    facade build (index_type=IndexIVFFlat, self-tuning target) -> REST
+    server -> /api/search + build_ann/tune_ann maintenance over HTTP."""
+
+    def test_facade_rest_over_mesh_ann(self, tmp_path, mesh):
+        import json as _json
+        import time
+        import urllib.request
+
+        from PIL import Image
+
+        from intelligent_video_analysis_retrieval_system_tpu.models import (
+            CLIPConfig,
+        )
+        from intelligent_video_analysis_retrieval_system_tpu.serve.rest import (
+            RetrievalServer,
+        )
+        from intelligent_video_analysis_retrieval_system_tpu.system import (
+            CLIPEmbedder,
+            EnhancedRetrievalSystem,
+            SearchOptions,
+        )
+        from intelligent_video_analysis_retrieval_system_tpu.utils.config import (
+            Config,
+        )
+
+        rng = np.random.default_rng(17)
+        kf = tmp_path / "keyframes" / "v"
+        kf.mkdir(parents=True)
+        for n in range(20):
+            arr = rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(kf / f"{n}.jpg")
+        cfg = Config(
+            config_file=None, base_dir=tmp_path, create_dirs=True,
+            overrides={
+                "index": {"chunk_size": 8, "dtype": "float32",
+                          "thumbnail_size": 32,
+                          "index_type": "IndexIVFFlat",
+                          "ann_nlist": 4, "ann_nprobe": 4,
+                          "ann_target_recall": 0.9},
+                "logging": {"file": False},
+            },
+        )
+        system = EnhancedRetrievalSystem(
+            cfg,
+            embedder=CLIPEmbedder(config=CLIPConfig.tiny_test(),
+                                  compute_dtype="float32"),
+            mesh=mesh,
+        )
+        system.build_system(tmp_path / "keyframes")
+        assert system.index._sharded is not None, "not mesh-backed"
+        assert system.index.ann_active and system.index._sharded.ann_active
+        # self-tuning ran on build (target_recall configured)
+        assert 1 <= system.index.config.ann_nprobe <= 4
+        assert system.search("a frame", SearchOptions(limit=3))
+
+        import socket
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        server = RetrievalServer(system, host="127.0.0.1", port=port)
+        server.run(block=False)
+        time.sleep(1.0)
+        base = f"http://127.0.0.1:{port}"
+
+        def post(route, payload):
+            req = urllib.request.Request(
+                base + route, data=_json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=60) as r:
+                return r.status, _json.loads(r.read())
+
+        try:
+            code, res = post("/api/search", {"query": "scene", "limit": 3})
+            assert code == 200 and res["success"] and res["count"] == 3
+            code, out = post("/api/maintenance",
+                             {"action": "build_ann", "nlist": 4})
+            assert code == 200 and out["report"]["nlist"] == 4
+            assert system.index._sharded.ann_active
+            code, out = post(
+                "/api/maintenance",
+                {"action": "tune_ann", "target_recall": 0.9, "sample": 4},
+            )
+            assert code == 200 and out["report"]["nprobe"] >= 1
+            code, res = post("/api/search", {"query": "again", "limit": 2})
+            assert code == 200 and res["success"] and res["count"] == 2
+        finally:
+            server.stop()
+            system.cleanup()
