@@ -241,7 +241,10 @@ def bench_served_qps(xd, n_valid: int, embedder=None) -> dict:
         system.embedder.encode_text([f"warm {i}" for i in range(b)])
     for b in (1, 9, 17, 33):   # search b-buckets 8, 16, 32, 64
         qv = system.embedder.encode_text([f"warm s{i}" for i in range(b)])
-        index.search_vectors(qv, top_k=10)
+        # exact=True so this warms the DENSE buckets even if an index
+        # with a persisted ANN is ever used here (small batches would
+        # otherwise route down the ANN path)
+        index.search_vectors(qv, top_k=10, exact=True)
     log(f"served-QPS: buckets warm in {time.perf_counter() - t0:.1f}s")
 
     with socket.socket() as s:
@@ -822,7 +825,7 @@ def main() -> None:
                     make_sharded_ivf,
                 )
                 from intelligent_video_analysis_retrieval_system_tpu.parallel.sharded_search import (
-                    _MESHES as _SMESHES,
+                    mesh_cache_key,
                 )
 
                 smesh = _Mesh(np.array(jax.devices()[:1]), ("index",))
@@ -833,12 +836,7 @@ def main() -> None:
                 dead_sh = jax.device_put(
                     jnp.zeros((n_pad, 1), jnp.int8), rowsh
                 )
-                mesh_key = (
-                    id(smesh), smesh.axis_names,
-                    tuple(smesh.devices.shape),
-                    tuple(d.id for d in smesh.devices.flat),
-                )
-                _SMESHES[mesh_key] = smesh
+                mesh_key = mesh_cache_key(smesh)
                 s_inner = _sharded_ivf_searcher_cache(
                     mesh_key, "index", ivf_nlist,
                     int(sivf.bucket_ids.shape[1]), 1, 16, 32,

@@ -95,11 +95,23 @@ def main() -> None:
     for b in (1, 32, 64):
         system.embedder.encode_text([f"warm {i}" for i in range(b)])
     if system.index is not None and system.index.ntotal:
-        for b in (1, 9, 17, 33):   # search b-buckets 8/16/32/64
+        for b in (1, 9, 17, 33):   # DENSE search b-buckets 8/16/32/64
             qv = system.embedder.encode_text(
                 [f"warm s{i}" for i in range(b)]
             )
-            system.index.search_vectors(qv, top_k=10)
+            # exact=True: with ANN active, small batches would otherwise
+            # route down the ANN path and leave the dense buckets cold
+            system.index.search_vectors(qv, top_k=10, exact=True)
+        if system.index.ann_active:
+            b = 1  # ANN b-buckets are powers of two up to ann_max_batch
+            while True:
+                qv = system.embedder.encode_text(
+                    [f"warm a{i}" for i in range(b)]
+                )
+                system.index.search_vectors(qv, top_k=10)
+                if b >= max(system.index.config.ann_max_batch, 1):
+                    break
+                b *= 2
     print(f"buckets warm in {time.perf_counter() - t0:.1f}s")
 
     # 2+3. serve (batching + wide executor come from the config above)

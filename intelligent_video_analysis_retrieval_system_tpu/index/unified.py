@@ -430,20 +430,35 @@ class UnifiedIndex:
                 raise RuntimeError("ANN not active; call build_ann() first")
             assert self._container is not None
             rng = np.random.default_rng(seed)
-            live = [r for r in range(self._n_valid)
-                    if r not in self._deleted]
-            if not live:
+            n_live = self._n_valid - len(self._deleted)
+            if n_live <= 0:
                 raise RuntimeError("no live rows to sample")
-            picks = sorted(
-                rng.choice(len(live), size=min(sample, len(live)),
-                           replace=False).tolist()
-            )
+            # rejection-sample live row ids: tombstones are sparse in any
+            # corpus worth tuning, and a materialized live-row list would
+            # be an O(N) python scan under the lock at 10M rows
+            want = min(sample, n_live)
+            picks: list[int] = []
+            seen: set[int] = set()
+            while len(picks) < want:
+                for r in rng.integers(0, self._n_valid, size=4 * want):
+                    r = int(r)
+                    if r in seen or r in self._deleted:
+                        continue
+                    seen.add(r)
+                    picks.append(r)
+                    if len(picks) >= want:
+                        break
+                else:
+                    if len(seen) + len(self._deleted) >= self._n_valid:
+                        picks = [r for r in range(self._n_valid)
+                                 if r not in self._deleted][:want]
+                        break
+            picks = sorted(picks)
             rows = np.stack(
                 [
-                    self._container.read_embeddings(
-                        live[p], live[p] + 1, as_float32=True
-                    )[0]
-                    for p in picks
+                    self._container.read_embeddings(r, r + 1,
+                                                    as_float32=True)[0]
+                    for r in picks
                 ]
             )
             q = rows / np.maximum(

@@ -44,19 +44,16 @@ from ..ops.ann import (
     _MAX_PROGRAM_B,
     _SEL_CHUNK,
     IVFState,
+    _ceil_to,
     _probe_candidates,
     _topk_over_candidates_float,
     _topk_over_candidates_int8,
 )
 from ..ops.topk import TopKResult, bucket_k
-from .sharded_search import _MESHES, _ici_merge
+from .sharded_search import _MESHES, _ici_merge, mesh_cache_key
 
 __all__ = ["ShardedIVF", "partition_ivf_host", "make_sharded_ivf",
            "sharded_ivf_topk"]
-
-
-def _ceil_to(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 class ShardedIVF(NamedTuple):
@@ -116,16 +113,39 @@ def partition_ivf_host(
         tables[s, :, :width] = np.take_along_axis(local, order, axis=1)[
             :, :width
         ]
+    tails, tail_counts = _partition_tail(
+        tail_ids, tail_count, n_dev, shard_rows, tail_max
+    )
+    return tables, tails, tail_counts
+
+
+def _partition_tail(
+    tail_ids: np.ndarray,
+    tail_count: int,
+    n_dev: int,
+    shard_rows: int,
+    tail_max: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Split the global tail id list by owning shard (LOCAL ids, -1 pad).
+
+    Shared by the full partition and :func:`retarget_tail`. The global
+    tail is capped at ``ops.ann.TAIL_MAX`` which equals the per-shard
+    capacity, so even a single-shard pile-up (appends are sequential row
+    ids, usually all owned by the LAST shard) always fits; the overflow
+    raise is a defensive invariant, not a reachable path."""
     t = np.asarray(tail_ids[:tail_count], np.int64)
     towner = t // shard_rows
     tails = np.full((n_dev, tail_max), -1, np.int32)
     tail_counts = np.zeros((n_dev,), np.int32)
     for s in range(n_dev):
         mine = (t[towner == s] - s * shard_rows).astype(np.int32)
-        assert mine.size <= tail_max  # global tail <= TAIL_MAX == per-shard cap
+        if mine.size > tail_max:
+            raise OverflowError(
+                f"sharded IVF tail overflow: {mine.size} > {tail_max}"
+            )
         tails[s, : mine.size] = mine
         tail_counts[s] = mine.size
-    return tables, tails, tail_counts
+    return tails, tail_counts
 
 
 def make_sharded_ivf(mesh, axis: str, state: IVFState,
@@ -173,16 +193,9 @@ def retarget_tail(sivf: ShardedIVF, mesh, axis: str,
 
     n_dev = mesh.shape[axis]
     tail_max = int(sivf.tail_ids.shape[1])
-    t = np.asarray(tail_ids[:tail_count], np.int64)
-    towner = t // sivf.shard_rows
-    tails = np.full((n_dev, tail_max), -1, np.int32)
-    tail_counts = np.zeros((n_dev,), np.int32)
-    for s in range(n_dev):
-        mine = (t[towner == s] - s * sivf.shard_rows).astype(np.int32)
-        if mine.size > tail_max:
-            raise OverflowError("sharded IVF tail overflow")
-        tails[s, : mine.size] = mine
-        tail_counts[s] = mine.size
+    tails, tail_counts = _partition_tail(
+        tail_ids, tail_count, n_dev, sivf.shard_rows, tail_max
+    )
     return sivf._replace(
         tail_ids=jax.device_put(
             jnp.asarray(tails), NamedSharding(mesh, P(axis, None))
@@ -273,6 +286,20 @@ def _sharded_ivf_searcher_cache(
     return jax.jit(mapped)
 
 
+@functools.lru_cache(maxsize=8)
+def _zeros_mask(mesh_key, axis: str, n_pad: int):
+    """Cached all-live tombstone mask, sharded rows-wise (n_pad x 1 int8 —
+    e.g. 10 MB at 10M rows, bounded by the lru size)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = _MESHES[mesh_key]
+    return jax.device_put(
+        jnp.zeros((n_pad, 1), jnp.int8), NamedSharding(mesh, P(axis, None))
+    )
+
+
 def sharded_ivf_topk(
     mesh,
     x_sharded,
@@ -294,9 +321,7 @@ def sharded_ivf_topk(
     single-device path; batches above ``ops.ann._MAX_PROGRAM_B`` slice
     through the same compiled program.
     """
-    import jax
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
     b = int(q.shape[0])
     n_live = int(x_sharded.shape[0]) if n_valid is None else int(n_valid)
@@ -304,6 +329,14 @@ def sharded_ivf_topk(
         return TopKResult(
             jnp.full((b, 0), -jnp.inf, jnp.float32),
             jnp.zeros((b, 0), jnp.int32),
+        )
+    if deleted_sharded is None:
+        # materialize the no-deletions mask ONCE per (mesh, capacity) —
+        # a fresh eager zeros + device_put per query would cost as much
+        # as the search itself through the tunnel (and the batch-slicing
+        # recursion below would repeat it per 8-query slice)
+        deleted_sharded = _zeros_mask(
+            mesh_cache_key(mesh), axis, int(x_sharded.shape[0])
         )
     if b > _MAX_PROGRAM_B:
         parts = [
@@ -334,16 +367,7 @@ def sharded_ivf_topk(
         qf = jnp.concatenate(
             [qf, jnp.zeros((b_pad - b, qf.shape[1]), jnp.float32)], axis=0
         )
-    mesh_key = (
-        id(mesh), mesh.axis_names, tuple(mesh.devices.shape),
-        tuple(d.id for d in mesh.devices.flat),
-    )
-    _MESHES[mesh_key] = mesh
-    if deleted_sharded is None:
-        deleted_sharded = jax.device_put(
-            jnp.zeros((int(x_sharded.shape[0]), 1), jnp.int8),
-            NamedSharding(mesh, P(axis, None)),
-        )
+    mesh_key = mesh_cache_key(mesh)
     k_run = min(bucket_k(k), n_live)
     fn = _sharded_ivf_searcher_cache(
         mesh_key, axis, nlist, cap_local, b_pad, int(k_run), nprobe,

@@ -142,6 +142,20 @@ import weakref
 _MESHES: "weakref.WeakValueDictionary[tuple, Mesh]" = weakref.WeakValueDictionary()
 
 
+def mesh_cache_key(mesh: Mesh) -> tuple:
+    """Registry key for ``_MESHES`` and the jitted-searcher caches.
+
+    Includes mesh CONTENT, not just ``id()``: a GC'd mesh's id can be
+    reused by a different mesh, which must not hit the old searcher.
+    Registers the mesh as a side effect (every caller needs both)."""
+    key = (
+        id(mesh), mesh.axis_names, tuple(mesh.devices.shape),
+        tuple(d.id for d in mesh.devices.flat),
+    )
+    _MESHES[key] = mesh
+    return key
+
+
 def sharded_topk(
     mesh: Mesh,
     x_sharded: jnp.ndarray,
@@ -156,13 +170,7 @@ def sharded_topk(
     """Replicated exact top-k over a row-sharded database."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    # key includes mesh content, not just id(): a GC'd mesh's id can be
-    # reused by a different mesh, which must not hit the old searcher
-    mesh_key = (
-        id(mesh), mesh.axis_names, tuple(mesh.devices.shape),
-        tuple(d.id for d in mesh.devices.flat),
-    )
-    _MESHES[mesh_key] = mesh
+    mesh_key = mesh_cache_key(mesh)
     # run at the bucketed k, slice the exact top-k prefix (ops.topk.bucket_k)
     k_run = bucket_k(int(k))
     fn = _searcher_cache(
@@ -262,11 +270,7 @@ def sharded_topk_int8(
     """Replicated top-k over a row-sharded int8-quantized database."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    mesh_key = (
-        id(mesh), mesh.axis_names, tuple(mesh.devices.shape),
-        tuple(d.id for d in mesh.devices.flat),
-    )
-    _MESHES[mesh_key] = mesh
+    mesh_key = mesh_cache_key(mesh)
     k_run = bucket_k(int(k))
     fn = _int8_searcher_cache(
         mesh_key, axis, int(x_i8_sharded.shape[0]), k_run,
@@ -387,12 +391,7 @@ class ShardedIndexSearcher:
         cap = int(self._x.shape[0])
         # fixed-size update chunks so the jitted updater compiles once
         m_pad = _ceil_to(max(m, 1), 256)
-        mesh_key = (
-            id(self.mesh), self.mesh.axis_names,
-            tuple(self.mesh.devices.shape),
-            tuple(d.id for d in self.mesh.devices.flat),
-        )
-        _MESHES[mesh_key] = self.mesh
+        mesh_key = mesh_cache_key(self.mesh)
         if self._scales is not None:
             # int8 capacity mode: quantize ONLY the new rows, then defer to
             # append_quantized (donated in-place updates of rows AND scales;
@@ -445,12 +444,7 @@ class ShardedIndexSearcher:
             return
         cap = int(self._x.shape[0])
         m_pad = _ceil_to(max(m, 1), 256)
-        mesh_key = (
-            id(self.mesh), self.mesh.axis_names,
-            tuple(self.mesh.devices.shape),
-            tuple(d.id for d in self.mesh.devices.flat),
-        )
-        _MESHES[mesh_key] = self.mesh
+        mesh_key = mesh_cache_key(self.mesh)
         if self.n_valid + m_pad <= cap:
             upd_q = np.zeros((m_pad, rows_i8.shape[1]), np.int8)
             upd_q[:m] = rows_i8

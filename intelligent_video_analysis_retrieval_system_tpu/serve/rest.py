@@ -521,7 +521,9 @@ class RetrievalServer:
                 report = {"cleared": True}
             elif action == "build_ann":
                 # build/rebuild the IVF latency structure (ops.ann) on a
-                # live server; persists in the container when writable
+                # live server; persists in the container when writable.
+                # NOTE: the build holds the index lock (searches queue
+                # behind it) — run in a maintenance window under traffic.
                 index = self.system.index
                 if index is None:
                     return web.json_response(
@@ -530,9 +532,29 @@ class RetrievalServer:
                 kwargs = {}
                 if payload.get("nlist"):
                     kwargs["nlist"] = int(payload["nlist"])
-                report = await self._run_sync(
-                    lambda: index.build_ann(**kwargs)
-                )
+
+                def _build_and_warm():
+                    import numpy as np
+
+                    rep = index.build_ann(**kwargs)
+                    # pre-warm the ANN searcher buckets before returning:
+                    # otherwise the FIRST live small-batch query compiles
+                    # the new program on the request path (serve
+                    # cold-start rule, CLAUDE.md round 3)
+                    if index.ann_active and index.ntotal:
+                        probe = np.zeros((1, index.dim), np.float32)
+                        probe[0, 0] = 1.0
+                        b = 1
+                        while True:
+                            index.search_vectors(
+                                np.tile(probe, (b, 1)), top_k=10
+                            )
+                            if b >= max(index.config.ann_max_batch, 1):
+                                break
+                            b *= 2
+                    return rep
+
+                report = await self._run_sync(_build_and_warm)
             elif action == "tune_ann":
                 # auto-pick the smallest nprobe reaching a target recall
                 # (sampled corpus queries vs the exact dense sweep)
@@ -546,9 +568,16 @@ class RetrievalServer:
                     kwargs["target_recall"] = float(payload["target_recall"])
                 if payload.get("sample"):
                     kwargs["sample"] = int(payload["sample"])
-                report = await self._run_sync(
-                    lambda: index.tune_nprobe(**kwargs)
-                )
+                try:
+                    report = await self._run_sync(
+                        lambda: index.tune_nprobe(**kwargs)
+                    )
+                except RuntimeError as exc:
+                    # precondition (no ANN structure yet), not a server
+                    # fault: 409 with the actionable message
+                    return web.json_response(
+                        error_envelope(str(exc), 409), status=409
+                    )
             else:
                 return web.json_response(
                     error_envelope(
