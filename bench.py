@@ -233,13 +233,16 @@ def bench_served_qps(xd, n_valid: int, embedder=None) -> dict:
     # per-request timeout and cascade into request failures.
     log("served-QPS: pre-warming encode + search buckets...")
     t0 = time.perf_counter()
-    # batching_max_batch=64, so live batches can hit ANY bucket up to 64:
-    # warm them all (encode buckets 8/32/64+, search buckets 8/16/32/64).
-    # A previously unwarmed b=32/64 search bucket compiling on a live
-    # request measured as multi-second p95 stalls (served_qps 30 vs ~100).
-    for b in (1, 32, 64):
+    # Warm exactly the buckets the load pattern can hit: client
+    # concurrency is 16, so live batches are <= 16 -> encode buckets
+    # 8/32, search buckets 8/16. (A fuller sweep incl. 32/64 was tried
+    # and measured 531 s of cold compiles for programs the 16-deep
+    # pattern never runs, starving later bench sections — and the
+    # multi-second p95 outliers recurred ANYWAY on that congested day:
+    # they track tunnel/compile-service weather, not cold buckets.)
+    for b in (1, 32):
         system.embedder.encode_text([f"warm {i}" for i in range(b)])
-    for b in (1, 9, 17, 33):   # search b-buckets 8, 16, 32, 64
+    for b in (1, 9):   # search b-buckets 8, 16
         qv = system.embedder.encode_text([f"warm s{i}" for i in range(b)])
         # exact=True so this warms the DENSE buckets even if an index
         # with a persisted ANN is ever used here (small batches would
@@ -596,6 +599,10 @@ def main() -> None:
             )
 
             del xd  # free the 1M bf16 copy before allocating 7.7 GB
+            import gc
+
+            gc.collect()  # cyclic refs can pin device buffers (one run
+            # OOM'd here while a fresh process allocated 10M fine)
             N10 = 10_000_000
             n_pad = -(-N10 // TILE_N) * TILE_N
             log(f"generating 10M x 768 int8 DB on device "
@@ -708,29 +715,6 @@ def main() -> None:
             del x10, s10, dead  # free 7.7 GB before the serving section
         except Exception as exc:
             log(f"10M int8 bench skipped: {type(exc).__name__}: {exc}")
-
-    # -- served QPS through the REST stack (batcher on) -------------------------
-    # Runs LAST: it is the least artifact-critical section and its facade
-    # (full ViT-L params, ~1.7 GB f32) must not crowd the 10M buffer.
-    if (
-        on_tpu
-        and not os.environ.get("IVARS_BENCH_SKIP_SERVE")
-        and not over_budget(700, "served-QPS section")
-    ):
-        try:
-            import gc
-
-            gc.collect()
-            log("served-QPS: generating fresh 1M bf16 DB on device...")
-            from intelligent_video_analysis_retrieval_system_tpu.ops.topk import (
-                TILE_N as _TILE_S,
-            )
-
-            xserve = gen_db_bf16_device(-(-N // _TILE_S) * _TILE_S, seed=31)
-            extra.update(bench_served_qps(xserve, N))
-            del xserve
-        except Exception as exc:
-            log(f"served-QPS skipped: {type(exc).__name__}: {exc}")
 
     # -- IVF ANN latency mode at 10M (ops.ann, round 3) -----------------------
     # Composed e2e (text encode + IVF probe) at B=1 over a regenerated 10M
@@ -874,6 +858,29 @@ def main() -> None:
             del ivf_state, x10, s10
         except Exception as exc:
             log(f"IVF section skipped: {type(exc).__name__}: {exc}")
+
+    # -- served QPS through the REST stack (batcher on) -------------------------
+    # Runs LAST: it is the least artifact-critical section and its facade
+    # (full ViT-L params, ~1.7 GB f32) must not crowd the 10M buffer.
+    if (
+        on_tpu
+        and not os.environ.get("IVARS_BENCH_SKIP_SERVE")
+        and not over_budget(700, "served-QPS section")
+    ):
+        try:
+            import gc
+
+            gc.collect()
+            log("served-QPS: generating fresh 1M bf16 DB on device...")
+            from intelligent_video_analysis_retrieval_system_tpu.ops.topk import (
+                TILE_N as _TILE_S,
+            )
+
+            xserve = gen_db_bf16_device(-(-N // _TILE_S) * _TILE_S, seed=31)
+            extra.update(bench_served_qps(xserve, N))
+            del xserve
+        except Exception as exc:
+            log(f"served-QPS skipped: {type(exc).__name__}: {exc}")
 
     baseline_ms = 39.0
     size = f"{N // 1_000_000}M" if N >= 1_000_000 else f"{N // 1000}k"
