@@ -677,6 +677,97 @@ class TestConsoleBuildAndNetworkPanel:
                                     "detail_level": "minimal"})
         assert "appended" not in {r["folder"] for r in out["results"]}
 
+    def test_ann_soak_under_concurrent_mutation(self, tmp_path):
+        """ANN serving soak: parallel /api/search racing a live build_ann
+        rebuild, tune_ann, appends (tail registration) and deletes — every
+        request must succeed and the final state must be consistent.
+        Dedicated server: build_ann would change the shared fixture's
+        routing for later tests."""
+        from intelligent_video_analysis_retrieval_system_tpu.retrieval.results import (
+            KeyframeMetadata,
+        )
+
+        rng = np.random.default_rng(23)
+        folder = tmp_path / "keyframes" / "v"
+        folder.mkdir(parents=True)
+        for n in range(24):
+            arr = rng.integers(0, 255, (48, 48, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(folder / f"{n}.jpg", quality=95)
+        cfg = Config(
+            config_file=None, base_dir=tmp_path, create_dirs=True,
+            overrides={"index": {"dtype": "float32", "thumbnail_size": 32,
+                                 "index_type": "ivf", "ann_nlist": 4,
+                                 "ann_nprobe": 4}},
+        )
+        system = EnhancedRetrievalSystem(
+            cfg, embedder=CLIPEmbedder(config=CLIPConfig.tiny_test(),
+                                       compute_dtype="float32")
+        )
+        system.build_system(tmp_path / "keyframes")
+        assert system.index.ann_active
+        port = free_port()
+        server = system.start_server(host="127.0.0.1", port=port,
+                                     block=False)
+        base = f"http://127.0.0.1:{port}"
+        errors, codes = [], []
+        lock = threading.Lock()
+
+        def hammer(tid):
+            for i in range(5):
+                try:
+                    code, out = http_json(
+                        f"{base}/api/search",
+                        {"query": f"t{tid} q{i}", "limit": 2,
+                         "detail_level": "minimal"},
+                    )
+                    with lock:
+                        codes.append(code)
+                    assert code == 200 and out["success"], (code, out)
+                except Exception as exc:  # noqa: BLE001
+                    with lock:
+                        errors.append(exc)
+
+        try:
+            threads = [threading.Thread(target=hammer, args=(t,))
+                       for t in range(4)]
+            for t in threads:
+                t.start()
+            # mutations race the in-flight ANN searches
+            dim = system.index.dim
+            rows = rng.standard_normal((3, dim)).astype(np.float32)
+            rows /= np.linalg.norm(rows, axis=-1, keepdims=True)
+            system.index.incremental_update(
+                rows,
+                [KeyframeMetadata(folder="app", image=f"{j}.jpg",
+                                  frame_id=200 + j) for j in range(3)],
+            )
+            code, out = http_json(f"{base}/api/maintenance",
+                                  {"action": "build_ann", "nlist": 4})
+            assert code == 200, out
+            code, out = http_json(
+                f"{base}/api/maintenance",
+                {"action": "tune_ann", "target_recall": 0.9, "sample": 4},
+            )
+            assert code == 200, out
+            system.index.delete_keys([("app", "0.jpg")])
+            for t in threads:
+                t.join(timeout=60)
+            assert not errors, errors
+            assert len(codes) == 20 and all(c == 200 for c in codes)
+            assert system.index.ann_active
+            # post-soak state: appended rows searchable, deleted row gone
+            hits = system.index.search_vectors(rows, top_k=1)
+            got = [h[0].metadata.folder if h else None for h in hits]
+            assert got[1] == "app" and got[2] == "app"
+            assert all(
+                h.metadata.key != ("app", "0.jpg")
+                for hs in system.index.search_vectors(rows[:1], top_k=5)
+                for h in hs
+            )
+        finally:
+            server.stop()
+            system.cleanup()
+
     def test_console_has_new_panels(self, served_system):
         root, _, port = served_system
         req = urllib.request.Request(f"http://127.0.0.1:{port}/")
