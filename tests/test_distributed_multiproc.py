@@ -85,6 +85,27 @@ res8 = sharded_topk_int8(mesh, Xq, Xs, jax.numpy.asarray(q), 10, n,
 ids8 = np.asarray(jax.device_get(res8.indices))
 assert list(ids8[:, 0]) == [0, 1, 2, 3], ids8[:, 0]
 
+# --- sharded ANN across hosts: every process builds the IDENTICAL IVF
+# state from its full local copy (deterministic device math), partitions
+# it onto the global mesh, and the shard_map program probes with gloo
+# collectives — full probe must return the exact dense candidate set.
+from intelligent_video_analysis_retrieval_system_tpu.ops.ann import build_ivf
+from intelligent_video_analysis_retrieval_system_tpu.parallel.sharded_ann import (
+    make_sharded_ivf,
+    sharded_ivf_topk,
+)
+
+state, report = build_ivf(
+    jax.numpy.asarray(x), n_rows=n, nlist=16, kmeans_iters=4, seed=0
+)
+shard_rows = int(X.shape[0]) // 8
+sivf = make_sharded_ivf(mesh, "index", state, shard_rows)
+resa = sharded_ivf_topk(mesh, X, sivf, jax.numpy.asarray(q), 10,
+                        nprobe=16, n_valid=n)
+ids_a = np.asarray(jax.device_get(resa.indices))
+for b in range(4):
+    assert set(ids_a[b].tolist()) == set(want[b].tolist()), (b, ids_a[b])
+
 print(f"MULTIHOST OK pid={pid}", flush=True)
 '''
 
