@@ -125,6 +125,13 @@ class UnifiedIndexConfig:
     ann_nlist: int | None = None     # None = ops.ann.default_nlist(n)
     ann_nprobe: int = 32
     ann_max_batch: int = 4
+    # FAISS-like persisted-index-type semantics: a container carrying an
+    # ``ann`` group reactivates approximate search on load even with
+    # ann=False (the file IS the index type). Set False to force
+    # exact-only serving regardless of what the container carries — the
+    # facade does this for index_type="exact" (the native spelling;
+    # reference FAISS names keep the FAISS behavior).
+    ann_restore: bool = True
 
 
 class UnifiedIndex:
@@ -157,6 +164,10 @@ class UnifiedIndex:
         self._dev_deleted = None    # (cap, 1) int8 device mask (lazy)
         # IVF structure (ops.ann.IVFState) when the ANN mode is active
         self._ann = None
+        # set while an overflow-append reload runs: suppresses the ANN
+        # AUTO-BUILD (persisted-state restore still happens) so appends
+        # never block on a synchronous k-means rebuild
+        self._ann_autobuild_suppressed = False
         # monotonically increasing mutation counter: bumps on load/append/
         # delete/compact so result caches keyed on it can never serve stale
         # hits after the index changes
@@ -311,7 +322,11 @@ class UnifiedIndex:
         if self._dev_x is None and self._sharded is None:
             return
         restored = self._restore_persisted_ann()
-        if not restored and self.config.ann:
+        if (
+            not restored
+            and self.config.ann
+            and not getattr(self, "_ann_autobuild_suppressed", False)
+        ):
             try:
                 self.build_ann()
             except Exception:
@@ -327,6 +342,8 @@ class UnifiedIndex:
         from ..ops.ann import IVFState, TAIL_MAX, tail_append
 
         assert self._container is not None
+        if not self.config.ann_restore:
+            return False  # exact-only serving requested (ann_restore)
         got = self._container.get_ann()
         if got is None:
             return False
@@ -355,6 +372,20 @@ class UnifiedIndex:
         self._ann = state
         if self._sharded is not None:
             self._sharded.set_ann(state)
+        if not self.config.ann:
+            # FAISS-like: the container's persisted index type activated
+            # approximate search without the config asking for it — say
+            # so where operators will see it
+            import logging
+
+            logging.getLogger("ivars").info(
+                "persisted ANN restored (nlist=%d, nprobe=%d): small "
+                "batches serve approximate results; pass exact=True per "
+                "query, use index_type='exact', or drop_ann() for "
+                "exact-only serving",
+                int(state.bucket_ids.shape[0]),
+                self.config.ann_nprobe,
+            )
         return True
 
     def build_ann(
@@ -529,6 +560,21 @@ class UnifiedIndex:
     @property
     def ann_active(self) -> bool:
         return self._ann is not None
+
+    def drop_ann(self) -> dict[str, Any]:
+        """Deactivate approximate search and (when writable) remove the
+        persisted structure — the container reverts to a plain exact
+        index on every future load."""
+        with self._lock:
+            was_active = self._ann is not None
+            self._ann = None
+            if self._sharded is not None:
+                self._sharded.clear_ann()
+            dropped = False
+            if self._container is not None and self._container.mode != "r":
+                self._container.drop_ann()
+                dropped = True
+            return {"was_active": was_active, "persisted_removed": dropped}
 
     def _ann_register_append(self, start: int, count: int) -> None:
         """Track appended rows in the IVF tail; on overflow drop to dense
@@ -709,7 +755,7 @@ class UnifiedIndex:
             return
         if self._dev_scales is not None:  # single-device int8
             if self._dev_x is None or self._n_valid + m > self._capacity:
-                self._upload_embeddings()
+                self._reload_for_append()
                 return
             q, s = self._quantize_like_upload(rows)
             self._dev_x = jax.lax.dynamic_update_slice(
@@ -722,7 +768,7 @@ class UnifiedIndex:
             self._n_valid += m
             return
         if self._dev_x is None or self._n_valid + m > self._capacity:
-            self._upload_embeddings()
+            self._reload_for_append()
             return
         dtype = self._dev_x.dtype
         update = jnp.asarray(rows, dtype)
@@ -731,6 +777,27 @@ class UnifiedIndex:
         )
         self._ann_register_append(self._n_valid, m)
         self._n_valid += m
+
+    def _reload_for_append(self) -> None:
+        """Full device re-upload on capacity overflow, WITHOUT the ANN
+        auto-build: an append must never block minutes on a synchronous
+        k-means rebuild (persisted-state RESTORE still runs — it is
+        cheap and keeps ANN when the tail can absorb the new rows). If
+        the restore cannot cover the appends, search degrades to dense
+        until :meth:`build_ann` is called — the same contract as the
+        in-place tail-overflow path (`ops/ann.py` module docs)."""
+        self._ann_autobuild_suppressed = True
+        try:
+            self._upload_embeddings()
+        finally:
+            self._ann_autobuild_suppressed = False
+        if self.config.ann and self._ann is None:
+            import logging
+
+            logging.getLogger("ivars").warning(
+                "ANN rebuild deferred after capacity-overflow append; "
+                "dense search until build_ann() is called"
+            )
 
     def _quantize_like_upload(
         self, rows: np.ndarray
@@ -1101,63 +1168,75 @@ class UnifiedIndex:
         Writes a new file (atomic rename over the original by default),
         remapping row ids; then reloads. Assets (thumbnails/images) of live
         rows are preserved.
-        """
-        assert self._container is not None and self.path is not None
-        if not self._deleted:
-            return {"compacted": 0, "ntotal": self._n_valid}
-        src = self._container
-        dst_path = Path(output_path) if output_path else self.path.with_name(
-            self.path.name + ".compact"
-        )
-        from .container import IndexContainer
 
-        keep = [r for r in range(src.num_rows) if r not in self._deleted]
-        with IndexContainer(
-            dst_path, mode="w", dim=src.dim, dtype=src.dtype
-        ) as dst:
-            CHUNK_ROWS = 8192
-            for start in range(0, len(keep), CHUNK_ROWS):
-                rows = keep[start : start + CHUNK_ROWS]
-                # bulk-read the covering range, then select (avoids per-row
-                # HDF5 reads; tombstones are sparse so the range is tight)
-                lo, hi = rows[0], rows[-1] + 1
-                block = src.read_embeddings(lo, hi, as_float32=True)
-                emb = block[np.asarray(rows) - lo]
-                dst.append_embeddings(emb)
-                # bulk metadata read of the covering range (per-record
-                # get_metadata pays ~1 ms of h5py overhead each)
-                range_records = src.read_metadata_range(lo, hi)
-                records = []
-                for new_id, old in enumerate(rows, start=start):
-                    record = range_records[old - lo]
-                    record["row_id"] = new_id
-                    records.append(record)
-                dst.append_metadata(records)
-                if src.num_thumbnails:
-                    thumbs = src.read_blob_range("thumbnails", lo, hi)
-                    dst.append_thumbnails([thumbs[r - lo] for r in rows])
-                if src.num_images:
-                    imgs = src.read_blob_range("images", lo, hi)
-                    dst.append_images([imgs[r - lo] for r in rows])
-            # carry journal hashes + maps + system config
-            dst.append_journal(sorted(src.journal_hashes()))
-            for folder in src.map_folders():
-                dst.put_map(folder, src.get_map(folder))
-            build_info = src.get_system("build")
-            if build_info:
-                dst.put_system("build", build_info)
-            dst.flush_checkpoint({"compacted_from": str(self.path)})
-        removed = len(self._deleted)
-        mode = self._container.mode
-        in_place = output_path is None
-        if in_place:
-            self._container.close()
-            self._container = None
-            self._invalidate_sidecar()
-            dst_path.replace(self.path)
-            self.load_unified_index(self.path, mode="a" if mode != "r" else "r")
-        return {"compacted": removed, "ntotal": self._n_valid,
-                "path": str(self.path if in_place else dst_path)}
+        Holds the index lock for the whole copy + swap: the REST
+        maintenance action exposes compaction on LIVE servers, where an
+        unlocked compact racing delete/append would resurrect tombstoned
+        rows (stale ``keep`` snapshot) or drop concurrently appended ones,
+        and readers could hit the closed container mid-swap. Searches
+        queue behind it — run under traffic only in a maintenance window.
+        """
+        with self._lock:
+            assert self._container is not None and self.path is not None
+            if not self._deleted:
+                return {"compacted": 0, "ntotal": self._n_valid}
+            src = self._container
+            dst_path = (
+                Path(output_path) if output_path
+                else self.path.with_name(self.path.name + ".compact")
+            )
+            from .container import IndexContainer
+
+            keep = [r for r in range(src.num_rows) if r not in self._deleted]
+            with IndexContainer(
+                dst_path, mode="w", dim=src.dim, dtype=src.dtype
+            ) as dst:
+                CHUNK_ROWS = 8192
+                for start in range(0, len(keep), CHUNK_ROWS):
+                    rows = keep[start : start + CHUNK_ROWS]
+                    # bulk-read the covering range, then select (avoids
+                    # per-row HDF5 reads; tombstones are sparse so the
+                    # range is tight)
+                    lo, hi = rows[0], rows[-1] + 1
+                    block = src.read_embeddings(lo, hi, as_float32=True)
+                    emb = block[np.asarray(rows) - lo]
+                    dst.append_embeddings(emb)
+                    # bulk metadata read of the covering range (per-record
+                    # get_metadata pays ~1 ms of h5py overhead each)
+                    range_records = src.read_metadata_range(lo, hi)
+                    records = []
+                    for new_id, old in enumerate(rows, start=start):
+                        record = range_records[old - lo]
+                        record["row_id"] = new_id
+                        records.append(record)
+                    dst.append_metadata(records)
+                    if src.num_thumbnails:
+                        thumbs = src.read_blob_range("thumbnails", lo, hi)
+                        dst.append_thumbnails([thumbs[r - lo] for r in rows])
+                    if src.num_images:
+                        imgs = src.read_blob_range("images", lo, hi)
+                        dst.append_images([imgs[r - lo] for r in rows])
+                # carry journal hashes + maps + system config
+                dst.append_journal(sorted(src.journal_hashes()))
+                for folder in src.map_folders():
+                    dst.put_map(folder, src.get_map(folder))
+                build_info = src.get_system("build")
+                if build_info:
+                    dst.put_system("build", build_info)
+                dst.flush_checkpoint({"compacted_from": str(self.path)})
+            removed = len(self._deleted)
+            mode = self._container.mode
+            in_place = output_path is None
+            if in_place:
+                self._container.close()
+                self._container = None
+                self._invalidate_sidecar()
+                dst_path.replace(self.path)
+                self.load_unified_index(
+                    self.path, mode="a" if mode != "r" else "r"
+                )
+            return {"compacted": removed, "ntotal": self._n_valid,
+                    "path": str(self.path if in_place else dst_path)}
 
     # -- stats ----------------------------------------------------------------
 

@@ -83,15 +83,17 @@ def pad_database(x: jnp.ndarray) -> jnp.ndarray:
 
 def bucket_b(b: int) -> int:
     """Compile-bucket for the query-batch dimension: next power of two in
-    [8, 256], then 256-multiples.
+    [8, 128], then 32-multiples (uncapped).
 
     Serving batch sizes vary per micro-batching window; the former
     ceil-to-8 padding compiled a FRESH searcher program per distinct
     size, and through a congested compile service that measured as 20x
     batch-time blowups under concurrent load (132 ms -> 2.4 s per batch,
-    served-QPS probe). Power-of-two buckets cap the program count at ~6
-    while the sweep stays database-stream-bound (extra query columns are
-    nearly free).
+    served-QPS probe). Power-of-two buckets keep the program count at 5
+    for the serving range (b <= 128) while the sweep stays
+    database-stream-bound (extra query columns are nearly free); batch
+    APIs above 128 are offline/bulk callers where a few extra programs
+    are irrelevant next to the sweep time.
 
     Above 128 the buckets step by 32, not powers of two: the int8 XLA
     backend materializes an (N, b_pad) i32 score matrix, and rounding a

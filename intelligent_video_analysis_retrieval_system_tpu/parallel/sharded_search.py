@@ -48,6 +48,22 @@ def _pad_b(b: int) -> int:
     return bucket_b(b)
 
 
+def _pad_queries_to_bucket(q):
+    """Pad (b, d) queries to the compile bucket BEFORE the jitted call.
+
+    The outer jit specializes on the INPUT shape: padding inside the
+    shard_map (which the inner searcher caches do) still compiles one
+    outer program per distinct b — measured on the serving path as the
+    20x batch-time blowup class (CLAUDE.md round 3). Callers slice the
+    result back to b rows."""
+    b = int(q.shape[0])
+    b_pad = _pad_b(b)
+    if b_pad == b:
+        return q, b
+    pad = jnp.zeros((b_pad - b, q.shape[1]), q.dtype)
+    return jnp.concatenate([q, pad], axis=0), b
+
+
 def _ici_merge(scores, gids, axis, n_dev, k, b):
     """Gather every chip's (B, k_local) candidates over ICI, k-select locally.
 
@@ -171,18 +187,20 @@ def sharded_topk(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     mesh_key = mesh_cache_key(mesh)
-    # run at the bucketed k, slice the exact top-k prefix (ops.topk.bucket_k)
+    # run at the bucketed batch AND k, slice the exact prefix
+    q_run, b = _pad_queries_to_bucket(q)
     k_run = bucket_k(int(k))
     fn = _searcher_cache(
         mesh_key, axis, int(x_sharded.shape[0]), k_run, bool(use_pallas),
         bool(interpret), deleted_sharded is not None,
     )
     if deleted_sharded is not None:
-        scores, ids = fn(x_sharded, q, jnp.int32(n_valid), deleted_sharded)
+        scores, ids = fn(x_sharded, q_run, jnp.int32(n_valid),
+                         deleted_sharded)
     else:
-        scores, ids = fn(x_sharded, q, jnp.int32(n_valid))
-    if scores.shape[1] > k:
-        scores, ids = scores[:, :k], ids[:, :k]
+        scores, ids = fn(x_sharded, q_run, jnp.int32(n_valid))
+    if scores.shape[0] > b or scores.shape[1] > k:
+        scores, ids = scores[:b, :k], ids[:b, :k]
     return TopKResult(scores, ids)
 
 
@@ -271,6 +289,7 @@ def sharded_topk_int8(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     mesh_key = mesh_cache_key(mesh)
+    q_run, b = _pad_queries_to_bucket(q)
     k_run = bucket_k(int(k))
     fn = _int8_searcher_cache(
         mesh_key, axis, int(x_i8_sharded.shape[0]), k_run,
@@ -281,10 +300,10 @@ def sharded_topk_int8(
         deleted_sharded = jax.device_put(
             deleted_sharded, NamedSharding(mesh, P(axis, None))
         )
-    scores, ids = fn(x_i8_sharded, scales_sharded, q, jnp.int32(n_valid),
-                     deleted_sharded)
-    if scores.shape[1] > k:
-        scores, ids = scores[:, :k], ids[:, :k]
+    scores, ids = fn(x_i8_sharded, scales_sharded, q_run,
+                     jnp.int32(n_valid), deleted_sharded)
+    if scores.shape[0] > b or scores.shape[1] > k:
+        scores, ids = scores[:b, :k], ids[:b, :k]
     return TopKResult(scores, ids)
 
 

@@ -61,6 +61,31 @@ if TYPE_CHECKING:
 __all__ = ["RetrievalServer"]
 
 
+def _with_ann_warm(index, action, **kwargs):
+    """Run an ANN maintenance action, then pre-warm the ANN searcher
+    buckets it (re)keys before returning: batch buckets 1..ann_max_batch
+    (powers of two) x the common serving k values (limit 10 -> k-bucket
+    16, the API default limit 20 -> 32). Otherwise the FIRST live query
+    after a build/tune compiles the new program on the request path —
+    the serve cold-start failure class (CLAUDE.md round 3). nprobe is a
+    static compile arg too, which is why tune needs this as much as
+    build."""
+    import numpy as np
+
+    report = action(**kwargs)
+    if index.ann_active and index.ntotal:
+        probe = np.zeros((1, index.dim), np.float32)
+        probe[0, 0] = 1.0
+        for top_k in (10, 20):
+            b = 1
+            while True:
+                index.search_vectors(np.tile(probe, (b, 1)), top_k=top_k)
+                if b >= max(index.config.ann_max_batch, 1):
+                    break
+                b *= 2
+    return report
+
+
 class RetrievalServer:
     def __init__(
         self,
@@ -533,28 +558,9 @@ class RetrievalServer:
                 if payload.get("nlist"):
                     kwargs["nlist"] = int(payload["nlist"])
 
-                def _build_and_warm():
-                    import numpy as np
-
-                    rep = index.build_ann(**kwargs)
-                    # pre-warm the ANN searcher buckets before returning:
-                    # otherwise the FIRST live small-batch query compiles
-                    # the new program on the request path (serve
-                    # cold-start rule, CLAUDE.md round 3)
-                    if index.ann_active and index.ntotal:
-                        probe = np.zeros((1, index.dim), np.float32)
-                        probe[0, 0] = 1.0
-                        b = 1
-                        while True:
-                            index.search_vectors(
-                                np.tile(probe, (b, 1)), top_k=10
-                            )
-                            if b >= max(index.config.ann_max_batch, 1):
-                                break
-                            b *= 2
-                    return rep
-
-                report = await self._run_sync(_build_and_warm)
+                report = await self._run_sync(
+                    lambda: _with_ann_warm(index, index.build_ann, **kwargs)
+                )
             elif action == "tune_ann":
                 # auto-pick the smallest nprobe reaching a target recall
                 # (sampled corpus queries vs the exact dense sweep)
@@ -570,7 +576,9 @@ class RetrievalServer:
                     kwargs["sample"] = int(payload["sample"])
                 try:
                     report = await self._run_sync(
-                        lambda: index.tune_nprobe(**kwargs)
+                        lambda: _with_ann_warm(
+                            index, index.tune_nprobe, **kwargs
+                        )
                     )
                 except RuntimeError as exc:
                     # precondition (no ANN structure yet), not a server

@@ -321,7 +321,11 @@ class EnhancedRetrievalSystem:
             ann=self._resolve_index_type(sec.get("index_type", "flat")),
             ann_nlist=sec.get("ann_nlist"),
             ann_nprobe=int(sec.get("ann_nprobe", 32)),
-            ann_max_batch=int(sec.get("ann_max_batch", 8)),
+            ann_max_batch=int(sec.get("ann_max_batch", 4)),
+            # "exact" (native spelling) forces exact-only serving even if
+            # the container carries a persisted ANN; reference FAISS
+            # names keep FAISS's the-file-is-the-index-type behavior
+            ann_restore=str(sec.get("index_type", "flat")) != "exact",
         )
 
     def _resolve_index_type(self, index_type: str) -> bool:

@@ -502,3 +502,51 @@ class TestUnifiedIndexANN:
         with pytest.raises(RuntimeError, match="ANN not active"):
             idx.tune_nprobe()
         idx.close()
+
+    def test_ann_restore_flag_and_drop(self, tmp_path, big_corpus):
+        """ann_restore=False forces exact-only serving despite a persisted
+        structure; drop_ann removes it durably."""
+        x, _ = big_corpus
+        idx = _make_index(tmp_path, x)  # builds + persists on load
+        idx.close()
+        path = tmp_path / "ann.rvdb"
+        exact_only = UnifiedIndex(
+            UnifiedIndexConfig(ann_restore=False)
+        ).load_unified_index(path)
+        assert not exact_only.ann_active
+        exact_only.close()
+        # default config: FAISS-like restore, then durable drop
+        re = UnifiedIndex().load_unified_index(path, mode="a")
+        assert re.ann_active
+        out = re.drop_ann()
+        assert out["was_active"] and out["persisted_removed"]
+        assert not re.ann_active
+        re.close()
+        re2 = UnifiedIndex().load_unified_index(path)
+        assert not re2.ann_active
+        re2.close()
+
+    def test_overflow_append_defers_ann_rebuild(self, tmp_path, big_corpus):
+        """A capacity-overflow append must NOT run a synchronous k-means
+        rebuild under the lock: with no restorable persisted state, ANN
+        degrades to dense until build_ann() is called."""
+        x, _ = big_corpus
+        idx = _make_index(tmp_path, x)
+        assert idx.ann_active and idx._capacity == len(x)  # full to the brim
+        idx._container.drop_ann()  # nothing to restore after the reload
+        rng = np.random.default_rng(3)
+        new = _normed(rng, 4, x.shape[1])
+        idx.incremental_update(
+            new,
+            [{"folder": "w", "image": f"n{i}.jpg", "frame_id": i}
+             for i in range(4)],
+        )
+        assert idx.ntotal == len(x) + 4
+        assert not idx.ann_active, "append ran a synchronous ANN rebuild"
+        hits = idx.search_vectors(new, top_k=1)  # dense fallback is exact
+        assert [h[0].metadata.row_id for h in hits] == [
+            len(x) + i for i in range(4)
+        ]
+        idx.build_ann()  # explicit rebuild reactivates
+        assert idx.ann_active
+        idx.close()

@@ -72,6 +72,35 @@ class TestShardedSearch:
         )
         np.testing.assert_array_equal(got.indices, want.indices)
 
+    def test_batch_sizes_share_one_compiled_program(self, index_mesh, rng):
+        """Queries must be padded to the compile bucket BEFORE the jitted
+        sharded program: serving batch sizes vary per window, and a
+        per-size retrace recompiles the shard_map on live requests (the
+        20x blowup class, CLAUDE.md round 3). All b <= 8 map to ONE
+        compiled signature — asserted via the jit cache size."""
+        from intelligent_video_analysis_retrieval_system_tpu.ops.topk import (
+            bucket_k,
+        )
+        from intelligent_video_analysis_retrieval_system_tpu.parallel.sharded_search import (
+            _searcher_cache,
+            mesh_cache_key,
+        )
+
+        x, q = self._data(rng, b=8)
+        searcher = ShardedIndexSearcher(index_mesh, dtype=jnp.float32)
+        searcher.load(x)
+        for b in (1, 2, 3, 5, 8):
+            res = searcher.search(q[:b], k=5, use_pallas=False)
+            assert res.scores.shape == (b, 5)
+        fn = _searcher_cache(
+            mesh_cache_key(index_mesh), "index", int(searcher._x.shape[0]),
+            bucket_k(5), False, False, False,
+        )
+        assert fn._cache_size() == 1, (
+            f"{fn._cache_size()} compiled signatures for b<=8 — query "
+            "padding must happen outside the jitted call"
+        )
+
     def test_results_replicated(self, index_mesh, rng):
         x, q = self._data(rng, n=2000)
         searcher = ShardedIndexSearcher(index_mesh, dtype=jnp.float32)

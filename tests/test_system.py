@@ -648,6 +648,24 @@ class TestIndexTypeMapping:
         _, system = built_system
         assert not system.index.ann_active
 
+    def test_exact_name_disables_persisted_ann(self, tmp_path):
+        """index_type='exact' (native spelling) forces exact-only serving
+        even when the container carries a persisted ANN; the reference
+        FAISS names keep FAISS's the-file-is-the-index-type behavior."""
+        system = self._system(tmp_path, "IndexIVFFlat")
+        assert system.index.ann_active
+        path = system.index.path
+        system.cleanup()
+        for index_type, expect in (("exact", False), ("flat", True)):
+            cfg = Config(
+                config_file=None, base_dir=tmp_path, create_dirs=True,
+                overrides={"index": {"index_type": index_type}},
+            )
+            s2 = EnhancedRetrievalSystem(cfg, embedder=tiny_embedder())
+            s2.load_system(path)
+            assert s2.index.ann_active is expect, index_type
+            s2.cleanup()
+
     def test_target_recall_self_tunes(self, tmp_path):
         """index.ann_target_recall makes the facade auto-pick nprobe on
         build (and load): config's ann_nprobe is only the starting point."""
