@@ -89,16 +89,21 @@ class TestShardedSearch:
         x, q = self._data(rng, b=8)
         searcher = ShardedIndexSearcher(index_mesh, dtype=jnp.float32)
         searcher.load(x)
-        for b in (1, 2, 3, 5, 8):
-            res = searcher.search(q[:b], k=5, use_pallas=False)
-            assert res.scores.shape == (b, 5)
+        # the lru-cached jitted fn is shared suite-wide, so other tests
+        # may already have compiled bucketed signatures — assert the
+        # DELTA from this test's five batch sizes is at most one
         fn = _searcher_cache(
             mesh_cache_key(index_mesh), "index", int(searcher._x.shape[0]),
             bucket_k(5), False, False, False,
         )
-        assert fn._cache_size() == 1, (
-            f"{fn._cache_size()} compiled signatures for b<=8 — query "
-            "padding must happen outside the jitted call"
+        before = fn._cache_size()
+        for b in (1, 2, 3, 5, 8):
+            res = searcher.search(q[:b], k=5, use_pallas=False)
+            assert res.scores.shape == (b, 5)
+        grew = fn._cache_size() - before
+        assert grew <= 1, (
+            f"{grew} new compiled signatures for b<=8 — query padding "
+            "must happen outside the jitted call"
         )
 
     def test_results_replicated(self, index_mesh, rng):
