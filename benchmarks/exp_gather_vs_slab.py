@@ -143,11 +143,11 @@ def main() -> None:
         ("slabs_int8", by_slabs_int8, starts),
     ):
         fn(x, arg, q, jnp.int32(0))  # compile
+        timed = functools.partial(
+            lambda i, f, a: f(x, a, q, jnp.int32(i % 255)), f=fn, a=arg
+        )
         p50, p95, _ = percentile_rounds(
-            functools.partial(
-                lambda i, f=fn, a=arg: f(x, a, q, jnp.int32(i % 255))
-            ),
-            args.rounds, args.per_round, overhead,
+            timed, args.rounds, args.per_round, overhead
         )
         gbs = n_cand * D / (p50 * 1e-3) / 1e9
         log(f"{name:14s}: p50 {p50:7.2f} ms  p95 {p95:7.2f} ms  "
