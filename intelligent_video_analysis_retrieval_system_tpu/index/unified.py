@@ -116,15 +116,19 @@ class UnifiedIndexConfig:
     # reference's approximate index types (core.py:1213-1216). Applies to
     # every device backend — mesh-backed indexes run the partitioned
     # sharded program (parallel.sharded_ann), equal to the single-device
-    # result. Batches larger than ann_max_batch fall back to the dense sweep
-    # (candidate traffic is per-query; the dense pass amortizes — measured
-    # on v5e at 10M int8: B=1 IVF 2.5-7.4 ms vs dense 15.5 ms, but B=8
-    # IVF 21.5 ms/batch vs dense 13.7 — crossover sits near B=4;
+    # result. Batches larger than ann_max_batch fall back to the dense
+    # sweep. Round 4's batched union program (ops.ann
+    # _build_ivf_batch_searcher: probed buckets dedup across the batch,
+    # one shared row gather, one GEMM) replaced the round-3 per-query
+    # batching (which materialized B duplicated candidate tensors and
+    # lost to dense above B=4: 21.5 vs 13.7 ms/batch at B=8 over 10M);
+    # the crossover default is 16 (serving concurrency 16 forms batches
+    # <= 16, so ANN now stays engaged under load; re-measured in
     # benchmarks/exp_ivf_10m.py).
     ann: bool = False
     ann_nlist: int | None = None     # None = ops.ann.default_nlist(n)
     ann_nprobe: int = 32
-    ann_max_batch: int = 4
+    ann_max_batch: int = 16
     # FAISS-like persisted-index-type semantics: a container carrying an
     # ``ann`` group reactivates approximate search on load even with
     # ann=False (the file IS the index type). Set False to force

@@ -72,10 +72,16 @@ __all__ = [
 TAIL_MAX = 8192
 # Selection chunk for the search's two-phase top-k (mirrors ops.topk.CHUNK).
 _SEL_CHUNK = 128
-# Max in-program query batch: candidate gather memory is per-query
-# (B x nprobe x bucket_cap x d bytes); larger batches slice through the
+# Max in-program query batch (upper bound; the effective bound is also
+# memory-derived, see _max_program_b). Batches beyond it slice through the
 # same compiled program.
-_MAX_PROGRAM_B = 8
+_MAX_PROGRAM_B = 16
+# Budget for the batched searcher's union candidate gather
+# (min(B*nprobe, nlist) * cap * d * dtype bytes). ~1.6 GB leaves headroom
+# next to a 7.7 GB 10M int8 corpus on a 16 GB v5e.
+_GATHER_BUDGET = int(
+    __import__("os").environ.get("IVARS_ANN_GATHER_BUDGET", 1_600_000_000)
+)
 # Row chunk for build-time assignment sweeps over the corpus: bounds the
 # transient (chunk, nlist) f32 score block (64k x 16384 x 4B = 4 GB worst
 # case -> use 16k rows: <= 1 GB).
@@ -103,6 +109,22 @@ class IVFBuildReport(NamedTuple):
 
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _max_program_b(nlist: int, cap: int, d: int, nprobe: int,
+                   row_bytes: int) -> int:
+    """Largest power-of-two in-program batch whose union candidate gather
+    (min(B*nprobe, nlist) * cap * d * row_bytes) fits ``_GATHER_BUDGET``
+    (never above ``_MAX_PROGRAM_B``). The gather output is the batched
+    searcher's only batch-scaling allocation; the (B, n_cand) f32 score
+    matrix is ~d x smaller."""
+    b = 1
+    while b < _MAX_PROGRAM_B:
+        nxt = b * 2
+        if min(nxt * nprobe, nlist) * cap * d * row_bytes > _GATHER_BUDGET:
+            break
+        b = nxt
+    return b
 
 
 def _bucket_b_ann(b: int) -> int:
@@ -581,6 +603,216 @@ def _topk_over_candidates_float(x, qf, cand, valid, k: int, n_valid, deleted):
     return TopKResult(top_s, top_ids.astype(jnp.int32))
 
 
+def _dedup_probes(probes, nlist: int, u_slots: int):
+    """Union-dedup the batch's probed bucket ids into ``u_slots`` static
+    slots (sentinel ``nlist`` marks empty/duplicate slots).
+
+    Two device sorts: (1) sort the flat (B*nprobe,) probe ids and mark
+    duplicates by neighbor equality; (2) stable sort by (is_dup, id) so the
+    unique ids compact to the front. ``u_slots = min(B*nprobe, nlist)``
+    bounds the unique count, so the static prefix always holds them all.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    flat = probes.reshape(-1).astype(jnp.int32)          # (B*nprobe,)
+    ids_sorted = lax.sort(flat)
+    dup = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         (ids_sorted[1:] == ids_sorted[:-1]).astype(jnp.int32)]
+    )
+    dup_s, ids_unique_first = lax.sort((dup, ids_sorted), num_keys=2)
+    return jnp.where(
+        dup_s[:u_slots] == 0, ids_unique_first[:u_slots], nlist
+    )                                                    # (u_slots,)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_ivf_batch_searcher(
+    nlist: int,
+    cap: int,
+    d: int,
+    b_pad: int,
+    k: int,
+    nprobe: int,
+    tail_max: int,
+    int8: bool,
+):
+    """Compile-once BATCHED IVF searcher: union candidate set + one GEMM.
+
+    The per-query searcher (:func:`_build_ivf_searcher`) materializes a
+    (B, nprobe*cap, d) candidate tensor — B duplicated gathers feeding B
+    M=1 batched dots, which is why IVF lost to the dense sweep above
+    B=4 (round-3 measurement: 21.5 vs 13.7 ms/batch at B=8 over 10M).
+    This program instead:
+
+    1. dedups the batch's probed buckets into ``u_slots = min(B*nprobe,
+       nlist)`` static slots (:func:`_dedup_probes`) — overlapping queries
+       share bucket fetches (duplicate slots degrade to cache-hot row-0
+       reads);
+    2. gathers the union candidate rows ONCE: (u_slots*cap + tail, d);
+    3. scores ALL queries against the union in ONE (B, d) x (d, C) GEMM —
+       a proper MXU shape streaming the candidate rows once per batch
+       instead of once per query;
+    4. masks each query down to candidates from its OWN probed buckets
+       (+ the always-scanned tail) before selection, so per-query results
+       are IDENTICAL to the B=1 program regardless of batch composition —
+       batching stays deterministic (ties aside) and cache-safe.
+
+    Reference analog: FAISS IVF serves batched queries natively
+    (``core.py:1213-1216`` accepted IndexIVFFlat); this is the TPU-shaped
+    equivalent.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    import jax
+
+    if int8:
+
+        def search(x_i8, x_scales, centroids, bucket_ids, tail_ids,
+                   tail_count, q, n_valid, deleted):
+            import jax.numpy as jnp
+
+            qf = q.astype(jnp.float32)
+            cand, valid, own = _probe_candidates_batched(
+                centroids, bucket_ids, tail_ids, tail_count, qf, n_valid,
+                nprobe,
+            )
+            if deleted is not None:
+                valid &= deleted[jnp.where(valid, cand, 0), 0] == 0
+            return _topk_over_union_int8(
+                x_i8, x_scales, qf, cand, valid, own, k
+            )
+
+        return jax.jit(search)
+
+    def search(x, centroids, bucket_ids, tail_ids, tail_count, q, n_valid,
+               deleted):
+        import jax.numpy as jnp
+
+        qf = q.astype(jnp.float32)
+        cand, valid, own = _probe_candidates_batched(
+            centroids, bucket_ids, tail_ids, tail_count, qf, n_valid, nprobe
+        )
+        if deleted is not None:
+            valid &= deleted[jnp.where(valid, cand, 0), 0] == 0
+        return _topk_over_union_float(
+            x, qf, cand, valid, own, k, n_valid, deleted
+        )
+
+    return jax.jit(search)
+
+
+def _probe_candidates_batched(centroids, bucket_ids, tail_ids, tail_count,
+                              qf, n_valid, nprobe: int):
+    """Union probe selection shared by the single-device and sharded
+    batched searchers. Returns ``(cand, valid, own)``:
+
+    - ``cand`` (n_cand,): the SHARED candidate id vector — union of the
+      batch's probed buckets (deduped into static slots) + the tail;
+    - ``valid`` (n_cand,): range mask (callers AND in tombstones);
+    - ``own`` (B, n_cand): per-query own-probe membership, restoring
+      B=1-identical per-query candidate sets under batching.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    b_pad = qf.shape[0]
+    nlist, cap = bucket_ids.shape
+    tail_max = tail_ids.shape[0]
+    u_slots = min(b_pad * nprobe, nlist)
+    cs = jnp.dot(qf, centroids.T, preferred_element_type=jnp.float32)
+    _, probes = lax.top_k(cs, nprobe)                    # (B, nprobe)
+    u_ids = _dedup_probes(probes, nlist, u_slots)        # (u_slots,)
+    u_safe = jnp.minimum(u_ids, nlist - 1)
+    bids = jnp.where(
+        (u_ids < nlist)[:, None], bucket_ids[u_safe], -1
+    )                                                    # (u_slots, cap)
+    tids = jnp.where(jnp.arange(tail_max) < tail_count, tail_ids, -1)
+    cand = jnp.concatenate([bids.reshape(-1), tids])     # (n_cand,) shared
+    valid = (cand >= 0) & (cand < n_valid)
+    own_u = jnp.any(
+        probes[:, :, None] == u_ids[None, None, :], axis=1
+    )                                                    # (B, u_slots)
+    own = jnp.concatenate(
+        [
+            jnp.broadcast_to(
+                own_u[:, :, None], (b_pad, u_slots, cap)
+            ).reshape(b_pad, u_slots * cap),
+            jnp.ones((b_pad, tail_max), bool),
+        ],
+        axis=1,
+    )                                                    # (B, n_cand)
+    return cand, valid, own
+
+
+def _topk_over_union_int8(x_i8, x_scales, qf, cand, valid, own, k: int):
+    """int8-metric top-k over the SHARED union candidate set: one row
+    gather + one (B, d) x (d, C) GEMM. Bit-matches the per-query metric
+    (``_topk_over_candidates_int8``); ``own`` masks each query down to its
+    own probed buckets before selection."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from .quant import _quantize_q
+
+    safe = jnp.where(valid, cand, 0)
+    q_i8, q_scales = _quantize_q(qf)
+    rows = x_i8[safe]                                    # (n_cand, d) int8
+    int_dot = lax.dot_general(
+        q_i8, rows,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)                                # (B, n_cand)
+    scores = int_dot * x_scales[safe][None, :] * q_scales[:, None]
+    scores = jnp.where(valid[None, :] & own, scores, -jnp.inf)
+    cand_b = jnp.broadcast_to(cand[None], scores.shape)
+    flat, block_cand = _select_blocks(scores, cand_b, k)
+    k_eff = min(k, flat.shape[1])
+    top_s, pos = lax.top_k(flat, k_eff)
+    top_ids = jnp.take_along_axis(block_cand, pos, axis=1)
+    return TopKResult(top_s, top_ids.astype(jnp.int32))
+
+
+def _topk_over_union_float(x, qf, cand, valid, own, k: int, n_valid,
+                           deleted):
+    """Two-phase float top-k over the SHARED union candidate set.
+
+    Phase A: one storage-dtype (B, d) x (d, C) GEMM over the union rows;
+    phase B: exact f32-HIGHEST rescore of each query's selected blocks
+    (identical structure to ``_topk_over_candidates_float``)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    safe = jnp.where(valid, cand, 0)
+    rows = x[safe]                                       # (n_cand, d) storage
+    approx = lax.dot_general(
+        qf.astype(x.dtype), rows,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                    # (B, n_cand)
+    approx = jnp.where(valid[None, :] & own, approx, -jnp.inf)
+    cand_b = jnp.broadcast_to(cand[None], approx.shape)
+    _, block_cand = _select_blocks(approx, cand_b, k)
+    bvalid = (block_cand >= 0) & (block_cand < n_valid)
+    bsafe = jnp.where(bvalid, block_cand, 0)
+    if deleted is not None:
+        bvalid &= deleted[bsafe, 0] == 0
+    rescored = jnp.einsum(
+        "bd,bcd->bc",
+        qf,
+        x[bsafe].astype(jnp.float32),
+        precision=lax.Precision.HIGHEST,
+    )
+    rescored = jnp.where(bvalid, rescored, -jnp.inf)
+    k_eff = min(k, rescored.shape[1])
+    top_s, pos = lax.top_k(rescored, k_eff)
+    top_ids = jnp.take_along_axis(block_cand, pos, axis=1)
+    return TopKResult(top_s, top_ids.astype(jnp.int32))
+
+
 @functools.lru_cache(maxsize=64)
 def _build_ivf_searcher(
     nlist: int,
@@ -655,11 +887,14 @@ def ivf_topk(
     bucket and (with the always-scanned tail) is provably exact.
 
     Batch size is compile-bucketed in powers of two from 1; k like the
-    dense path (``ops.topk.bucket_k``). Batches above ``_MAX_PROGRAM_B``
-    run as slices through the same compiled program: candidate gather
-    memory scales with the in-program batch (B x nprobe x cap x d), so an
-    unbounded batch would materialize tens of GB (measured: 20 GB at 64
-    queries x nprobe=128 x 10M rows).
+    dense path (``ops.topk.bucket_k``). B=1 runs the chip-validated
+    per-query program; B>1 runs the BATCHED union program
+    (:func:`_build_ivf_batch_searcher`): probed buckets dedup across the
+    batch, candidate rows gather once, and scoring is one (B, d) x (d, C)
+    GEMM — per-query results equal the B=1 program (own-probe masking).
+    Batches above the memory-derived program cap (union gather bytes <=
+    ``IVARS_ANN_GATHER_BUDGET``, and never above ``_MAX_PROGRAM_B``) run
+    as slices through the same compiled program.
     """
     import jax.numpy as jnp
 
@@ -670,21 +905,24 @@ def ivf_topk(
             jnp.full((b, 0), -jnp.inf, jnp.float32),
             jnp.zeros((b, 0), jnp.int32),
         )
-    if b > _MAX_PROGRAM_B:
+    nlist, cap = int(state.bucket_ids.shape[0]), int(state.bucket_ids.shape[1])
+    nprobe = int(min(max(nprobe, 1), nlist))
+    prog_b = _max_program_b(
+        nlist, cap, int(x.shape[1]), nprobe, np.dtype(x.dtype).itemsize
+    )
+    if b > prog_b:
         parts = [
             ivf_topk(
-                x, state, q[s:s + _MAX_PROGRAM_B], k, nprobe=nprobe,
+                x, state, q[s:s + prog_b], k, nprobe=nprobe,
                 n_valid=n_valid, deleted=deleted, x_scales=x_scales,
             )
-            for s in range(0, b, _MAX_PROGRAM_B)
+            for s in range(0, b, prog_b)
         ]
         return TopKResult(
             jnp.concatenate([p.scores for p in parts], axis=0),
             jnp.concatenate([p.indices for p in parts], axis=0),
         )
     k = min(k, n_live)
-    nlist, cap = int(state.bucket_ids.shape[0]), int(state.bucket_ids.shape[1])
-    nprobe = int(min(max(nprobe, 1), nlist))
     tail_max = int(state.tail_ids.shape[0])
 
     b_pad = _bucket_b_ann(b)
@@ -694,7 +932,8 @@ def ivf_topk(
             [qf, jnp.zeros((b_pad - b, qf.shape[1]), jnp.float32)], axis=0
         )
     k_run = min(bucket_k(k), n_live)
-    searcher = _build_ivf_searcher(
+    build = _build_ivf_searcher if b_pad == 1 else _build_ivf_batch_searcher
+    searcher = build(
         nlist, cap, int(x.shape[1]), b_pad, int(k_run), nprobe, tail_max,
         int8=x_scales is not None,
     )

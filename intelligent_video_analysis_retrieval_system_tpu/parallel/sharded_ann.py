@@ -41,13 +41,16 @@ from typing import NamedTuple
 import numpy as np
 
 from ..ops.ann import (
-    _MAX_PROGRAM_B,
     _SEL_CHUNK,
     IVFState,
     _ceil_to,
+    _max_program_b,
     _probe_candidates,
+    _probe_candidates_batched,
     _topk_over_candidates_float,
     _topk_over_candidates_int8,
+    _topk_over_union_float,
+    _topk_over_union_int8,
 )
 from ..ops.topk import TopKResult, bucket_k
 from .sharded_search import _MESHES, _ici_merge, mesh_cache_key
@@ -244,24 +247,44 @@ def _sharded_ivf_searcher_cache(
         offset = my * shard_rows
         local_valid = jnp.clip(n_valid - offset, 0, shard_rows)
         qf = q.astype(jnp.float32)
-        cand, valid = _probe_candidates(
-            centroids,
-            bucket,                      # (nlist, cap_local) local block
-            tails.reshape(-1),           # (tail_max,)
-            tcounts.reshape(()),         # (1,) block -> scalar
-            qf,
-            local_valid,
-            nprobe,
-        )
-        valid &= dead[jnp.where(valid, cand, 0), 0] == 0
-        if int8:
-            local = _topk_over_candidates_int8(
-                x_shard, scales_shard.reshape(-1), qf, cand, valid, k
+        if b_pad > 1:
+            # batched union program (round 4, ops.ann): probed buckets
+            # dedup across the batch, the shard's candidate rows gather
+            # once, scoring is one GEMM; own-probe masking keeps per-query
+            # results equal to the B=1 program
+            cand, valid, own = _probe_candidates_batched(
+                centroids, bucket, tails.reshape(-1), tcounts.reshape(()),
+                qf, local_valid, nprobe,
             )
+            valid &= dead[jnp.where(valid, cand, 0), 0] == 0
+            if int8:
+                local = _topk_over_union_int8(
+                    x_shard, scales_shard.reshape(-1), qf, cand, valid,
+                    own, k,
+                )
+            else:
+                local = _topk_over_union_float(
+                    x_shard, qf, cand, valid, own, k, local_valid, dead
+                )
         else:
-            local = _topk_over_candidates_float(
-                x_shard, qf, cand, valid, k, local_valid, dead
+            cand, valid = _probe_candidates(
+                centroids,
+                bucket,                      # (nlist, cap_local) local block
+                tails.reshape(-1),           # (tail_max,)
+                tcounts.reshape(()),         # (1,) block -> scalar
+                qf,
+                local_valid,
+                nprobe,
             )
+            valid &= dead[jnp.where(valid, cand, 0), 0] == 0
+            if int8:
+                local = _topk_over_candidates_int8(
+                    x_shard, scales_shard.reshape(-1), qf, cand, valid, k
+                )
+            else:
+                local = _topk_over_candidates_float(
+                    x_shard, qf, cand, valid, k, local_valid, dead
+                )
         gids = jnp.where(
             jnp.isfinite(local.scores), local.indices + offset, -1
         ).astype(jnp.int32)
@@ -318,7 +341,9 @@ def sharded_ivf_topk(
     sharded device arrays ``parallel.sharded_search`` uses; results equal
     the single-device ``ops.ann.ivf_topk`` on the un-sharded corpus with
     the same source ``IVFState``. Batch/k compile-bucket exactly like the
-    single-device path; batches above ``ops.ann._MAX_PROGRAM_B`` slice
+    single-device path (B=1 per-query program; B>1 the batched union
+    program); batches above the memory-derived program cap
+    (``ops.ann._max_program_b`` over the PER-SHARD cap_local) slice
     through the same compiled program.
     """
     import jax.numpy as jnp
@@ -338,26 +363,30 @@ def sharded_ivf_topk(
         deleted_sharded = _zeros_mask(
             mesh_cache_key(mesh), axis, int(x_sharded.shape[0])
         )
-    if b > _MAX_PROGRAM_B:
+    n_dev = mesh.shape[axis]
+    nlist = int(sivf.bucket_ids.shape[0]) // n_dev
+    cap_local = int(sivf.bucket_ids.shape[1])
+    tail_max = int(sivf.tail_ids.shape[1])
+    nprobe = int(min(max(nprobe, 1), nlist))
+    prog_b = _max_program_b(
+        nlist, cap_local, int(x_sharded.shape[1]), nprobe,
+        np.dtype(x_sharded.dtype).itemsize,
+    )
+    if b > prog_b:
         parts = [
             sharded_ivf_topk(
-                mesh, x_sharded, sivf, q[s : s + _MAX_PROGRAM_B], k,
+                mesh, x_sharded, sivf, q[s : s + prog_b], k,
                 nprobe=nprobe, n_valid=n_valid,
                 deleted_sharded=deleted_sharded,
                 scales_sharded=scales_sharded, axis=axis,
             )
-            for s in range(0, b, _MAX_PROGRAM_B)
+            for s in range(0, b, prog_b)
         ]
         return TopKResult(
             jnp.concatenate([p.scores for p in parts], axis=0),
             jnp.concatenate([p.indices for p in parts], axis=0),
         )
     k = min(k, n_live)
-    n_dev = mesh.shape[axis]
-    nlist = int(sivf.bucket_ids.shape[0]) // n_dev
-    cap_local = int(sivf.bucket_ids.shape[1])
-    tail_max = int(sivf.tail_ids.shape[1])
-    nprobe = int(min(max(nprobe, 1), nlist))
 
     from ..ops.ann import _bucket_b_ann
 

@@ -109,6 +109,25 @@ class QueryBatcher:
 
     # -- worker --------------------------------------------------------------
 
+    def _effective_max_batch(self) -> int:
+        """ANN-aware micro-batch cap.
+
+        When the index serves in IVF latency mode, batches above
+        ``config.ann_max_batch`` (the measured IVF/dense crossover) would
+        silently fall back to the dense sweep — the round-3 failure mode
+        where ANN's headline win vanished exactly under load. Capping the
+        micro-batch keeps ANN engaged; the device pipelines the extra
+        micro-batches FIFO.
+        """
+        index = getattr(self.system, "index", None)
+        if index is not None and getattr(index, "ann_active", False):
+            try:
+                return max(1, min(self.max_batch,
+                                  int(index.config.ann_max_batch)))
+            except Exception:  # pragma: no cover — config shape drift
+                pass
+        return self.max_batch
+
     def _collect(self) -> list[_Pending]:
         try:
             first = self._queue.get(timeout=0.1)
@@ -116,7 +135,8 @@ class QueryBatcher:
             return []
         batch = [first]
         deadline = time.monotonic() + self.window_s
-        while len(batch) < self.max_batch:
+        max_batch = self._effective_max_batch()
+        while len(batch) < max_batch:
             remaining = deadline - time.monotonic()
             if remaining <= 0:
                 break

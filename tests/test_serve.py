@@ -1025,6 +1025,36 @@ class TestQueryBatcher:
         with pytest.raises(RuntimeError):
             batcher.search("x")
 
+    def test_ann_aware_micro_batch_cap(self, served_system):
+        """With an ANN-active index the batcher must cap micro-batches at
+        config.ann_max_batch (the IVF/dense crossover) so ANN stays
+        engaged under load — the round-3 gap where the latency mode
+        silently disengaged exactly when the server got busy."""
+        from intelligent_video_analysis_retrieval_system_tpu.serve.batching import (
+            QueryBatcher,
+        )
+
+        _, system, _ = served_system
+        batcher = QueryBatcher(system, max_batch=64)
+        assert batcher._effective_max_batch() == 64  # no ANN: full batch
+
+        class _AnnIndex:
+            ann_active = True
+
+            class config:
+                ann_max_batch = 16
+
+        real = system.index
+        system.index = _AnnIndex()
+        try:
+            assert batcher._effective_max_batch() == 16
+            _AnnIndex.config.ann_max_batch = 128  # crossover above cap
+            assert batcher._effective_max_batch() == 64
+            _AnnIndex.ann_active = False
+            assert batcher._effective_max_batch() == 64
+        finally:
+            system.index = real
+
     def test_server_batching_path(self, tmp_path):
         """Server with api.batching=true serves correct results."""
         rng = np.random.default_rng(9)

@@ -528,3 +528,48 @@ class TestMeshServingStack:
         finally:
             server.stop()
             system.cleanup()
+
+
+class TestShardedBatchComposition:
+    """Round-4 batched union program through the mesh: a query's sharded
+    results must not depend on its micro-batch peers, and single-query
+    dispatch must agree with the batch."""
+
+    def test_batch_vs_single_query(self, placed, corpus, mesh):
+        x_single, x_sh, state, sivf, _ = placed
+        _, q = corpus
+        batch = sharded_ivf_topk(
+            mesh, x_sh, sivf, jnp.asarray(q), 10, nprobe=16, n_valid=N
+        )
+        for i in range(len(q)):
+            one = sharded_ivf_topk(
+                mesh, x_sh, sivf, jnp.asarray(q[i:i + 1]), 10, nprobe=16,
+                n_valid=N,
+            )
+            assert set(np.asarray(batch.indices[i]).tolist()) == set(
+                np.asarray(one.indices[0]).tolist()
+            )
+            np.testing.assert_allclose(
+                np.sort(np.asarray(batch.scores[i])),
+                np.sort(np.asarray(one.scores[0])),
+                atol=1e-5,
+            )
+
+    def test_composition_invariance(self, placed, corpus, mesh):
+        _, x_sh, _, sivf, _ = placed
+        _, q = corpus
+        a = sharded_ivf_topk(
+            mesh, x_sh, sivf, jnp.asarray(q[[0, 1]]), 5, nprobe=16, n_valid=N
+        )
+        b = sharded_ivf_topk(
+            mesh, x_sh, sivf, jnp.asarray(q[[0, 5, 3, 2]]), 5, nprobe=16,
+            n_valid=N,
+        )
+        assert set(np.asarray(a.indices[0]).tolist()) == set(
+            np.asarray(b.indices[0]).tolist()
+        )
+        np.testing.assert_allclose(
+            np.sort(np.asarray(a.scores[0])),
+            np.sort(np.asarray(b.scores[0])),
+            atol=1e-6,
+        )
