@@ -444,7 +444,6 @@ def _run(result: dict) -> None:
 
     from intelligent_video_analysis_retrieval_system_tpu.models import (
         CLIPConfig,
-        SimpleTokenizer,
     )
     from intelligent_video_analysis_retrieval_system_tpu.models.clip import (
         CLIPTextTower,
@@ -475,7 +474,17 @@ def _run(result: dict) -> None:
 
     cfg = CLIPConfig.vit_l_14()
     tower = CLIPTextTower(cfg.text, dtype=jnp.bfloat16)
-    tokenizer = SimpleTokenizer(vocab_size=cfg.text.vocab_size)
+    # IVARS_CLIP_VOCAB: optional dir with merges.txt — runs the real CLIP
+    # BPE instead of the hash fallback (latency is identical either way;
+    # the kind is recorded so the artifact states its text semantics)
+    from intelligent_video_analysis_retrieval_system_tpu.models.tokenizer import (
+        load_tokenizer,
+    )
+
+    tokenizer = load_tokenizer(
+        os.environ.get("IVARS_CLIP_VOCAB"), vocab_size=cfg.text.vocab_size
+    )
+    extra["tokenizer_kind"] = tokenizer.kind
     tokens = jnp.asarray(tokenizer(["a photo of a scene"], cfg.text.max_length))
     tp = jax.jit(tower.init)(jax.random.PRNGKey(0), tokens)["params"]
 

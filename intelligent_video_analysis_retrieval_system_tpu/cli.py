@@ -118,6 +118,8 @@ def _build_parser() -> argparse.ArgumentParser:
     dr.add_argument("--port", type=int, default=5001)
     dr.add_argument("--probe", default=None,
                     help="host:port of a peer to probe")
+    dr.add_argument("--config", default=None,
+                    help="config.json to check model/vocab provenance from")
 
     va = sub.add_parser("validate", help="server lifecycle self-test")
     va.add_argument("--port", type=int, default=0,
@@ -336,14 +338,54 @@ def cmd_doctor(args) -> int:
     import socket
 
     print("== device ==")
-    try:
-        import jax
+    # BOUNDED subprocess probe: during TPU-tunnel outages jax.devices()
+    # hangs indefinitely at backend init (observed 2026-08-17) — an
+    # in-process call would hang the diagnostic meant to detect exactly
+    # this condition.
+    import subprocess
+    import sys as _sys
 
-        print(f"  backend: {jax.default_backend()}")
-        for d in jax.devices():
-            print(f"  device: {d}")
+    try:
+        r = subprocess.run(
+            [_sys.executable, "-c",
+             "import jax; print(jax.default_backend()); "
+             "[print(d) for d in jax.devices()]"],
+            timeout=30, capture_output=True, text=True,
+        )
+        if r.returncode == 0:
+            lines = r.stdout.strip().splitlines()
+            print(f"  backend: {lines[0] if lines else '?'}")
+            for d in lines[1:]:
+                print(f"  device: {d}")
+        else:
+            tail = (r.stderr or "").strip().splitlines()
+            print(f"  JAX unavailable: {tail[-1] if tail else r.returncode}")
+    except subprocess.TimeoutExpired:
+        print("  JAX unavailable: backend init hung > 30s "
+              "(TPU tunnel down?)")
     except Exception as exc:
         print(f"  JAX unavailable: {exc}")
+    print("== model ==")
+    try:
+        from .models.tokenizer import load_tokenizer
+        from .utils.config import Config
+
+        cfg = Config(config_file=getattr(args, "config", None),
+                     create_dirs=False)
+        model_path = cfg.get("model.path")
+        vocab_dir = cfg.get("model.vocab_dir") or model_path
+        tok = load_tokenizer(vocab_dir)
+        print(f"  tokenizer: {tok.kind}"
+              + ("" if tok.kind == "clip_bpe" else
+                 "  (DEGRADED: text search will not match real CLIP "
+                 "semantics — set model.vocab_dir to a dir with "
+                 "merges.txt)"))
+        from pathlib import Path as _P
+
+        has_weights = model_path is not None and _P(str(model_path)).exists()
+        print(f"  weights: {'pretrained at ' + str(model_path) if has_weights else 'random init (no model.path)'}")
+    except Exception as exc:
+        print(f"  model check failed: {exc}")
     print("== network ==")
     host = socket.gethostname()
     print(f"  hostname: {host}")

@@ -111,6 +111,10 @@ class EnhancedRetrievalSystem:
             parity_mode=bool(self.config.get("device.parity_mode", False)),
             image_batch_size=int(self.config.get("model.image_batch_size", 256)),
             logger=self.logger,
+            # vocab-only upgrade path: dropping merges.txt(+vocab.json) into
+            # model.vocab_dir swaps the hash-fallback tokenizer for the real
+            # CLIP BPE without a weight checkpoint (models.tokenizer)
+            vocab_dir=self.config.get("model.vocab_dir"),
         )
         self.index: UnifiedIndex | None = None
         self.metadata = MetadataManager(file_manager=self.fm)

@@ -53,6 +53,9 @@ DEFAULT_CONFIG: dict[str, Any] = {
     },
     "model": {
         "name": "clip-vit-large-patch14",
+        "path": None,       # converted-checkpoint dir (None = random init)
+        "vocab_dir": None,  # dir with merges.txt(+vocab.json): real BPE
+        # tokenizer even without weights (hash fallback otherwise)
         "image_size": 224,
         "embed_dim": 768,
         "text_max_len": 77,

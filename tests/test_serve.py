@@ -164,6 +164,25 @@ class TestRESTServer:
         )
         assert status == 400
 
+    def test_degradation_surfaced(self, served_system):
+        """Round-4 (VERDICT r3 #3): a deployment running the hash-fallback
+        tokenizer / random-init weights must say so in /api/health
+        (first-class fields) AND on every text-search response — never a
+        green envelope over degraded semantics."""
+        _, system, port = served_system
+        system.embedder.ensure_loaded()
+        status, body = http_json(f"http://127.0.0.1:{port}/api/health")
+        assert status == 200
+        assert body["tokenizer_kind"] == "hash_fallback"
+        assert body["weights"] == "random_init"
+        status, body = http_json(
+            f"http://127.0.0.1:{port}/api/search",
+            {"query": "anything", "limit": 2},
+        )
+        assert status == 200 and body["success"]
+        assert "hash-fallback tokenizer" in body.get("warning", "")
+        assert "random-initialized" in body["warning"]
+
     def test_search_validation_errors(self, served_system):
         _, _, port = served_system
         status, body = http_json(

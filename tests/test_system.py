@@ -252,6 +252,37 @@ class TestHealthAndStats:
 
 
 class TestEmbedder:
+    def test_vocab_dir_config_upgrades_tokenizer(self, tmp_path):
+        """model.vocab_dir in the facade config must reach the embedder:
+        dropping merges.txt in upgrades a deployment from the hash
+        fallback to the real CLIP BPE without a weight checkpoint
+        (VERDICT r3 #3; reference tokenizer semantics core.py:1504)."""
+        from intelligent_video_analysis_retrieval_system_tpu.models import (
+            CLIPConfig,
+        )
+        from intelligent_video_analysis_retrieval_system_tpu.system import (
+            EnhancedRetrievalSystem,
+        )
+        from intelligent_video_analysis_retrieval_system_tpu.utils.config import (
+            Config,
+        )
+
+        vocab = tmp_path / "vocab"
+        vocab.mkdir()
+        (vocab / "merges.txt").write_text(
+            "#version: 0.2\nh e\nl l\nhe ll\nhell o</w>\n"
+        )
+        cfg = Config(
+            config_file=None, base_dir=tmp_path, create_dirs=True,
+            overrides={"model": {"vocab_dir": str(vocab)},
+                       "logging": {"file": False}},
+        )
+        system = EnhancedRetrievalSystem(cfg)
+        system.embedder._config_override = CLIPConfig.tiny_test()
+        system.embedder.ensure_loaded()
+        assert system.embedder.get_stats()["tokenizer"] == "clip_bpe"
+        system.cleanup()
+
     def test_text_batching_buckets(self):
         emb = tiny_embedder()
         out = emb.encode_text(["a", "b", "c"])  # pads to bucket 8
