@@ -145,7 +145,8 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="perturbation added to sampled rows (0 = exact "
                          "self-retrieval probes)")
     ev.add_argument("--seed", type=int, default=0)
-    ev.add_argument("--search", choices=["auto", "exact", "ann"],
+    ev.add_argument("--search",
+                    choices=["auto", "exact", "ann", "int8_rescore"],
                     default="auto",
                     help="candidate path: auto = whatever the index would "
                          "serve; ann = force IVF probing (batches chunked "
@@ -517,6 +518,16 @@ def cmd_evaluate(args) -> int:
         k = min(args.top_k, int((~dead).sum()))
 
         search_mode = getattr(args, "search", "auto")
+        if search_mode == "int8_rescore":
+            # quality gate for the int8 exact-rescore mode (requires a
+            # container built with UnifiedIndexConfig.int8_rescore so the
+            # bf16 copy exists)
+            if not getattr(index._container, "has_fp_rows", False):
+                print("index has no embeddings_fp copy — rebuild with "
+                      "index.int8_rescore=true", file=sys.stderr)
+                return 1
+            index.config.int8_rescore = True
+            search_mode = "auto"
         tune_target = getattr(args, "tune_nprobe", None)
         if tune_target:
             search_mode = "ann"

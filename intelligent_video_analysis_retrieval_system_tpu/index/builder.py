@@ -206,6 +206,7 @@ class RAGBuilder:
                 container = IndexContainer(
                     output_path, mode="a", dim=self.embed_dim,
                     dtype=self.config.dtype,
+                    keep_fp=getattr(self.config, "int8_rescore", False),
                 )
                 container.repair_to_consistent()
                 return container, container.journal_hashes()
@@ -221,7 +222,9 @@ class RAGBuilder:
         if output_path.is_file():
             output_path.unlink()
         container = IndexContainer(
-            output_path, mode="w", dim=self.embed_dim, dtype=self.config.dtype
+            output_path, mode="w", dim=self.embed_dim,
+            dtype=self.config.dtype,
+            keep_fp=getattr(self.config, "int8_rescore", False),
         )
         return container, set()
 

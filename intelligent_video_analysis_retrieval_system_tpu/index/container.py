@@ -99,9 +99,16 @@ class IndexContainer:
         dim: int = 768,
         dtype: str = "bfloat16",
         chunk_rows: int = 4096,
+        keep_fp: bool = False,
     ) -> None:
+        """``keep_fp``: int8 containers additionally store a bf16-bit copy
+        of every row (disk-only) so searches can exactly rescore the int8
+        top candidates at full precision (``UnifiedIndexConfig.
+        int8_rescore``). Ignored for non-int8 dtypes and when opening an
+        existing file (the layout is whatever was written)."""
         if h5py is None:
             raise RuntimeError("h5py is required for IndexContainer")
+        self._keep_fp = bool(keep_fp)
         self.path = Path(path)
         self.mode = mode
         if mode not in ("r", "w", "a"):
@@ -145,6 +152,16 @@ class IndexContainer:
                 "embedding_scales", shape=(0,), maxshape=(None,),
                 dtype=np.float32, chunks=(chunk_rows,),
             )
+            if self._keep_fp:
+                # optional full-precision (bf16-bit) copy for the exact-
+                # rescore mode: lives on DISK only (HBM keeps the 2x int8
+                # capacity win); small chunks bound the read amplification
+                # of the per-query top-k*factor row gather (64 rows * 768
+                # * 2 B ~= 96 KB per touched chunk)
+                f.create_dataset(
+                    "embeddings_fp", shape=(0, dim), maxshape=(None, dim),
+                    dtype=np.uint16, chunks=(min(64, chunk_rows), dim),
+                )
         blob = dict(shape=(0,), maxshape=(None,), dtype=np.uint8,
                     chunks=(1 << 20,))
         off = dict(shape=(1,), maxshape=(None,), dtype=np.int64, chunks=(4096,))
@@ -207,6 +224,14 @@ class IndexContainer:
             sds = self._f["embedding_scales"]
             sds.resize((start + len(rows),))
             sds[start:] = scales
+            if "embeddings_fp" in self._f:
+                from .. import native
+
+                fp = self._f["embeddings_fp"]
+                fp.resize((start + len(rows), self.dim))
+                fp[start:] = native.f32_to_bf16(
+                    np.ascontiguousarray(rows, np.float32)
+                )
         else:
             stored = self._to_storage(rows)
             ds.resize((start + len(rows), self.dim))
@@ -227,6 +252,44 @@ class IndexContainer:
             ds.read_direct(rows, np.s_[start:end])
             self._f["embedding_scales"].read_direct(scales, np.s_[start:end])
         return rows, scales
+
+    @property
+    def has_fp_rows(self) -> bool:
+        """True when this int8 container carries the optional bf16 copy
+        (written with ``keep_fp=True``) enabling exact rescore."""
+        return "embeddings_fp" in self._f
+
+    def read_fp_rows(self, row_ids: np.ndarray) -> np.ndarray:
+        """Gather full-precision rows by id from the bf16 copy -> (n, dim)
+        f32. The per-query exact-rescore gather (k*factor rows, ~100 KB):
+        ids are sorted for h5py then results restored to request order."""
+        if "embeddings_fp" not in self._f:
+            raise ValueError("container has no embeddings_fp (keep_fp) copy")
+        ids = np.asarray(row_ids, np.int64).reshape(-1)
+        order = np.argsort(ids, kind="stable")
+        sorted_ids = ids[order]
+        # h5py fancy indexing requires strictly increasing ids: dedupe
+        uniq, inverse = np.unique(sorted_ids, return_inverse=True)
+        bits = self._f["embeddings_fp"][uniq.tolist()]
+        from .. import native
+
+        rows_sorted = native.bf16_to_f32(bits)[inverse]
+        out = np.empty_like(rows_sorted)
+        out[order] = rows_sorted
+        return out
+
+    def read_fp_bits(self, start: int = 0, end: int | None = None) -> np.ndarray:
+        """Bulk-read the bf16 copy's raw bits (uint16) for range copies
+        (compact must preserve full precision, not round-trip through the
+        int8 quantizer)."""
+        if "embeddings_fp" not in self._f:
+            raise ValueError("container has no embeddings_fp (keep_fp) copy")
+        ds = self._f["embeddings_fp"]
+        end = ds.shape[0] if end is None else end
+        out = np.empty((end - start, self.dim), np.uint16)
+        if end > start:
+            ds.read_direct(out, np.s_[start:end])
+        return out
 
     def read_embeddings(
         self, start: int = 0, end: int | None = None, as_float32: bool = False

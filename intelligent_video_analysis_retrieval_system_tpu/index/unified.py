@@ -129,6 +129,25 @@ class UnifiedIndexConfig:
     ann_nlist: int | None = None     # None = ops.ann.default_nlist(n)
     ann_nprobe: int = 32
     ann_max_batch: int = 16
+    # int8 exact-rescore mode (round 4): containers built with this flag
+    # keep a bf16 copy of every row on DISK (embeddings_fp; HBM keeps the
+    # 2x int8 capacity win), and searches rescore the int8 top
+    # (k * int8_rescore_factor) candidates at full precision on the host
+    # (~100 KB gather/query) — recovering the exact bf16 ranking whenever
+    # int8's widened candidate set contains it (int8 top-10 overlap is
+    # already 97.5%; the x4 widening closes the rest; see cli evaluate
+    # --search int8_rescore). Reference exactness contract: core.py:
+    # 1204-1212 forces exact Flat.
+    int8_rescore: bool = False
+    int8_rescore_factor: int = 4
+    # Default-on recall guard (round 4): every build_ann() samples recall
+    # at the configured nprobe and climbs the tune_nprobe ladder to this
+    # target — on corpora without cluster structure (where IVF recall at
+    # fixed nprobe is a footgun: 0.15-0.33 measured on uniform corpora,
+    # benchmarks/exp_ivf_recall_sensitivity.py) the ladder lands at
+    # nprobe=nlist (provably exact) and logs a LOUD warning that ANN buys
+    # no latency there. None disables (build-time only; restores skip it).
+    ann_target_recall: float | None = 0.95
     # FAISS-like persisted-index-type semantics: a container carrying an
     # ``ann`` group reactivates approximate search on load even with
     # ann=False (the file IS the index type). Set False to force
@@ -364,25 +383,52 @@ class UnifiedIndex:
         extra = self._n_valid - ann_rows
         if tail_count + extra > TAIL_MAX:
             return False  # appends outgrew the tail: dense until rebuilt
-        state = IVFState(
-            centroids=jnp.asarray(arrays["centroids"], jnp.float32),
-            bucket_ids=jnp.asarray(arrays["bucket_ids"], jnp.int32),
-            tail_ids=jnp.asarray(arrays["tail_ids"], jnp.int32),
-            tail_count=jnp.asarray(tail_count, jnp.int32),
-            ann_rows=ann_rows,
-        )
-        if extra:
-            state = tail_append(state, list(range(ann_rows, self._n_valid)))
+        try:
+            # a corrupt / partially-written 'ann' group (e.g. a crash mid
+            # put_ann) must degrade to dense search, not fail the whole
+            # index load (mirrors the build_ann failure path)
+            state = IVFState(
+                centroids=jnp.asarray(arrays["centroids"], jnp.float32),
+                bucket_ids=jnp.asarray(arrays["bucket_ids"], jnp.int32),
+                tail_ids=jnp.asarray(arrays["tail_ids"], jnp.int32),
+                tail_count=jnp.asarray(tail_count, jnp.int32),
+                ann_rows=ann_rows,
+            )
+            if state.centroids.ndim != 2 or state.bucket_ids.ndim != 2 or (
+                int(state.centroids.shape[1]) != self.dim
+            ):
+                raise ValueError(
+                    f"bad ANN shapes: centroids {state.centroids.shape}, "
+                    f"bucket_ids {state.bucket_ids.shape}"
+                )
+            if extra:
+                state = tail_append(
+                    state, list(range(ann_rows, self._n_valid))
+                )
+        except Exception:
+            import logging
+
+            logging.getLogger("ivars").exception(
+                "persisted ANN group unreadable; dropping it and serving "
+                "dense search"
+            )
+            try:
+                self._container.drop_ann()  # no-op when read-only
+            except Exception:
+                pass
+            return False
         self._ann = state
         if self._sharded is not None:
             self._sharded.set_ann(state)
         if not self.config.ann:
             # FAISS-like: the container's persisted index type activated
-            # approximate search without the config asking for it — say
-            # so where operators will see it
+            # approximate search without the config asking for it — a
+            # WARNING (not info) because a default-config deployment now
+            # serves approximate results for small batches; ann_active is
+            # also surfaced in stats() / /api/stats
             import logging
 
-            logging.getLogger("ivars").info(
+            logging.getLogger("ivars").warning(
                 "persisted ANN restored (nlist=%d, nprobe=%d): small "
                 "batches serve approximate results; pass exact=True per "
                 "query, use index_type='exact', or drop_ann() for "
@@ -396,6 +442,7 @@ class UnifiedIndex:
         self,
         nlist: int | None = None,
         persist: bool = True,
+        check_recall: bool | None = None,
         **build_kwargs,
     ) -> dict[str, Any]:
         """Build (or rebuild) the IVF structure over the current device
@@ -404,6 +451,15 @@ class UnifiedIndex:
 
         Runs entirely on device. ``persist=True`` stores the structure in
         the container so later loads skip the build.
+
+        ``check_recall`` (default: on when ``config.ann_target_recall`` is
+        set — which it is by default): after the build, sample recall vs
+        the exact path and climb the ``tune_nprobe`` ladder to the target.
+        Guards the structureless-corpus footgun — IVF recall at a fixed
+        nprobe ranges 0.15-0.33 on uniform corpora (measured,
+        benchmarks/exp_ivf_recall_sensitivity.py); the ladder then lands
+        at nprobe=nlist (provably exact) and the build WARNS that ANN buys
+        no latency on this corpus instead of silently serving bad recall.
         """
         from ..ops.ann import build_ivf
 
@@ -438,24 +494,65 @@ class UnifiedIndex:
             if persist and self._container is not None \
                     and self._container.mode != "r":
                 self._persist_ann()
-        return report._asdict()
+            out = report._asdict()
+            target = self.config.ann_target_recall
+            if check_recall is None:
+                check_recall = bool(target)
+            if check_recall and target and self._container is not None:
+                import logging
+
+                log = logging.getLogger("ivars")
+                try:
+                    tune = self.tune_nprobe(target_recall=float(target))
+                    out["recall_check"] = tune
+                    nlist_built = int(self._ann.bucket_ids.shape[0])
+                    if tune["nprobe"] >= nlist_built:
+                        log.warning(
+                            "ANN recall check: this corpus shows weak "
+                            "cluster structure — nprobe climbed to nlist="
+                            "%d (equivalent to exact search with gather "
+                            "overhead; ladder: %s). ANN buys no latency "
+                            "here; consider index_type='exact'.",
+                            nlist_built, tune["ladder"],
+                        )
+                    else:
+                        log.info(
+                            "ANN recall check: recall@%d %.4f at tuned "
+                            "nprobe=%d (target %.2f)",
+                            tune["top_k"], tune["recall"], tune["nprobe"],
+                            float(target),
+                        )
+                except Exception:
+                    log.exception(
+                        "ANN recall check failed; keeping configured "
+                        "nprobe %d UNVERIFIED on this corpus",
+                        self.config.ann_nprobe,
+                    )
+        return out
 
     def tune_nprobe(
         self,
         target_recall: float = 0.99,
         sample: int = 32,
         top_k: int = 10,
+        noise: float = 0.25,
         seed: int = 0,
     ) -> dict[str, Any]:
         """Pick the smallest ``ann_nprobe`` reaching ``target_recall``.
 
         FAISS users hand-tune nprobe per corpus; here the index tunes
-        itself: sample ``sample`` stored rows as queries (retrieval
-        queries embed near their matches, so corpus rows are the natural
-        probe set), compare the ANN path against the exact dense sweep at
-        each rung of a doubling ladder, and stop at the first rung whose
-        mean recall@``top_k`` meets the target. Sets ``config.ann_nprobe``
-        and returns ``{"nprobe", "recall", "ladder": [(nprobe, recall)...]}``.
+        itself: sample ``sample`` stored rows, PERTURB them (``noise`` is
+        the relative noise-vector norm, like real retrieval queries that
+        embed near — not at — their matches), compare the ANN path against
+        the exact dense sweep at each rung of a doubling ladder, and stop
+        at the first rung whose mean recall@``top_k`` meets the target.
+        Sets ``config.ann_nprobe`` and returns ``{"nprobe", "recall",
+        "ladder": [(nprobe, recall)...]}``.
+
+        Why perturb: unperturbed corpus rows self-retrieve — a row's home
+        bucket is almost always its top probe, which overestimates recall
+        for out-of-corpus queries and would under-tune nprobe for served
+        traffic (``noise=0.0`` restores the optimistic variant).
 
         Cost: one exact sweep + a few small ANN sweeps over ``sample``
         queries — seconds, not minutes, at any corpus size.
@@ -499,6 +596,14 @@ class UnifiedIndex:
             q = rows / np.maximum(
                 np.linalg.norm(rows, axis=1, keepdims=True), 1e-12
             )
+            if noise > 0:
+                d = q.shape[1]
+                q = q + (noise / d**0.5) * rng.standard_normal(
+                    q.shape
+                ).astype(np.float32)
+                q /= np.maximum(
+                    np.linalg.norm(q, axis=1, keepdims=True), 1e-12
+                )
             exact = self.search_vectors(q, top_k=top_k, exact=True)
             exact_ids = [{h.metadata.row_id for h in hits}
                          for hits in exact]
@@ -828,6 +933,43 @@ class UnifiedIndex:
 
     # -- search ---------------------------------------------------------------
 
+    def _rescore_fp_host(
+        self,
+        q: np.ndarray,
+        scores: np.ndarray,
+        indices: np.ndarray,
+        want: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact full-precision rescore of the int8 search's widened
+        candidate set (``int8_rescore`` mode).
+
+        Gathers the candidates' bf16 rows from the container (host; the
+        device keeps only int8 — the 2x capacity win is untouched), scores
+        them f32 against the query, and returns the top ``want`` re-ranked
+        (B, want) arrays. Exactness: equals the bf16 dense path's ranking
+        whenever the int8 top-(want*factor) contains the true top-want
+        (measured recall@10 ~1.0; gate per-corpus via ``cli evaluate
+        --search int8_rescore``). Caller holds the index lock (container
+        access). ~want*factor rows * 1.5 KB of host reads per query.
+        """
+        b, k_dev = indices.shape
+        if k_dev == 0:
+            return scores, indices
+        finite = np.isfinite(scores)
+        safe = np.where(finite, indices, 0)
+        rows = self._container.read_fp_rows(safe.reshape(-1)).reshape(
+            b, k_dev, -1
+        )
+        new = np.einsum(
+            "bd,bkd->bk", q.astype(np.float32), rows, optimize=True
+        ).astype(np.float32)
+        new = np.where(finite, new, -np.inf)
+        order = np.argsort(-new, axis=1, kind="stable")[:, :want]
+        return (
+            np.take_along_axis(new, order, axis=1),
+            np.take_along_axis(indices, order, axis=1),
+        )
+
     def search_vectors(
         self,
         query_vectors: np.ndarray,
@@ -855,6 +997,21 @@ class UnifiedIndex:
             q = np.atleast_2d(np.asarray(query_vectors, dtype=np.float32))
             q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
             fetch = min(self._n_valid, top_k * over_fetch if filter_fn else top_k)
+            # int8 exact-rescore mode: widen the device candidate set so
+            # the host rescore (full-precision rows from the container's
+            # bf16 copy) can recover the exact bf16 ranking
+            rescore_fp = (
+                self.config.int8_rescore
+                and self._container is not None
+                and self._container.dtype == "int8"
+                and getattr(self._container, "has_fp_rows", False)
+            )
+            want = fetch
+            if rescore_fp:
+                fetch = min(
+                    self._n_valid,
+                    fetch * max(int(self.config.int8_rescore_factor), 1),
+                )
             use_ann = (
                 not exact
                 and self._ann is not None
@@ -902,6 +1059,16 @@ class UnifiedIndex:
                 )
             scores = np.asarray(result.scores, dtype=np.float32)
             indices = np.asarray(result.indices)
+            if rescore_fp:
+                scores, indices = self._rescore_fp_host(
+                    q, scores, indices, want
+                )
+            # snapshot the metadata reference INSIDE the lock: compact()
+            # (invokable on live servers via /api/maintenance) swaps
+            # self._metadata and remaps row ids in place — a request
+            # thread descheduled here must not attach post-compact
+            # metadata to pre-compact row ids
+            metadata = self._metadata
 
         out: list[list[SearchResult]] = []
         for b in range(len(q)):
@@ -909,9 +1076,9 @@ class UnifiedIndex:
             for score, row in zip(scores[b], indices[b]):
                 if not np.isfinite(score):
                     break  # -inf tail: masked/deleted fillers (k > live rows)
-                if row < 0 or row >= len(self._metadata):
+                if row < 0 or row >= len(metadata):
                     continue
-                meta = self._metadata[row]
+                meta = metadata[row]
                 if filter_fn is not None and not filter_fn(meta):
                     continue
                 hits.append(
@@ -1117,10 +1284,17 @@ class UnifiedIndex:
 
     def read_rows_f32(self, start: int = 0, end: int | None = None) -> "np.ndarray":
         """f32 rows regardless of storage dtype (dequantizes int8) —
-        public accessor for evaluation/export tooling."""
+        public accessor for evaluation/export tooling. When the container
+        carries the full-precision copy (``int8_rescore`` builds), rows
+        come from it, so evaluation oracles measure against TRUE full
+        precision rather than the dequantized int8 approximation."""
         assert self._container is not None, "index not loaded"
         if end is None:
             end = self._n_valid
+        if getattr(self._container, "has_fp_rows", False):
+            from .. import native
+
+            return native.bf16_to_f32(self._container.read_fp_bits(start, end))
         return self._container.read_embeddings_f32_any(start, end)
 
     @property
@@ -1192,8 +1366,10 @@ class UnifiedIndex:
             from .container import IndexContainer
 
             keep = [r for r in range(src.num_rows) if r not in self._deleted]
+            src_fp = getattr(src, "has_fp_rows", False)
             with IndexContainer(
-                dst_path, mode="w", dim=src.dim, dtype=src.dtype
+                dst_path, mode="w", dim=src.dim, dtype=src.dtype,
+                keep_fp=src_fp,
             ) as dst:
                 CHUNK_ROWS = 8192
                 for start in range(0, len(keep), CHUNK_ROWS):
@@ -1202,7 +1378,16 @@ class UnifiedIndex:
                     # per-row HDF5 reads; tombstones are sparse so the
                     # range is tight)
                     lo, hi = rows[0], rows[-1] + 1
-                    block = src.read_embeddings(lo, hi, as_float32=True)
+                    if src_fp:
+                        # rescore-enabled int8 source: copy from the bf16
+                        # copy so full precision survives the compact (an
+                        # int8->f32->int8 round-trip would freeze the fp
+                        # copy at int8 precision)
+                        from .. import native
+
+                        block = native.bf16_to_f32(src.read_fp_bits(lo, hi))
+                    else:
+                        block = src.read_embeddings(lo, hi, as_float32=True)
                     emb = block[np.asarray(rows) - lo]
                     dst.append_embeddings(emb)
                     # bulk metadata read of the covering range (per-record

@@ -325,7 +325,18 @@ class EnhancedRetrievalSystem:
             ann=self._resolve_index_type(sec.get("index_type", "flat")),
             ann_nlist=sec.get("ann_nlist"),
             ann_nprobe=int(sec.get("ann_nprobe", 32)),
-            ann_max_batch=int(sec.get("ann_max_batch", 4)),
+            ann_max_batch=int(sec.get("ann_max_batch", 16)),
+            # None in the config section means "use the dataclass default"
+            # (0.95, the default-on build-time recall guard); set an
+            # explicit number to retune, or 0/false to disable
+            ann_target_recall=(
+                UnifiedIndexConfig.ann_target_recall
+                if sec.get("ann_target_recall") is None
+                else (float(sec["ann_target_recall"])
+                      or None)
+            ),
+            int8_rescore=bool(sec.get("int8_rescore", False)),
+            int8_rescore_factor=int(sec.get("int8_rescore_factor", 4)),
             # "exact" (native spelling) forces exact-only serving even if
             # the container carries a persisted ANN; reference FAISS
             # names keep FAISS's the-file-is-the-index-type behavior

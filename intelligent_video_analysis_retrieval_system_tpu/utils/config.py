@@ -87,11 +87,19 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "index_type": "flat",
         "ann_nlist": None,           # None = ops.ann.default_nlist(n)
         "ann_nprobe": 32,
-        "ann_max_batch": 4,          # measured dense/IVF crossover on v5e
-        # when set (e.g. 0.99), the facade self-tunes ann_nprobe to the
-        # smallest value hitting this recall@k on every build/load
-        # (UnifiedIndex.tune_nprobe — seconds of work, never a blocker)
+        # dense/IVF crossover: batches above it fall back to the dense
+        # sweep (round-4 batched union program; serving concurrency 16
+        # forms batches <= 16 so ANN stays engaged under load)
+        "ann_max_batch": 16,
+        # None = the default-on build-time recall guard at 0.95
+        # (UnifiedIndexConfig.ann_target_recall); a number retargets the
+        # guard AND makes the facade retune on every load; 0 disables
         "ann_target_recall": None,
+        # int8 exact-rescore mode: keep a bf16 copy on disk and rescore
+        # the int8 top-(k*factor) at full precision per query (recovers
+        # the exact bf16 ranking; HBM capacity win untouched)
+        "int8_rescore": False,
+        "int8_rescore_factor": 4,
     },
     "ingest": {
         "dedup_threshold": 0.98,     # video_frame_filter.py:63-70

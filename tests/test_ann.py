@@ -666,3 +666,83 @@ class TestBatchedSearcher:
         )
         # tiny nlist: union saturates at nlist, cap never binds
         assert ann._max_program_b(64, 256, 64, 8, 4) == ann._MAX_PROGRAM_B
+
+
+class TestBuildRecallGuard:
+    """Default-on build_ann recall guard (round 4, VERDICT r3 #6): the
+    structureless-corpus footgun must be loud, not silent."""
+
+    def _container_index(self, tmp_path, x, **cfg):
+        return _make_index(tmp_path, x, **cfg)
+
+    def test_uniform_corpus_tunes_to_full_probe_and_warns(self, tmp_path):
+        import logging
+
+        # capture via a handler attached DIRECTLY to the "ivars" logger:
+        # earlier tests may configure it with propagate=False, which makes
+        # caplog order-dependent in full-suite runs
+        records = []
+
+        class _Grab(logging.Handler):
+            def emit(self, record):
+                records.append(record.getMessage())
+
+        grab = _Grab(level=logging.WARNING)
+        log = logging.getLogger("ivars")
+        log.addHandler(grab)
+        try:
+            rng = np.random.default_rng(0)
+            x = _normed(rng, 2048, 32)  # NO cluster structure
+            idx = _make_index(
+                tmp_path, x, ann_nlist=32, ann_nprobe=2, ann_max_batch=4
+            )
+        finally:
+            log.removeHandler(grab)
+        # the guard must have climbed the ladder (possibly to nlist) and,
+        # if it hit full probing, warned about weak structure
+        assert idx.ann_active
+        assert idx.config.ann_nprobe > 2, "guard did not retune nprobe"
+        if idx.config.ann_nprobe >= 32:
+            assert any("weak cluster structure" in m for m in records)
+        # whatever it picked, served recall now meets the target
+        q = _normed(rng, 8, 32)
+        got = idx.search_vectors(q, top_k=5)
+        want = idx.search_vectors(q, top_k=5, exact=True)
+        hits = sum(
+            len({h.metadata.row_id for h in g}
+                & {h.metadata.row_id for h in w}) / 5
+            for g, w in zip(got, want)
+        ) / 8
+        assert hits >= 0.85  # target 0.95 measured on perturbed samples
+        idx.close()
+
+    def test_clustered_corpus_keeps_cheap_nprobe(self, tmp_path):
+        rng = np.random.default_rng(1)
+        x = _clustered(rng, 2048, 32)
+        idx = _make_index(tmp_path, x, ann_nlist=64, ann_nprobe=4)
+        assert idx.ann_active
+        assert idx.config.ann_nprobe < 64, (
+            "clustered corpus should not need full probing"
+        )
+        idx.close()
+
+    def test_guard_disabled(self, tmp_path):
+        rng = np.random.default_rng(2)
+        x = _normed(rng, 1024, 32)
+        idx = _make_index(
+            tmp_path, x, ann_nlist=32, ann_nprobe=2, ann_target_recall=None
+        )
+        assert idx.config.ann_nprobe == 2, "guard ran despite None target"
+        idx.close()
+
+    def test_report_carries_recall_check(self, tmp_path):
+        rng = np.random.default_rng(3)
+        x = _clustered(rng, 1024, 32)
+        idx = _make_index(tmp_path, x, ann_target_recall=None)
+        report = idx.build_ann(check_recall=True)
+        # explicit check without a config target: skipped (target unset)
+        assert "recall_check" not in report
+        idx.config.ann_target_recall = 0.9
+        report = idx.build_ann()
+        assert report["recall_check"]["recall"] >= 0.9
+        idx.close()
