@@ -150,6 +150,7 @@ class RetrievalServer:
         app.router.add_post("/api/export", self._export)
         app.router.add_post("/api/build", self._build)
         app.router.add_get("/api/build/status", self._build_status)
+        app.router.add_post("/api/filter", self._filter)
         app.router.add_post("/api/open", self._open)
         app.router.add_post("/api/maintenance", self._maintenance)
         app.router.add_post("/api/network/discover", self._net_discover)
@@ -200,6 +201,52 @@ class RetrievalServer:
         )
 
     # -- REST handlers --------------------------------------------------------
+
+    def _admin_denied(self, request: "web.Request") -> "web.Response | None":
+        """Optional auth gate for the mutation surface (/api/open,
+        /api/maintenance, /api/build).
+
+        These endpoints can load arbitrary readable .rvdb paths and hold
+        the index lock for minutes (compact/build_ann) — a larger
+        unauthenticated surface than search. When ``api.admin_token`` is
+        configured, requests must carry it in ``X-Admin-Token`` or
+        ``Authorization: Bearer``; unset keeps the reference's LAN-trust
+        model (documented in docs/DEPLOYMENT.md).
+        """
+        token = self.system.config.get("api.admin_token")
+        if not token:
+            return None
+        got = request.headers.get("X-Admin-Token")
+        if got is None:
+            auth = request.headers.get("Authorization", "")
+            got = auth[7:] if auth.startswith("Bearer ") else None
+        import hmac
+
+        if got is not None and hmac.compare_digest(str(got), str(token)):
+            return None
+        return web.json_response(
+            error_envelope("admin token required", 401), status=401
+        )
+
+    def _open_path_denied(self, path) -> "web.Response | None":
+        """When ``api.open_root`` is configured, /api/open may only load
+        paths under that directory (stops a LAN peer from walking the
+        server's whole filesystem for readable containers)."""
+        root = self.system.config.get("api.open_root")
+        if not root:
+            return None
+        from pathlib import Path
+
+        try:
+            Path(path).resolve().relative_to(Path(root).resolve())
+            return None
+        except ValueError:
+            return web.json_response(
+                error_envelope(
+                    f"path outside the configured api.open_root", 403
+                ),
+                status=403,
+            )
 
     def _degraded_note(self) -> str | None:
         """One-line warning when text search runs with degraded semantics
@@ -516,12 +563,18 @@ class RetrievalServer:
         dir (``manifest.json``), a ``.rvdb`` file, or a directory that is
         scanned (non-recursively, plus its ``index/`` subdir) for the
         newest ``.rvdb``. Same host-trust level as ``/api/build``."""
+        denied = self._admin_denied(request)
+        if denied is not None:
+            return denied
         payload = await self._json(request)
         if payload is None or not payload.get("path"):
             return web.json_response(error_envelope("missing 'path'"), status=400)
         from pathlib import Path
 
         path = Path(str(payload["path"])).expanduser()
+        denied = self._open_path_denied(path)
+        if denied is not None:
+            return denied
         writable = bool(payload.get("writable", False))
 
         def do_open() -> str:
@@ -563,6 +616,9 @@ class RetrievalServer:
         """Maintenance actions (reference GUI maintenance menu ->
         ``system.py:1121-1213``): ``optimize`` (temp + cache trim),
         ``compact`` (physically drop tombstoned rows), ``clear_cache``."""
+        denied = self._admin_denied(request)
+        if denied is not None:
+            return denied
         payload = await self._json(request) or {}
         action = payload.get("action")
         try:
@@ -682,6 +738,9 @@ class RetrievalServer:
             self._broadcast({"event": "build_error", "error": str(exc)})
 
     async def _build(self, request: "web.Request") -> "web.Response":
+        denied = self._admin_denied(request)
+        if denied is not None:
+            return denied
         data = await self._json(request) or {}
         keyframes_dir = data.get("keyframes_dir")
         if not keyframes_dir or not isinstance(keyframes_dir, str):
@@ -716,6 +775,108 @@ class RetrievalServer:
 
     async def _build_status(self, request: "web.Request") -> "web.Response":
         return web.json_response({"success": True, **self._build_state})
+
+    # -- filter-tool launcher (reference GUI gui.py:4967-5019) ----------------
+
+    def _filter_worker(self, action: str, params: dict[str, Any]) -> None:
+        from pathlib import Path
+
+        from ..ingest import FrameFilter, FrameFilterConfig
+
+        try:
+            if action == "extract":
+                exts = {".mp4", ".avi", ".mkv", ".mov", ".webm"}
+                src = Path(params["input_dir"])
+                videos = sorted(
+                    p for p in src.iterdir()
+                    if p.suffix.lower() in exts and p.is_file()
+                )
+                if not videos:
+                    raise ValueError(f"no video files in {src}")
+                kf = Path(params.get("keyframes_dir") or src / "keyframes")
+                mp = Path(params.get("map_dir") or src / "map")
+                ff = FrameFilter()
+                saved = 0
+                for i, v in enumerate(videos):
+                    self._build_state.update(stage=f"extract {v.name}",
+                                             done=i, total=len(videos))
+                    self._broadcast({"event": "filter_progress",
+                                     "stage": v.name, "done": i,
+                                     "total": len(videos)})
+                    rep = ff.extract_frames(v, kf, map_dir=mp)
+                    saved += rep.frames_kept
+                report = {"videos": len(videos), "frames_kept": saved,
+                          "keyframes_dir": str(kf), "map_dir": str(mp)}
+            else:  # refine
+                preset = params.get("preset") or "default"
+                if preset == "gentle":
+                    cfg = FrameFilterConfig.gentle()
+                elif preset == "ultra_gentle":
+                    cfg = FrameFilterConfig.ultra_gentle()
+                elif preset == "similarity_only":
+                    cfg = FrameFilterConfig.similarity_only()
+                else:
+                    cfg = FrameFilterConfig()
+                self._build_state.update(stage="refine", done=0, total=1)
+                self._broadcast({"event": "filter_progress",
+                                 "stage": "refine", "done": 0, "total": 1})
+                rep = FrameFilter(cfg).apply_filters(
+                    params["input_dir"],
+                    output_dir=params.get("output_dir"),
+                    map_dir=params.get("map_dir"),
+                    output_map_dir=params.get("output_map_dir"),
+                )
+                report = rep.as_dict()
+                report.pop("per_folder", None)
+            self._build_state.update(status="done", job="filter", **report)
+            self._broadcast({"event": "filter_done", **report})
+        except Exception as exc:
+            self._build_state.update(status="error", job="filter",
+                                     error=str(exc))
+            self._broadcast({"event": "filter_error", "error": str(exc)})
+
+    async def _filter(self, request: "web.Request") -> "web.Response":
+        """Launch the ingest filter tool on a server-side directory
+        (reference GUI's filter launcher, ``gui.py:4967-5019``):
+        ``action="extract"`` runs video -> keyframes + map CSVs over every
+        video file in ``input_dir``; ``action="refine"`` runs the quality/
+        dedup refinement (presets: default/gentle/ultra_gentle/
+        similarity_only). Progress via WS ``filter_progress`` events;
+        shares the build wizard's one-job-at-a-time mutex and admin gate.
+        """
+        denied = self._admin_denied(request)
+        if denied is not None:
+            return denied
+        data = await self._json(request) or {}
+        action = data.get("action", "extract")
+        if action not in ("extract", "refine"):
+            return web.json_response(
+                error_envelope(f"unknown filter action: {action}"), status=400
+            )
+        input_dir = data.get("input_dir")
+        from pathlib import Path
+
+        if not input_dir or not Path(str(input_dir)).is_dir():
+            return web.json_response(
+                error_envelope(f"input_dir must be an existing directory"),
+                status=400,
+            )
+        with self._build_lock:
+            if self._build_state.get("status") == "running":
+                return web.json_response(
+                    error_envelope("a build/filter job is already running"),
+                    status=409,
+                )
+            self._build_state = {
+                "status": "running", "job": "filter", "action": action,
+                "input_dir": str(input_dir), "started_at": time.time(),
+            }
+            self._build_thread = threading.Thread(
+                target=self._filter_worker, args=(action, dict(data)),
+                daemon=True,
+            )
+            self._build_thread.start()
+        return web.json_response({"success": True, "status": "running"})
 
     # -- network panel (reference GUI network tab, gui.py:3248-4606) -----------
 
@@ -1074,6 +1235,7 @@ _CONSOLE_HTML = """<!doctype html>
  <button data-p="image">Image search</button>
  <button data-p="chat">Chat</button>
  <button data-p="build">Build</button>
+ <button data-p="staging">CSV list (<span id="stagecount">0</span>)</button>
  <button data-p="network">Network</button>
  <button data-p="stats">Stats</button>
 </nav></header>
@@ -1109,6 +1271,31 @@ _CONSOLE_HTML = """<!doctype html>
  <button class="go" onclick="doOpen()">Open</button></div>
  <div class="meta" id="ometa">smart-load: .rvdb file, portable dir
   (manifest.json), or newest .rvdb inside a folder</div>
+ <h3 style="margin-top:1.4rem">Filter tool</h3>
+ <div class="row"><input id="fdir" type="text"
+  placeholder="/path/to/videos (extract) or /path/to/keyframes (refine)">
+ <select id="fact"><option value="extract">extract keyframes</option>
+  <option value="refine">refine keyframes</option></select>
+ <select id="fpreset"><option value="default">default</option>
+  <option value="gentle">gentle</option>
+  <option value="ultra_gentle">ultra gentle</option>
+  <option value="similarity_only">similarity only</option></select>
+ <button class="go" onclick="doFilter()">Run</button></div>
+ <div class="meta" id="fmeta">extract: video files -&gt; keyframes/ + map/
+  CSVs; refine: drop blurry + near-duplicate frames (preset applies to
+  refine)</div>
+</section>
+<section id="staging" class="panel">
+ <div class="meta">Staged frames ("+csv" on any result card — the
+  reference GUI's CSV list, gui.py:756-1666). Export writes the
+  competition submission format: <code>&lt;folder&gt;.csv,&lt;frame_idx&gt;
+  [,"qa"]</code>. "Use in chat" sends staged frames as chat context.</div>
+ <div class="row"><input id="qadata" type="text"
+  placeholder='optional QA answer column (quoted in the CSV)'>
+ <button class="go" onclick="exportStaged()">Export submission CSV</button>
+ <button class="go" onclick="stageToChat()">Use in chat</button>
+ <button class="go" onclick="clearStaged()">Clear all</button></div>
+ <div class="grid" id="stout"></div>
 </section>
 <section id="network" class="panel">
  <div class="row"><button class="go" onclick="doDiscover()">Discover peers</button>
@@ -1155,8 +1342,46 @@ function card(h){
    onerror="this.style.display='none'">${esc(h.folder)}/${esc(h.image)}<br>
    <span class="s">${h.similarity_score.toFixed(3)}</span>
    <a href="#" class="sim" data-f="${esc(h.folder)}"
-    data-i="${esc(h.image)}">similar</a></div>`;
+    data-i="${esc(h.image)}">similar</a>
+   <a href="#" class="stage" data-f="${esc(h.folder)}"
+    data-i="${esc(h.image)}">+csv</a></div>`;
 }
+let staged=[];
+function renderStaged(){
+  stagecount.textContent=staged.length;
+  stout.innerHTML=staged.map((h,ix)=>{
+    const f=encodeURIComponent(h.folder),i=encodeURIComponent(h.image);
+    return `<div class="hit"><img src="/api/thumbnail/${f}/${i}"
+     onerror="this.style.display='none'">${esc(h.folder)}/${esc(h.image)}<br>
+     <a href="#" class="unstage" data-ix="${ix}">remove</a></div>`;}).join('');
+  stout.querySelectorAll('a.unstage').forEach(a=>{a.onclick=e=>{
+    e.preventDefault();staged.splice(parseInt(a.dataset.ix),1);renderStaged();};});
+}
+function stageFrame(f,i){
+  if(staged.length>=100){fmeta&&(fmeta.textContent='CSV list full (100)');return;}
+  if(staged.some(h=>h.folder===f&&h.image===i))return;
+  staged.push({folder:f,image:i});renderStaged();
+}
+function exportStaged(){
+  if(!staged.length)return;
+  const qa=(qadata.value||'').trim();
+  const lines=staged.map(h=>{
+    const idx=h.image.replace(/\\.[^.]+$/,'');
+    return qa?`${h.folder}.csv,${idx},"${qa.replace(/"/g,'""')}"`
+             :`${h.folder}.csv,${idx}`;});
+  const a=document.createElement('a');
+  a.href=URL.createObjectURL(new Blob([lines.join('\\n')],{type:'text/csv'}));
+  a.download='submission.csv';a.click();
+}
+let chatContext=null;
+function stageToChat(){
+  if(!staged.length)return;
+  chatContext=staged.slice(0,5);
+  document.querySelector('nav button[data-p=chat]').click();
+  chatlog.innerHTML+=`<div class="msg bot">${chatContext.length} staged `
+    +`frame(s) attached as context for your next message</div>`;
+}
+function clearStaged(){staged=[];renderStaged();}
 async function post(url, body){
   const r=await fetch(url,{method:'POST',headers:{'content-type':'application/json'},
     body:JSON.stringify(body)});return r.json();
@@ -1190,7 +1415,19 @@ function buildWS(){
     if(d.event==='build_done'){bmeta.textContent=
       `done — processed ${d.processed}, skipped ${d.skipped}, failed ${d.failed}`;
       bbar.style.width='100%';}
-    if(d.event==='build_error')bmeta.textContent='ERROR: '+d.error;};
+    if(d.event==='build_error')bmeta.textContent='ERROR: '+d.error;
+    if(d.event==='filter_progress')
+      fmeta.textContent=`${d.stage||''} ${d.done||0}/${d.total||0}`;
+    if(d.event==='filter_done')
+      fmeta.textContent='done: '+JSON.stringify(d).slice(0,200);
+    if(d.event==='filter_error')fmeta.textContent='ERROR: '+d.error;};
+}
+async function doFilter(){
+  buildWS();
+  const d=await post('/api/filter',{action:fact.value,input_dir:fdir.value,
+    preset:fpreset.value});
+  fmeta.textContent=d.success?'filter job started…'
+    :JSON.stringify(d.error||d);
 }
 async function doBuild(){
   buildWS();
@@ -1242,7 +1479,9 @@ async function doImage(){
 async function doChat(){
   const m=cmsg.value;if(!m)return;cmsg.value='';
   chatlog.innerHTML+=`<div class="msg me">${esc(m)}</div>`;
-  const d=await post('/api/chat',{message:m});
+  const body={message:m};
+  if(chatContext){body.context_frames=chatContext;chatContext=null;}
+  const d=await post('/api/chat',body);
   chatlog.innerHTML+=`<div class="msg bot">${esc(d.response||'(no reply)')}</div>`;
   if((d.search_results||[]).length)
     chatlog.innerHTML+=`<div class="grid">${d.search_results.slice(0,6)
@@ -1300,7 +1539,9 @@ document.addEventListener('click',e=>{
   const z=e.target.closest&&e.target.closest('img.zoomable');
   if(z){openZoom(z.dataset.f,z.dataset.i);return;}
   const s=e.target.closest&&e.target.closest('a.sim');
-  if(s){e.preventDefault();doSimilar(s.dataset.f,s.dataset.i);}
+  if(s){e.preventDefault();doSimilar(s.dataset.f,s.dataset.i);return;}
+  const g=e.target.closest&&e.target.closest('a.stage');
+  if(g){e.preventDefault();stageFrame(g.dataset.f,g.dataset.i);}
 });
 q.addEventListener('keydown',e=>{if(e.key==='Enter')doSearch()});
 cmsg.addEventListener('keydown',e=>{if(e.key==='Enter')doChat()});

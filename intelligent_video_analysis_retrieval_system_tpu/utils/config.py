@@ -129,6 +129,12 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "discovery_port_offset": 1,
         "discovery_interval_s": 15.0,   # api.py:475-505
         "node_timeout_s": 300.0,        # api.py:535-555
+        # mutation-surface hardening (None keeps the reference's LAN-trust
+        # model; see docs/DEPLOYMENT.md): admin_token gates /api/open,
+        # /api/maintenance and /api/build (X-Admin-Token or Bearer);
+        # open_root confines /api/open to paths under one directory
+        "admin_token": None,
+        "open_root": None,
     },
     "performance": {
         "slow_op_threshold_s": 5.0,     # utils.py:2471

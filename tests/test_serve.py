@@ -796,6 +796,71 @@ class TestConsoleBuildAndNetworkPanel:
                        "build_progress", "load_remote"):
             assert needle in html, needle
 
+    def test_console_has_round4_controls(self, served_system):
+        """CSV-list staging + filter-tool launcher (reference GUI
+        gui.py:756-1666 and gui.py:4967-5019)."""
+        root, _, port = served_system
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/")
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            html = resp.read().decode()
+        for needle in ("exportStaged", "stageToChat", "stageFrame",
+                       "doFilter", "filter_progress", "submission.csv",
+                       "context_frames"):
+            assert needle in html, needle
+
+    def test_filter_endpoint_extract_and_refine(self, served_system,
+                                                tmp_path):
+        """/api/filter launches extract and refine jobs with status
+        transitions (the console filter launcher's backend)."""
+        import cv2
+        import time as _time
+
+        root, _, port = served_system
+        vids = tmp_path / "vids"
+        vids.mkdir()
+        w = cv2.VideoWriter(str(vids / "v.mp4"),
+                            cv2.VideoWriter_fourcc(*"mp4v"), 25, (48, 48))
+        for scene in range(3):
+            img = np.full((48, 48, 3), scene * 80, np.uint8)
+            for _ in range(10):
+                w.write(img)
+        w.release()
+
+        status, body = http_json(
+            f"http://127.0.0.1:{port}/api/filter",
+            {"action": "extract", "input_dir": str(vids)},
+        )
+        assert status == 200 and body["success"]
+        for _ in range(100):
+            _time.sleep(0.3)
+            _, st = http_json(f"http://127.0.0.1:{port}/api/build/status")
+            if st["status"] in ("done", "error"):
+                break
+        assert st["status"] == "done", st
+        assert st["frames_kept"] >= 3  # 3 distinct scenes survive dedup
+        kf = vids / "keyframes"
+        assert (kf / "v").is_dir() and (vids / "map" / "v.csv").is_file()
+
+        status, body = http_json(
+            f"http://127.0.0.1:{port}/api/filter",
+            {"action": "refine", "input_dir": str(kf),
+             "preset": "similarity_only"},
+        )
+        assert status == 200 and body["success"]
+        for _ in range(100):
+            _time.sleep(0.3)
+            _, st = http_json(f"http://127.0.0.1:{port}/api/build/status")
+            if st["status"] in ("done", "error"):
+                break
+        assert st["status"] == "done", st
+        assert st["frames_in"] >= st["frames_out"] > 0
+
+        status, body = http_json(
+            f"http://127.0.0.1:{port}/api/filter",
+            {"action": "bogus", "input_dir": str(vids)},
+        )
+        assert status == 400
+
 
 class TestP2P:
     def test_same_host_discovery_via_well_known_port(self):
@@ -1175,3 +1240,110 @@ class TestSimilarAndWSEvents:
             return True
 
         assert asyncio.run(run())
+
+
+class TestAdminGate:
+    """Optional auth for the mutation surface (round 4, ADVICE r3):
+    api.admin_token gates /api/open, /api/maintenance, /api/build;
+    api.open_root confines /api/open paths."""
+
+    @pytest.fixture()
+    def gated_server(self, tmp_path):
+        rng = np.random.default_rng(4)
+        folder = tmp_path / "keyframes" / "v"
+        folder.mkdir(parents=True)
+        for n in range(4):
+            Image.fromarray(
+                rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+            ).save(folder / f"{n}.jpg")
+        cfg = Config(
+            config_file=None, base_dir=tmp_path, create_dirs=True,
+            overrides={
+                "index": {"dtype": "float32"},
+                "api": {"admin_token": "s3cret",
+                        "open_root": str(tmp_path)},
+                "logging": {"file": False},
+            },
+        )
+        system = EnhancedRetrievalSystem(
+            cfg, embedder=CLIPEmbedder(config=CLIPConfig.tiny_test(),
+                                       compute_dtype="float32"))
+        system.build_system(tmp_path / "keyframes")
+        port = free_port()
+        server = system.start_server(host="127.0.0.1", port=port,
+                                     block=False)
+        yield port, system, tmp_path
+        server.stop()
+        system.cleanup()
+
+    @staticmethod
+    def _post(url, payload, token=None):
+        import urllib.error
+        import urllib.request
+
+        headers = {"Content-Type": "application/json"}
+        if token:
+            headers["X-Admin-Token"] = token
+        req = urllib.request.Request(
+            url, data=json.dumps(payload).encode(), headers=headers
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=10) as resp:
+                return resp.status, json.loads(resp.read().decode())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read().decode())
+
+    def test_maintenance_requires_token(self, gated_server):
+        port, _, _ = gated_server
+        url = f"http://127.0.0.1:{port}/api/maintenance"
+        status, body = self._post(url, {"action": "clear_cache"})
+        assert status == 401 and not body["success"]
+        status, body = self._post(url, {"action": "clear_cache"},
+                                  token="wrong")
+        assert status == 401
+        status, body = self._post(url, {"action": "clear_cache"},
+                                  token="s3cret")
+        assert status == 200 and body["success"]
+
+    def test_bearer_header_accepted(self, gated_server):
+        import urllib.request
+
+        port, _, _ = gated_server
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/maintenance",
+            data=json.dumps({"action": "clear_cache"}).encode(),
+            headers={"Content-Type": "application/json",
+                     "Authorization": "Bearer s3cret"},
+        )
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            assert resp.status == 200
+
+    def test_open_requires_token_and_root(self, gated_server, tmp_path):
+        port, system, root = gated_server
+        url = f"http://127.0.0.1:{port}/api/open"
+        index_path = str(system.index.path)
+        status, _ = self._post(url, {"path": index_path})
+        assert status == 401
+        # inside open_root with the token: allowed
+        status, body = self._post(url, {"path": index_path},
+                                  token="s3cret")
+        assert status == 200 and body["success"]
+        # outside open_root: refused even WITH the token
+        status, body = self._post(url, {"path": "/etc"}, token="s3cret")
+        assert status == 403
+
+    def test_build_requires_token(self, gated_server):
+        port, _, root = gated_server
+        status, _ = self._post(
+            f"http://127.0.0.1:{port}/api/build",
+            {"keyframes_dir": str(root / "keyframes")},
+        )
+        assert status == 401
+
+    def test_search_never_gated(self, gated_server):
+        port, _, _ = gated_server
+        status, body = self._post(
+            f"http://127.0.0.1:{port}/api/search",
+            {"query": "anything", "limit": 2},
+        )
+        assert status == 200 and body["success"]
