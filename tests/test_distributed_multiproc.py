@@ -118,22 +118,179 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_sharded_search(tmp_path):
-    child = tmp_path / "child.py"
-    child.write_text(_CHILD)
-    repo = str(Path(__file__).resolve().parent.parent)
+_CHILD4 = r'''
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+pid = int(sys.argv[1]); coord = sys.argv[2]; repo = sys.argv[3]
+jax.distributed.initialize(coordinator_address=coord, num_processes=4,
+                           process_id=pid)
+sys.path.insert(0, repo)
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh
+from intelligent_video_analysis_retrieval_system_tpu.ops.ann import (
+    build_ivf, tail_append,
+)
+from intelligent_video_analysis_retrieval_system_tpu.ops.quant import (
+    quantize_rows_int8,
+)
+from intelligent_video_analysis_retrieval_system_tpu.parallel.distributed import (
+    host_row_range,
+    initialize_distributed,
+    is_multi_host,
+    make_global_sharded_array,
+)
+from intelligent_video_analysis_retrieval_system_tpu.parallel.sharded_ann import (
+    make_sharded_ivf,
+    sharded_ivf_topk,
+)
+from intelligent_video_analysis_retrieval_system_tpu.parallel.sharded_search import (
+    sharded_topk,
+    sharded_topk_int8,
+)
+
+info = initialize_distributed()
+assert info["process_count"] == 4, info
+assert info["global_devices"] == 8, info
+assert is_multi_host()
+
+mesh = Mesh(np.array(jax.devices()).reshape(8), ("index",))
+d, n0, n_app, k = 32, 1024, 128, 10
+rng = np.random.default_rng(7)      # identical corpus seed on all hosts;
+                                    # each host UPLOADS only its own slice
+corpus = rng.standard_normal((n0 + n_app, d)).astype(np.float32)
+corpus /= np.linalg.norm(corpus, axis=-1, keepdims=True)
+q = corpus[:4] + 0.01 * rng.standard_normal((4, d)).astype(np.float32)
+qd = jnp.asarray(q)
+
+
+def upload_int8(rows, n):
+    """Host-local int8 upload: quantization is per-row, so each host can
+    quantize only its host_row_range slice of the first n corpus rows."""
+    start, end = host_row_range(n, mesh)
+    lq, ls = quantize_rows_int8(rows[start:end])
+    Xq = make_global_sharded_array(lq, n, mesh)
+    Xs = make_global_sharded_array(ls.reshape(-1, 1), n, mesh)
+    return Xq, Xs
+
+
+def oracle_sets_int8(rows_i8, row_scales, queries, topk, dead=None):
+    """Numpy twin of the device int8 metric: integer dot (exact), then
+    f32 scale multiplies in the device's order — bit-identical scores."""
+    q_i8, q_s = quantize_rows_int8(queries)
+    int_dot = (q_i8.astype(np.int32) @ rows_i8.T.astype(np.int32))
+    full = int_dot.astype(np.float32) * row_scales[None, :] * q_s[:, None]
+    if dead is not None:
+        full[:, sorted(dead)] = -np.inf
+    ids = np.argsort(-full, axis=1)[:, :topk]
+    return [set(r.tolist()) for r in ids]
+
+
+def oracle_sets(rows, queries, topk, dead=None):
+    full = queries @ rows.astype(np.float32).T
+    if dead is not None:
+        full[:, sorted(dead)] = -np.inf
+    ids = np.argsort(-full, axis=1)[:, :topk]
+    return [set(r.tolist()) for r in ids]
+
+
+def check_against_dense(Xq, Xs, sivf, n, nprobe, dead_sharded=None,
+                        dead=None, batch=None):
+    """ANN at full probing must return the dense sweep's candidates
+    (bit-exact scores: the int8 metric is integer math), and the dense
+    sweep must match the numpy oracle over the dequantized rows."""
+    queries = qd if batch is None else qd[:batch]
+    dense = sharded_topk_int8(mesh, Xq, Xs, queries, k, n,
+                              use_pallas=False,
+                              deleted_sharded=dead_sharded)
+    ann = sharded_ivf_topk(mesh, Xq, sivf, queries, k, nprobe=nprobe,
+                           n_valid=n, deleted_sharded=dead_sharded,
+                           scales_sharded=Xs)
+    di = np.asarray(jax.device_get(dense.indices))
+    ai = np.asarray(jax.device_get(ann.indices))
+    ds = np.asarray(jax.device_get(dense.scores))
+    asc = np.asarray(jax.device_get(ann.scores))
+    lq_all, ls_all = quantize_rows_int8(corpus[:n])
+    want = oracle_sets_int8(lq_all, ls_all, q[: di.shape[0]], k, dead)
+    for b in range(di.shape[0]):
+        assert set(di[b].tolist()) == set(ai[b].tolist()) == want[b], (
+            b, di[b], ai[b], sorted(want[b]))
+        np.testing.assert_array_equal(np.sort(ds[b]), np.sort(asc[b]))
+
+
+# --- phase 1: host-local load + dense/ANN searches (B=1 and B=4) ----------
+Xq, Xs = upload_int8(corpus, n0)
+state, _ = build_ivf(jnp.asarray(corpus[:n0]), n_rows=n0, nlist=16,
+                     kmeans_iters=3, seed=0)
+sivf = make_sharded_ivf(mesh, "index", state, n0 // 8)
+check_against_dense(Xq, Xs, sivf, n0, nprobe=16)
+check_against_dense(Xq, Xs, sivf, n0, nprobe=16, batch=1)
+print(f"PHASE1 OK pid={pid}", flush=True)
+
+# --- phase 2: append 128 rows (host-local re-shard; ANN tail carries the
+# new ids), interleaved with searches -------------------------------------
+n1 = n0 + n_app
+Xq, Xs = upload_int8(corpus, n1)
+state = tail_append(state, list(range(n0, n1)))
+sivf = make_sharded_ivf(mesh, "index", state, n1 // 8)
+check_against_dense(Xq, Xs, sivf, n1, nprobe=16)
+print(f"PHASE2 OK pid={pid}", flush=True)
+
+# --- phase 3: delete rows (host-local tombstone shards) -------------------
+dead = set(range(0, n1, 37))
+start, end = host_row_range(n1, mesh)
+local_mask = np.zeros((end - start, 1), np.int8)
+for r in dead:
+    if start <= r < end:
+        local_mask[r - start, 0] = 1
+Dead = make_global_sharded_array(local_mask, n1, mesh)
+check_against_dense(Xq, Xs, sivf, n1, nprobe=16, dead_sharded=Dead,
+                    dead=dead)
+print(f"PHASE3 OK pid={pid}", flush=True)
+
+# --- phase 4: compact (drop tombstoned rows, remap, rebuild ANN) ----------
+survivors = np.array([r for r in range(n1) if r not in dead])
+corpus = corpus[survivors]          # hosts re-slice the compacted corpus
+n2 = len(survivors)
+assert n2 % 8 == 0, n2              # keep host chunks even
+Xq, Xs = upload_int8(corpus, n2)
+state, _ = build_ivf(jnp.asarray(corpus), n_rows=n2, nlist=16,
+                     kmeans_iters=3, seed=1)
+sivf = make_sharded_ivf(mesh, "index", state, n2 // 8)
+check_against_dense(Xq, Xs, sivf, n2, nprobe=16)
+
+# bf16 dense path over the compacted corpus (set equality + scores)
+startc, endc = host_row_range(n2, mesh)
+Xb = make_global_sharded_array(corpus[startc:endc], n2, mesh,
+                               dtype="bfloat16")
+resb = sharded_topk(mesh, Xb, jnp.asarray(q, jnp.bfloat16), k, n2,
+                    use_pallas=False)
+got = np.asarray(jax.device_get(resb.indices))
+want = oracle_sets(corpus, q, k)
+for b in range(4):
+    assert set(got[b].tolist()) == want[b], (b, got[b], sorted(want[b]))
+print(f"PHASE4 OK pid={pid}", flush=True)
+print(f"MULTIHOST4 OK pid={pid}", flush=True)
+'''
+
+
+def _run_procs(child_path, n_procs, repo, ok_needle, timeout=300):
     coord = f"127.0.0.1:{_free_port()}"
     procs = [
         subprocess.Popen(
-            [sys.executable, str(child), str(i), coord, repo],
+            [sys.executable, str(child_path), str(i), coord, repo],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
-        for i in range(2)
+        for i in range(n_procs)
     ]
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out)
     finally:
         for p in procs:
@@ -141,4 +298,24 @@ def test_two_process_sharded_search(tmp_path):
                 p.kill()
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
-        assert f"MULTIHOST OK pid={i}" in out, out[-3000:]
+        assert f"{ok_needle} pid={i}" in out, out[-3000:]
+
+
+def test_two_process_sharded_search(tmp_path):
+    child = tmp_path / "child.py"
+    child.write_text(_CHILD)
+    repo = str(Path(__file__).resolve().parent.parent)
+    _run_procs(child, 2, repo, "MULTIHOST OK", timeout=240)
+
+
+def test_four_process_lifecycle_with_ann(tmp_path):
+    """Four processes (2 virtual devices each -> one 8-device global mesh)
+    interleave the index lifecycle — load, append, delete, compact — with
+    dense AND sharded-ANN searches, every phase checked against a numpy
+    oracle and ANN checked bit-exact against the dense sweep (int8 metric
+    is integer math). Replaces the reference's LAN P2P mesh
+    (``/root/reference/api.py:605-1270``) with one SPMD program."""
+    child = tmp_path / "child4.py"
+    child.write_text(_CHILD4)
+    repo = str(Path(__file__).resolve().parent.parent)
+    _run_procs(child, 4, repo, "MULTIHOST4 OK", timeout=300)
