@@ -454,6 +454,39 @@ class Transformer(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+class _PatchEmbedMatmul(nn.Module):
+    """Strided patch conv expressed as reshape + one GEMM.
+
+    The stride==kernel "conv" is really a block-diagonal matmul; spelling
+    it as (B, P, p*p*c) @ (p*p*c, D) hands XLA one large MXU GEMM with no
+    conv windowing machinery. Param tree is IDENTICAL to
+    ``nn.Conv(name="patch_embed", use_bias=False)`` — one HWIO kernel
+    (p, p, c, D) — so checkpoints interchange freely between the paths.
+    """
+
+    hidden_size: int
+    patch_size: int
+    dtype: Any = jnp.float32
+    precision: lax.Precision = lax.Precision.DEFAULT
+
+    @nn.compact
+    def __call__(self, pixels: jnp.ndarray) -> jnp.ndarray:
+        p = self.patch_size
+        b, h, w, c = pixels.shape
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),  # nn.Conv's default init
+            (p, p, c, self.hidden_size),
+        )
+        gh, gw = h // p, w // p
+        x = pixels.reshape(b, gh, p, gw, p, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5)       # (B, gh, gw, p, p, c)
+        x = x.reshape(b, gh * gw, p * p * c)
+        # HWIO kernel flattens in the same (p_h, p_w, c) order as the patch
+        k2 = kernel.astype(self.dtype).reshape(p * p * c, self.hidden_size)
+        return jnp.dot(x, k2, precision=self.precision)
+
+
 class CLIPVisionTower(nn.Module):
     config: CLIPVisionConfig
     dtype: Any = jnp.float32
@@ -463,6 +496,9 @@ class CLIPVisionTower(nn.Module):
     w8a8_static: bool = False
     fused_attn: bool = True
     int8_attn: bool = False
+    # patch embed as one reshaped GEMM instead of nn.Conv (identical param
+    # tree; A/B measured in benchmarks/exp_vitl_profile.py)
+    patch_embed_matmul: bool = False
 
     @nn.compact
     def __call__(self, pixels: jnp.ndarray) -> jnp.ndarray:
@@ -470,16 +506,22 @@ class CLIPVisionTower(nn.Module):
         (unnormalized; callers L2-normalize)."""
         cfg = self.config
         b = pixels.shape[0]
-        x = nn.Conv(
-            cfg.hidden_size,
-            kernel_size=(cfg.patch_size, cfg.patch_size),
-            strides=(cfg.patch_size, cfg.patch_size),
-            use_bias=False,
-            dtype=self.dtype,
-            precision=self.precision,
-            name="patch_embed",
-        )(pixels.astype(self.dtype))
-        x = x.reshape(b, -1, cfg.hidden_size)  # (B, P, D)
+        if self.patch_embed_matmul:
+            x = _PatchEmbedMatmul(
+                cfg.hidden_size, cfg.patch_size, dtype=self.dtype,
+                precision=self.precision, name="patch_embed",
+            )(pixels.astype(self.dtype))      # (B, P, D)
+        else:
+            x = nn.Conv(
+                cfg.hidden_size,
+                kernel_size=(cfg.patch_size, cfg.patch_size),
+                strides=(cfg.patch_size, cfg.patch_size),
+                use_bias=False,
+                dtype=self.dtype,
+                precision=self.precision,
+                name="patch_embed",
+            )(pixels.astype(self.dtype))
+            x = x.reshape(b, -1, cfg.hidden_size)  # (B, P, D)
         cls = self.param(
             "class_embedding", nn.initializers.normal(0.02), (cfg.hidden_size,)
         )

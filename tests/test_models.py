@@ -870,3 +870,41 @@ class TestDINO:
         near = float(emb[0] @ emb[1])
         far = float(emb[0] @ emb[2])
         assert near > 0.99 > far
+
+
+class TestPatchEmbedMatmul:
+    """The reshaped-GEMM patch embed must be numerically equivalent to the
+    strided nn.Conv with the SAME params (identical tree; the A/B perf
+    experiment is benchmarks/exp_vitl_profile.py)."""
+
+    def test_equals_conv_path(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from intelligent_video_analysis_retrieval_system_tpu.models.clip import (
+            CLIPConfig,
+            CLIPVisionTower,
+        )
+
+        cfg = CLIPConfig.tiny_test().vision
+        conv_tower = CLIPVisionTower(cfg)
+        mm_tower = CLIPVisionTower(cfg, patch_embed_matmul=True)
+        rng = np.random.default_rng(0)
+        pixels = jnp.asarray(
+            rng.standard_normal(
+                (3, cfg.image_size, cfg.image_size, 3)
+            ).astype(np.float32)
+        )
+        variables = conv_tower.init(jax.random.PRNGKey(0), pixels)
+        # identical param tree: the matmul tower APPLIES the conv params
+        out_conv = conv_tower.apply(variables, pixels)
+        out_mm = mm_tower.apply(variables, pixels)
+        np.testing.assert_allclose(
+            np.asarray(out_mm), np.asarray(out_conv), rtol=1e-5, atol=1e-5
+        )
+        # and init produces the same shapes/names either way
+        v2 = mm_tower.init(jax.random.PRNGKey(0), pixels)
+        assert jax.tree_util.tree_structure(v2) == jax.tree_util.tree_structure(
+            variables
+        )
