@@ -160,6 +160,12 @@ class RetrievalServer:
         app.router.add_post("/api/network/unload_remote",
                             self._net_unload_remote)
         app.router.add_get("/ws", self._websocket)
+        # Socket.IO wire compatibility: reference clients (python-socketio
+        # against api.py:2419-2941) connect to /socket.io/ unchanged
+        from .socketio import SocketIOAdapter
+
+        self._sio = SocketIOAdapter(self)
+        self._sio.register(app)
         app.router.add_get("/", self._console)
 
     @staticmethod
@@ -709,6 +715,9 @@ class RetrievalServer:
             for ws in list(self._ws_clients):
                 if not ws.closed:
                     asyncio.ensure_future(ws.send_json(payload, dumps=_dumps))
+            sio = getattr(self, "_sio", None)
+            if sio is not None:  # same events over the socket.io wire
+                sio.broadcast(payload.get("event", "message"), payload)
 
         loop.call_soon_threadsafe(_send)
 

@@ -1347,3 +1347,147 @@ class TestAdminGate:
             {"query": "anything", "limit": 2},
         )
         assert status == 200 and body["success"]
+
+
+class TestSocketIOWire:
+    """Socket.IO wire compatibility (/socket.io/, Engine.IO v4 +
+    Socket.IO v5): the protocol existing reference clients speak
+    (python-socketio server at reference api.py:2419-2941). No
+    python-socketio in this env, so the tests speak the wire format
+    raw — which also pins the exact bytes."""
+
+    RS = "\x1e"
+
+    @staticmethod
+    def _get(url):
+        with urllib.request.urlopen(url, timeout=15) as resp:
+            return resp.read().decode()
+
+    @staticmethod
+    def _post(url, body):
+        req = urllib.request.Request(
+            url, data=body.encode(),
+            headers={"Content-Type": "text/plain;charset=UTF-8"},
+        )
+        with urllib.request.urlopen(req, timeout=15) as resp:
+            return resp.read().decode()
+
+    def _handshake(self, port):
+        text = self._get(
+            f"http://127.0.0.1:{port}/socket.io/?EIO=4&transport=polling"
+        )
+        assert text.startswith("0"), text
+        hello = json.loads(text[1:])
+        assert "websocket" in hello["upgrades"]
+        return hello["sid"]
+
+    def _drain(self, port, sid):
+        text = self._get(
+            f"http://127.0.0.1:{port}/socket.io/"
+            f"?EIO=4&transport=polling&sid={sid}"
+        )
+        return text.split(self.RS)
+
+    def test_polling_connect_and_search(self, served_system):
+        _, _, port = served_system
+        sid = self._handshake(port)
+        url = (f"http://127.0.0.1:{port}/socket.io/"
+               f"?EIO=4&transport=polling&sid={sid}")
+        assert self._post(url, "40") == "ok"
+        packets = self._drain(port, sid)
+        assert packets[0].startswith("40"), packets  # ns connect ack
+        assert json.loads(packets[0][2:])["sid"]
+        connected = json.loads(packets[1][2:])       # 42["connected", ...]
+        assert connected[0] == "connected"
+        assert "search" in connected[1]["capabilities"]
+
+        self._post(url, '42["search", {"query": "a scene", "limit": 2}]')
+        packets = self._drain(port, sid)
+        name, data = json.loads(packets[0][2:])
+        assert name == "result" and data["success"] and data["count"] == 2
+        assert data["results"][0]["similarity_score"] > 0
+
+    def test_polling_ack_stats_and_error(self, served_system):
+        _, _, port = served_system
+        sid = self._handshake(port)
+        url = (f"http://127.0.0.1:{port}/socket.io/"
+               f"?EIO=4&transport=polling&sid={sid}")
+        self._post(url, "40")
+        self._drain(port, sid)
+        # ack id 7 -> 437[...] ack plus the named reply event
+        self._post(url, '427["system_stats", {}]')
+        packets = self._drain(port, sid)
+        acks = [p for p in packets if p.startswith("437")]
+        events = [p for p in packets if p.startswith("42")]
+        assert acks and json.loads(acks[0][3:])[0]["success"]
+        name, data = json.loads(events[0][2:])
+        assert name == "system_stats" and "stats" in data
+        # unknown event -> socket.io 'error' event (reference error path)
+        self._post(url, '42["no_such_event", {}]')
+        packets = self._drain(port, sid)
+        name, data = json.loads(packets[0][2:])
+        assert name == "error" and not data["success"]
+
+    def test_direct_websocket_transport(self, served_system):
+        import asyncio
+
+        import aiohttp
+
+        _, _, port = served_system
+
+        async def run():
+            async with aiohttp.ClientSession() as session:
+                async with session.ws_connect(
+                    f"http://127.0.0.1:{port}/socket.io/"
+                    f"?EIO=4&transport=websocket"
+                ) as ws:
+                    hello = await ws.receive_str()
+                    assert hello.startswith("0")
+                    await ws.send_str("40")
+                    assert (await ws.receive_str()).startswith("40")
+                    name, _ = json.loads((await ws.receive_str())[2:])
+                    assert name == "connected"
+                    await ws.send_str(
+                        '42["semantic_search", {"query": "x", "limit": 2}]'
+                    )
+                    name, data = json.loads((await ws.receive_str())[2:])
+                    assert name == "semantic_search_result"
+                    assert data["count"] == 2
+            return True
+
+        assert asyncio.run(run())
+
+    def test_polling_to_websocket_upgrade(self, served_system):
+        import asyncio
+
+        import aiohttp
+
+        _, _, port = served_system
+        sid = self._handshake(port)
+        url = (f"http://127.0.0.1:{port}/socket.io/"
+               f"?EIO=4&transport=polling&sid={sid}")
+        self._post(url, "40")
+        self._drain(port, sid)
+
+        async def run():
+            async with aiohttp.ClientSession() as session:
+                async with session.ws_connect(
+                    f"http://127.0.0.1:{port}/socket.io/"
+                    f"?EIO=4&transport=websocket&sid={sid}"
+                ) as ws:
+                    await ws.send_str("2probe")
+                    assert await ws.receive_str() == "3probe"
+                    await ws.send_str("5")  # upgrade commit
+                    await ws.send_str('42["translate", {"text": "xin chào"}]')
+                    name, data = json.loads((await ws.receive_str())[2:])
+                    assert name == "translation_result", (name, data)
+                    assert data["success"]
+                    # post-upgrade polling gets a noop so the poller closes
+                    loop = asyncio.get_running_loop()
+                    polled = await loop.run_in_executor(
+                        None, self._drain, port, sid
+                    )
+                    assert polled == ["6"], polled
+            return True
+
+        assert asyncio.run(run())
