@@ -368,6 +368,82 @@ class TestTextProc:
         assert analyze_text("").content_words == []
         assert analyze_text("?!...").tokens == []
 
+    def test_pos_tagger(self):
+        """Round-4 rule-based tagger (the reference read spaCy POS tags,
+        core.py:1751-1794)."""
+        from intelligent_video_analysis_retrieval_system_tpu.retrieval.textproc import (
+            pos_tag,
+        )
+
+        tags = dict(pos_tag("a red car driving through the busy city"))
+        assert tags["a"] == "DET" and tags["the"] == "DET"
+        assert tags["red"] == "ADJ" and tags["busy"] == "ADJ"
+        assert tags["car"] == "NOUN" and tags["city"] == "NOUN"
+        assert tags["driving"] == "VERB"
+        assert tags["through"] == "ADP"
+
+    def test_pos_ing_nouns_not_verbs(self):
+        """'building'/'wedding'/'painting' are nouns, not participles."""
+        from intelligent_video_analysis_retrieval_system_tpu.retrieval.textproc import (
+            pos_tag,
+        )
+
+        tags = dict(pos_tag("a wedding in a tall building with a painting"))
+        assert tags["wedding"] == "NOUN"
+        assert tags["building"] == "NOUN"
+        assert tags["painting"] == "NOUN"
+
+    def test_chunks_exclude_verbs(self):
+        """'man running fast' must not chunk as one noun phrase (the old
+        stopword-run heuristic did)."""
+        from intelligent_video_analysis_retrieval_system_tpu.retrieval import (
+            analyze_text,
+        )
+
+        a = analyze_text("man running fast on the beach")
+        assert not any("running" in p for p in a.noun_phrases)
+        assert "running" in a.actions
+
+    def test_sentence_start_disambiguation(self):
+        """Capitalized sentence-start: suffix evidence beats PROPN
+        ('Running dog' is a verb), unknown names still win ('Messi')."""
+        from intelligent_video_analysis_retrieval_system_tpu.retrieval.textproc import (
+            pos_tag,
+        )
+
+        assert dict(pos_tag("Running dog in the park"))["Running"] == "VERB"
+        assert dict(pos_tag("Messi scoring a goal"))["Messi"] == "PROPN"
+
+    def test_entity_types(self):
+        from intelligent_video_analysis_retrieval_system_tpu.retrieval import (
+            analyze_text,
+        )
+
+        et = dict(analyze_text(
+            "Mr Nguyen speaking at Hanoi University during Tet Festival"
+        ).entity_types)
+        assert et["Mr Nguyen"] == "PERSON"
+        assert et["Hanoi University"] == "ORG"
+        assert et["Tet Festival"] == "EVENT"
+        et = dict(analyze_text("a trip to Hanoi at night").entity_types)
+        assert et["Hanoi"] == "GPE"
+
+    def test_entity_internal_of(self):
+        from intelligent_video_analysis_retrieval_system_tpu.retrieval import (
+            analyze_text,
+        )
+
+        a = analyze_text("Statue of Liberty at sunset")
+        assert "Statue of Liberty" in a.entities
+
+    def test_acronym_entity(self):
+        from intelligent_video_analysis_retrieval_system_tpu.retrieval import (
+            analyze_text,
+        )
+
+        et = dict(analyze_text("a news anchor on VTV").entity_types)
+        assert et["VTV"] == "ORG"
+
     def test_expand_variants(self):
         from intelligent_video_analysis_retrieval_system_tpu.retrieval.textproc import (
             expand_variants,
