@@ -340,6 +340,13 @@ _LATIN_DIACRITICS: dict[str, set[str]] = {
     "es": set("ñ¿¡"),
     "de": set("äöüß"),
 }
+# Vietnamese function words without unique diacritics ("con mèo" carries
+# only the shared grave accent); scored for vi ONLY when at least one
+# Vietnamese-style diacritic is present, so Spanish "con" alone never
+# reads as Vietnamese.
+_VI_LATIN_STOPWORDS = frozenset(
+    "con và là của cái một đang trên xin chào anh em có không".split()
+)
 
 
 @dataclass(slots=True)
@@ -435,7 +442,11 @@ class UniversalQueryTranslator:
         }
         for lang, chars in _LATIN_DIACRITICS.items():
             scores[lang] += 1.5 * sum(ch in chars for ch in lowered)
-        scores["vi"] = 1.0 * sum(ch in _VI_SHARED for ch in text)
+        vi_shared = sum(ch in _VI_SHARED for ch in text)
+        scores["vi"] = (
+            vi_shared + 2.0 * sum(w in _VI_LATIN_STOPWORDS for w in words)
+            if vi_shared > 0 else 0.0
+        )
         lang, best = max(scores.items(), key=lambda kv: (kv[1], kv[0] == "en"))
         if best == 0 or (lang != "en" and best <= scores["en"]):
             return "en", 0.9

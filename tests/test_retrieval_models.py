@@ -185,6 +185,14 @@ class TestTranslatorBreadth:
         )
         assert lang == "vi" and conf > 0.4
 
+    def test_vi_es_con_disambiguation(self):
+        """'con' is both a Vietnamese classifier and Spanish 'with':
+        vi wins only when a Vietnamese-style diacritic is present."""
+        assert UniversalQueryTranslator.detect_language("con mèo")[0] == "vi"
+        assert UniversalQueryTranslator.detect_language(
+            "mujer con gato"
+        )[0] == "es"
+
 
 class TestTemporal:
     def _features(self, scenes, dim=16, seed=0):
