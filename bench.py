@@ -195,8 +195,9 @@ def gen_db_int8_device(n_pad: int, seed: int = 0):
     return buf, scales
 
 
-def bench_served_qps(xd, n_valid: int, embedder=None) -> dict:
-    """REST-level serving throughput over a device-resident bf16 index.
+def bench_served_qps(xd, n_valid: int, embedder=None, *, scales=None,
+                     ann_state=None, key_suffix: str = "1M") -> dict:
+    """REST-level serving throughput over a device-resident index.
 
     Starts the real aiohttp RetrievalServer (QueryBatcher on) around a
     facade whose index is the device matrix ``xd``; fires concurrent
@@ -205,8 +206,14 @@ def bench_served_qps(xd, n_valid: int, embedder=None) -> dict:
     encode, fused sweep, result formatting — not just raw device QPS.
     Reference baseline: ~0.14 QPS e2e (performance.log:8).
 
+    ``scales`` switches the index to int8 capacity mode (``xd`` int8 rows
+    + per-row scales); ``ann_state`` attaches a built IVF structure so
+    the served path runs the round-4 batched ANN program (the batcher is
+    ANN-aware and caps micro-batches at ``ann_max_batch``). Key names
+    carry ``key_suffix`` (the original 1M run keeps its round-3 names).
+
     Metadata is synthesized lazily per hit (only top-k rows materialize),
-    matching production cost without holding 1M records in RAM.
+    matching production cost without holding the records in RAM.
     """
     import asyncio
     import socket
@@ -258,11 +265,17 @@ def bench_served_qps(xd, n_valid: int, embedder=None) -> dict:
         },
     )
     system = EnhancedRetrievalSystem(cfg, embedder=embedder)
-    index = UnifiedIndex(UnifiedIndexConfig(dtype="bfloat16"))
+    index = UnifiedIndex(UnifiedIndexConfig(
+        dtype="int8" if scales is not None else "bfloat16"
+    ))
     index._dev_x = xd
+    if scales is not None:
+        index._dev_scales = scales
     index._n_valid = n_valid
     index._capacity = int(xd.shape[0])
     index._metadata = _LazyMetas(n_valid)
+    if ann_state is not None:
+        index._ann = ann_state
     system.index = index
     system.is_built = True
 
@@ -283,10 +296,10 @@ def bench_served_qps(xd, n_valid: int, embedder=None) -> dict:
         system.embedder.encode_text([f"warm {i}" for i in range(b)])
     for b in (1, 9):   # search b-buckets 8, 16
         qv = system.embedder.encode_text([f"warm s{i}" for i in range(b)])
-        # exact=True so this warms the DENSE buckets even if an index
-        # with a persisted ANN is ever used here (small batches would
-        # otherwise route down the ANN path)
-        index.search_vectors(qv, top_k=10, exact=True)
+        # exact=True warms the DENSE buckets; with an attached ANN state
+        # the serving path routes small batches down the batched IVF
+        # program instead, so warm THOSE buckets (exact=False)
+        index.search_vectors(qv, top_k=10, exact=ann_state is None)
     log(f"served-QPS: buckets warm in {time.perf_counter() - t0:.1f}s")
 
     with socket.socket() as s:
@@ -337,15 +350,27 @@ def bench_served_qps(xd, n_valid: int, embedder=None) -> dict:
         p50 = float(np.percentile(lat, 50)) * 1e3
         p95 = float(np.percentile(lat, 95)) * 1e3
         stats = server.batcher.stats if server.batcher else None
-        log(f"served-QPS: {qps:.0f} QPS  p50={p50:.1f} ms p95={p95:.1f} ms"
+        log(f"served-QPS[{key_suffix}]: {qps:.0f} QPS  p50={p50:.1f} ms "
+            f"p95={p95:.1f} ms"
             + (f"  avg_batch={stats.avg_batch:.1f}" if stats else ""))
-        out = {
-            "served_qps_1M": round(qps),
-            "served_p50_ms": round(p50, 1),
-            "served_p95_ms": round(p95, 1),
-        }
-        if stats:
-            out["served_avg_batch"] = round(stats.avg_batch, 1)
+        if key_suffix == "1M":  # round-3 artifact key names, unchanged
+            out = {
+                "served_qps_1M": round(qps),
+                "served_p50_ms": round(p50, 1),
+                "served_p95_ms": round(p95, 1),
+            }
+            if stats:
+                out["served_avg_batch"] = round(stats.avg_batch, 1)
+        else:
+            out = {
+                f"served_qps_{key_suffix}": round(qps),
+                f"served_p50_{key_suffix}_ms": round(p50, 1),
+                f"served_p95_{key_suffix}_ms": round(p95, 1),
+            }
+            if stats:
+                out[f"served_avg_batch_{key_suffix}"] = round(
+                    stats.avg_batch, 1
+                )
         return out
     finally:
         try:
@@ -983,7 +1008,96 @@ def _run(result: dict) -> None:
                     round(s50, 2)
                 )
                 del x10_sh, s10_sh, sivf, dead_sh
-            del ivf_state, x10, s10
+
+            # -- batched IVF vs dense crossover (round 4, VERDICT r3 #2):
+            # the union-dedup program (probed buckets dedup across the
+            # batch, one shared gather, one GEMM) must keep ANN under the
+            # dense sweep at the serving batcher's REAL batch sizes; the
+            # round-3 per-query batching lost above B=4.
+            from intelligent_video_analysis_retrieval_system_tpu.ops.ann import (
+                _build_ivf_batch_searcher,
+            )
+            from intelligent_video_analysis_retrieval_system_tpu.ops.quant import (
+                _build_int8_searcher as _dense_int8,
+            )
+
+            dead10 = jnp.zeros((n_pad, 1), jnp.int8)
+            for b_x in (8, 16):
+                if over_budget(960, f"IVF batched B={b_x} crossover"):
+                    break
+                tokens_bx = jnp.tile(tokens, (b_x, 1))
+                ivf_b = _build_ivf_batch_searcher(
+                    ivf_nlist, ivf_cap, D, b_x, 16, 32, ivf_tail,
+                    int8=True,
+                )
+                dense_b = _dense_int8(n_pad, D, b_x, 16, False)
+
+                def _encode_b(tp, tokens_bx, salt, _b=b_x):
+                    toks = tokens_bx.at[:, 1].set(
+                        (salt.astype(jnp.int32)
+                         + jnp.arange(_b, dtype=jnp.int32)) % 49000
+                    )
+                    emb = tower.apply(
+                        {"params": tp}, toks
+                    ).astype(jnp.float32)
+                    return emb / jnp.maximum(
+                        jnp.linalg.norm(emb, axis=-1, keepdims=True),
+                        1e-12,
+                    )
+
+                @jax.jit
+                def q_ivf_b(tp, x10, s10, cent, bid, tid, tcnt,
+                            tokens_bx, salt, _s=ivf_b):
+                    emb = _encode_b(tp, tokens_bx, salt)
+                    res = _s(x10, s10, cent, bid, tid, tcnt, emb,
+                             jnp.int32(N10), None)
+                    return res.scores[0, 0]
+
+                @jax.jit
+                def q_dense_b(tp, x10, s10, dead10, tokens_bx, salt,
+                              _s=dense_b):
+                    emb = _encode_b(tp, tokens_bx, salt)
+                    res = _s(x10, s10, emb, jnp.int32(N10), dead10)
+                    return res.scores[0, 0]
+
+                log(f"compiling batched IVF + dense (B={b_x})...")
+                float(q_ivf_b(
+                    tp, x10, s10, ivf_state.centroids,
+                    ivf_state.bucket_ids, ivf_state.tail_ids,
+                    ivf_state.tail_count, tokens_bx, jnp.float32(0),
+                ))
+                float(q_dense_b(tp, x10, s10, dead10, tokens_bx,
+                                jnp.float32(0)))
+                i50b, _, _ = percentile_rounds(
+                    lambda i: q_ivf_b(
+                        tp, x10, s10, ivf_state.centroids,
+                        ivf_state.bucket_ids, ivf_state.tail_ids,
+                        ivf_state.tail_count, tokens_bx,
+                        jnp.float32(i + 1),
+                    ),
+                    6, 4, round_overhead(4),
+                )
+                d50b, _, _ = percentile_rounds(
+                    lambda i: q_dense_b(
+                        tp, x10, s10, dead10, tokens_bx,
+                        jnp.float32(i + 100),
+                    ),
+                    6, 4, round_overhead(4),
+                )
+                log(f"10M int8 B={b_x}: batched IVF {i50b:.2f} ms/batch "
+                    f"vs dense {d50b:.2f} — "
+                    f"{'IVF wins' if i50b < d50b else 'dense wins'} "
+                    f"({d50b / max(i50b, 1e-9):.2f}x)")
+                extra[f"latency_10M_int8_ivf_b{b_x}_np32_batch_ms"] = (
+                    round(i50b, 2)
+                )
+                extra[f"latency_10M_int8_dense_b{b_x}_batch_ms"] = (
+                    round(d50b, 2)
+                )
+            del dead10
+            # keep the buffers + IVF state alive for the served-10M
+            # section (runs AFTER the established 1M serve key)
+            state["ivf_keep"] = (x10, s10, ivf_state)
         except Exception as exc:
             fail("ivf_10M", exc)
 
@@ -1010,6 +1124,40 @@ def _run(result: dict) -> None:
             del xserve
         except Exception as exc:
             fail("served_qps", exc)
+
+    # -- served QPS at 10M int8: ANN engaged under load vs the dense path
+    # (round 4, VERDICT r3 #2 done-criteria). Runs AFTER the 1M serve so
+    # the established served_qps_1M key is never starved; reuses the IVF
+    # section's 10M buffers + built state. The batcher is ANN-aware
+    # (micro-batches capped at ann_max_batch=16), so the served path runs
+    # the batched union program at concurrency 16.
+    keep = state.pop("ivf_keep", None)
+    if (
+        keep is not None
+        and on_tpu
+        and not state["dead"]
+        and not os.environ.get("IVARS_BENCH_SKIP_SERVE")
+        and not over_budget(1050, "served 10M ANN section")
+    ):
+        try:
+            import gc
+
+            gc.collect()
+            x10k, s10k, ivf_keep = keep
+            log("served-QPS: 10M int8 with ANN active...")
+            extra.update(bench_served_qps(
+                x10k, 10_000_000, scales=s10k, ann_state=ivf_keep,
+                key_suffix="10M_int8_ann",
+            ))
+            if not over_budget(1180, "served 10M dense comparison"):
+                log("served-QPS: 10M int8 dense comparison...")
+                extra.update(bench_served_qps(
+                    x10k, 10_000_000, scales=s10k,
+                    key_suffix="10M_int8_dense",
+                ))
+        except Exception as exc:
+            fail("served_10M", exc)
+    del keep
 
 
 if __name__ == "__main__":
