@@ -149,6 +149,7 @@ def main() -> None:
         _build_int8_searcher,
     )
     from intelligent_video_analysis_retrieval_system_tpu.ops.ann import (
+        _build_ivf_batch_searcher,
         _build_ivf_searcher,
     )
 
@@ -169,8 +170,15 @@ def main() -> None:
     nlist, cap = int(state.bucket_ids.shape[0]), int(state.bucket_ids.shape[1])
     tail_max = int(state.tail_ids.shape[0])
 
-    def make_ivf(b: int, nprobe: int):
-        inner = _build_ivf_searcher(
+    def make_ivf(b: int, nprobe: int, batched: bool | None = None):
+        """B=1 uses the per-query program; B>1 defaults to the round-4
+        batched union program (probed-bucket dedup + one GEMM,
+        ``_build_ivf_batch_searcher``) — pass ``batched=False`` to
+        measure the superseded round-3 per-query batching."""
+        if batched is None:
+            batched = b > 1
+        build = _build_ivf_batch_searcher if batched else _build_ivf_searcher
+        inner = build(
             nlist, cap, D, b, 16, nprobe, tail_max, int8=True
         )
 
@@ -228,16 +236,27 @@ def main() -> None:
         results[f"ivf_np{nprobe}_p50_ms"] = p50
         results[f"ivf_np{nprobe}_recall10"] = recall
 
-    # --- B=8 comparison (amortization crossover check) -------------------
-    dense_b8 = make_dense(8)
-    ivf_b8 = make_ivf(8, 32)
-    dense_b8(0); ivf_b8(0)
-    p50d, _, _ = percentile_rounds(dense_b8, 5, 4, overhead)
-    p50i, _, _ = percentile_rounds(ivf_b8, 5, 4, overhead)
-    log(f"B=8 batch: dense {p50d:.2f} ms  ivf(np=32) {p50i:.2f} ms "
-        f"(per-batch; per-query /8)")
-    results["dense_b8_p50_ms"] = p50d
-    results["ivf_np32_b8_p50_ms"] = p50i
+    # --- batched crossover (VERDICT r3 #2): the round-4 union program
+    # must keep IVF under the dense sweep at the serving batcher's real
+    # batch sizes (8-16); the round-3 per-query batching lost above B=4
+    # (21.5 vs 13.7 ms/batch at B=8, kept here as the legacy point).
+    for b in (8, 16):
+        dense_b = make_dense(b)
+        ivf_b = make_ivf(b, 32)
+        dense_b(0); ivf_b(0)
+        p50d, _, _ = percentile_rounds(dense_b, 5, 4, overhead)
+        p50i, _, _ = percentile_rounds(ivf_b, 5, 4, overhead)
+        log(f"B={b} batch: dense {p50d:.2f} ms  batched-ivf(np=32) "
+            f"{p50i:.2f} ms ({'IVF' if p50i < p50d else 'dense'} wins, "
+            f"{p50d / max(p50i, 1e-9):.2f}x; per-query /{b})")
+        results[f"dense_b{b}_p50_ms"] = p50d
+        results[f"ivf_np32_b{b}_p50_ms"] = p50i
+    legacy_b8 = make_ivf(8, 32, batched=False)
+    legacy_b8(0)
+    p50l, _, _ = percentile_rounds(legacy_b8, 5, 4, overhead)
+    log(f"B=8 legacy per-query ivf: {p50l:.2f} ms/batch "
+        f"(round-3 program, for the before/after record)")
+    results["ivf_np32_b8_perquery_p50_ms"] = p50l
 
     import json
 
