@@ -59,12 +59,15 @@ class KeyframeMetadata:
 
     @classmethod
     def from_dict(cls, data: dict[str, Any]) -> "KeyframeMetadata":
-        known = {f for f in cls.__dataclass_fields__}  # type: ignore[attr-defined]
+        known = _KF_FIELDS  # hoisted: this runs once per corpus row on load
         kwargs = {k: v for k, v in data.items() if k in known}
         extra = {k: v for k, v in data.items() if k not in known}
         if extra:
             kwargs.setdefault("extra", {}).update(extra)
         return cls(**kwargs)
+
+
+_KF_FIELDS = frozenset(KeyframeMetadata.__dataclass_fields__)  # type: ignore[attr-defined]
 
 
 @dataclass(slots=True)
