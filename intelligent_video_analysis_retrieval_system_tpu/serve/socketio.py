@@ -158,11 +158,15 @@ class SocketIOAdapter:
             ack_id = body[:i] or None
             try:
                 arr = json.loads(body[i:])
+                if not isinstance(arr, list) or not arr \
+                        or not isinstance(arr[0], str):
+                    raise ValueError("socket.io event must be "
+                                     '["name", data?]')
                 event = arr[0]
                 data = arr[1] if len(arr) > 1 else {}
                 if not isinstance(data, dict):
                     data = {"value": data}
-            except (json.JSONDecodeError, IndexError):
+            except (json.JSONDecodeError, ValueError):
                 await self._push(sess, self._emit_packet(
                     "error", {"success": False, "error": "invalid packet"}
                 ))

@@ -1457,6 +1457,61 @@ class TestSocketIOWire:
 
         assert asyncio.run(run())
 
+    def test_hostile_wire_input_never_kills_session(self, served_system):
+        """Malformed Engine.IO/Socket.IO packets from an untrusted client
+        must produce error envelopes or be ignored — never a 5xx or a
+        broken session (a valid search must still work afterwards).
+        Regression: ``42{"a":1}`` (object instead of array) used to
+        raise an uncaught KeyError."""
+        import urllib.error
+
+        _, _, port = served_system
+        sid = self._handshake(port)
+        url = (f"http://127.0.0.1:{port}/socket.io/"
+               f"?EIO=4&transport=polling&sid={sid}")
+        self._post(url, "40")
+        self._drain(port, sid)
+        hostile = [
+            '42{"a": 1}',            # object, not array
+            '42"just a string"',
+            "42[123]",               # non-string event name
+            "42[]",                  # empty array
+            "42[null]",
+            '42[["nested"], {}]',
+            "42" + "9" * 200,        # huge ack id, no payload
+            "4",                     # empty socket.io packet
+            "2",                     # eio ping
+            "5",                     # upgrade packet over polling
+            "9",                     # unknown eio type
+            "\x00\x01\x02",          # binary junk
+            "4" * 5000,              # long garbage
+            "43[]",                  # unsolicited ack
+        ]
+        for payload in hostile:
+            try:
+                self._post(url, payload)
+            except urllib.error.HTTPError as e:
+                assert e.code < 500, (payload, e.code)
+        # drain whatever error events queued, then prove the session and
+        # the server still work end to end
+        self._drain(port, sid)
+        self._post(url, '42["search", {"query": "still alive", "top_k": 2}]')
+        deadline = time.time() + 20
+        got = []
+        while time.time() < deadline:
+            got += [p for p in self._drain(port, sid) if p.startswith("42")]
+            if any('"result"' in p for p in got):
+                break
+        assert any('"result"' in p for p in got), got
+        # a bad sid is a 400, not a crash
+        try:
+            self._post(
+                f"http://127.0.0.1:{port}/socket.io/"
+                f"?EIO=4&transport=polling&sid=bogus", "40")
+            raise AssertionError("expected 400 for unknown sid")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
     def test_polling_to_websocket_upgrade(self, served_system):
         import asyncio
 
