@@ -833,6 +833,9 @@ class UnifiedIndex:
     def _invalidate_sidecar(self) -> None:
         if self.path is not None:
             self.path.with_name(self.path.name + ".flat").unlink(missing_ok=True)
+            self.path.with_name(
+                self.path.name + ".meta.npz"
+            ).unlink(missing_ok=True)
 
     def _append_device_rows(self, rows: np.ndarray) -> None:
         """Append normalized rows into padded device capacity (no reload).
@@ -923,6 +926,28 @@ class UnifiedIndex:
 
     def _load_metadata_cache(self) -> None:
         assert self._container is not None
+        from .metacols import (
+            SIDECAR_MIN_ROWS,
+            LazyRowByKey,
+            load_sidecar,
+            write_sidecar,
+        )
+
+        n = self._container.num_metadata
+        use_sidecar = (
+            self._container.path is not None and n >= SIDECAR_MIN_ROWS
+        )
+        if use_sidecar:
+            # columnar sidecar (metacols.py): O(numpy reads) open,
+            # records constructed on access — the blob store below stays
+            # authoritative and is the fallback for every failure mode
+            cols = load_sidecar(
+                self._container.path, n, self._container.get_metadata
+            )
+            if cols is not None:
+                self._metadata = cols
+                self._row_by_key = LazyRowByKey(cols)
+                return
         self._metadata = []
         self._row_by_key = {}
         for i, record in enumerate(self._container.iter_metadata()):
@@ -930,6 +955,8 @@ class UnifiedIndex:
             meta = KeyframeMetadata.from_dict(record)
             self._metadata.append(meta)
             self._row_by_key[meta.key] = i
+        if use_sidecar:
+            write_sidecar(self._metadata, self._container.path)
 
     # -- search ---------------------------------------------------------------
 

@@ -1136,3 +1136,161 @@ class TestInt8Rescore:
         hits = idx.search_vectors(x[:2], top_k=3)
         assert len(hits) == 2 and hits[0]
         idx.close()
+
+
+class TestMetaSidecar:
+    """Columnar metadata sidecar (round 4, index/metacols.py): O(numpy)
+    re-opens; the container's blob store stays authoritative. Reference
+    load-speed contract: unified_index.py:10,373."""
+
+    @pytest.fixture(autouse=True)
+    def _small_threshold(self, monkeypatch):
+        from intelligent_video_analysis_retrieval_system_tpu.index import (
+            metacols,
+            unified,
+        )
+
+        monkeypatch.setattr(metacols, "SIDECAR_MIN_ROWS", 8)
+        # unified imports the name at call time from metacols — patch the
+        # module attribute only
+        yield
+
+    def _build(self, tmp_path, n=40, dim=8, with_extras=True):
+        rng = np.random.default_rng(3)
+        path = tmp_path / "side.rvdb"
+        with IndexContainer(path, "w", dim=dim, dtype="float32") as c:
+            c.append_embeddings(
+                rng.standard_normal((n, dim)).astype(np.float32)
+            )
+            recs = []
+            for i in range(n):
+                r = {"folder": f"v{i % 3}", "image": f"{i:04d}.jpg",
+                     "frame_id": i, "pts_time": i * 0.2, "row_id": i,
+                     "path": f"/kf/v{i % 3}/{i:04d}.jpg"}
+                if with_extras and i % 11 == 0:
+                    r["tags"] = ["scene"]
+                    r["note"] = {"idx": i}
+                recs.append(r)
+            c.append_metadata(recs)
+            c.flush_checkpoint()
+        return path
+
+    def _open(self, path, mode="r"):
+        idx = UnifiedIndex(UnifiedIndexConfig(dtype="float32"))
+        idx.load_unified_index(path, mode=mode)
+        return idx
+
+    def test_written_then_loaded_with_exact_equality(self, tmp_path):
+        from intelligent_video_analysis_retrieval_system_tpu.index.metacols import (
+            ColumnarMetadata,
+            sidecar_path,
+        )
+
+        path = self._build(tmp_path)
+        idx = self._open(path)
+        eager = list(idx._metadata)
+        keys = dict(idx._row_by_key)
+        idx.close()
+        assert sidecar_path(path).is_file()
+
+        idx2 = self._open(path)
+        assert isinstance(idx2._metadata, ColumnarMetadata)
+        lazy = list(idx2._metadata)
+        assert lazy == eager  # every field, incl. tags/extra blob rows
+        assert any(m.tags for m in lazy)
+        assert any(m.extra.get("note") for m in lazy)
+        # NB dict(lazy) copies C-level storage without filling; compare
+        # through items() which triggers the lazy fill
+        assert dict(idx2._row_by_key.items()) == keys
+        assert idx2._row_by_key.get(("v1", "0001.jpg")) == 1
+        assert ("v0", "0000.jpg") in idx2._row_by_key
+        idx2.close()
+
+    def test_search_hits_identical(self, tmp_path):
+        path = self._build(tmp_path)
+        rng = np.random.default_rng(5)
+        q = rng.standard_normal((2, 8)).astype(np.float32)
+        idx = self._open(path)
+        a = idx.search_vectors(q, top_k=5)
+        idx.close()
+        idx2 = self._open(path)
+        b = idx2.search_vectors(q, top_k=5)
+        idx2.close()
+        for ha, hb in zip(a, b):
+            assert [(h.metadata.key, h.metadata.frame_id) for h in ha] == \
+                   [(h.metadata.key, h.metadata.frame_id) for h in hb]
+
+    def test_mutations_invalidate(self, tmp_path):
+        from intelligent_video_analysis_retrieval_system_tpu.index.metacols import (
+            sidecar_path,
+        )
+
+        path = self._build(tmp_path)
+        self._open(path).close()          # writes sidecar
+        idx = self._open(path, mode="a")  # loads columnar
+        rng = np.random.default_rng(7)
+        idx.incremental_update(
+            rng.standard_normal((2, 8)).astype(np.float32),
+            [{"folder": "new", "image": f"n{i}.jpg", "frame_id": i}
+             for i in range(2)],
+        )
+        assert not sidecar_path(path).is_file()
+        # in-session view stays consistent across the overlay boundary
+        assert idx._metadata[41].folder == "new"
+        assert idx._row_by_key.get(("new", "n1.jpg")) == 41
+        assert idx._row_by_key.get(("v1", "0001.jpg")) == 1
+        idx.delete_keys([("v1", "0001.jpg")])
+        idx.compact()
+        # compact invalidates, then its internal reload rewrites a FRESH
+        # sidecar at the compacted count — stale is impossible either way
+        side = sidecar_path(path)
+        if side.is_file():
+            with np.load(side) as z:
+                assert int(z["n"]) == 41
+        idx.close()
+        # reload rebuilds at the compacted count
+        idx2 = self._open(path)
+        assert len(idx2._metadata) == 41
+        assert sidecar_path(path).is_file()
+        idx2.close()
+
+    def test_stale_or_corrupt_sidecar_falls_back(self, tmp_path):
+        from intelligent_video_analysis_retrieval_system_tpu.index.metacols import (
+            ColumnarMetadata,
+            sidecar_path,
+        )
+
+        path = self._build(tmp_path)
+        self._open(path).close()
+        # stale: append via a raw container handle (no invalidation hook)
+        with IndexContainer(path, "a", dim=8, dtype="float32") as c:
+            c.append_embeddings(np.zeros((1, 8), np.float32))
+            c.append_metadata([{"folder": "x", "image": "x.jpg",
+                                "frame_id": 0}])
+            c.flush_checkpoint()
+        idx = self._open(path)
+        # count mismatch -> blob path (then rewrites at the new count)
+        assert len(idx._metadata) == 41
+        assert idx._metadata[40].folder == "x"
+        idx.close()
+        # corrupt file -> blob path
+        sidecar_path(path).write_bytes(b"garbage not npz")
+        idx2 = self._open(path)
+        assert len(idx2._metadata) == 41
+        assert list(idx2._metadata)[0].folder == "v0"
+        idx2.close()
+
+    def test_below_threshold_no_sidecar(self, tmp_path, monkeypatch):
+        from intelligent_video_analysis_retrieval_system_tpu.index import (
+            metacols,
+        )
+        from intelligent_video_analysis_retrieval_system_tpu.index.metacols import (
+            sidecar_path,
+        )
+
+        monkeypatch.setattr(metacols, "SIDECAR_MIN_ROWS", 10_000)
+        path = self._build(tmp_path)
+        idx = self._open(path)
+        assert isinstance(idx._metadata, list)
+        idx.close()
+        assert not sidecar_path(path).is_file()
