@@ -481,8 +481,11 @@ def tail_append(state: IVFState, row_ids: np.ndarray | list[int]) -> IVFState:
 
 def _select_blocks(scores, cand, k: int):
     """Chunk-max block selection over (B, n_cand) scores (flat top_k at
-    ~100k width is sort-bound). Returns the winning blocks' candidate
-    ids (B, kc*CH) and their selection scores.
+    ~100k width is sort-bound). Returns the winning blocks' selection
+    scores (B, kc*CH), their candidate ids, and their flat positions into
+    the (B, n_cand) input — callers that re-score phase-B style MUST
+    gather every phase-A mask (e.g. the union program's ``own``) through
+    those positions, or rows masked out of selection re-enter at rescore.
 
     Exactness: every true top-k element lives in some 128-chunk; the top-k
     chunks by max contain all of them (standard chunk-max argument, see
@@ -506,7 +509,7 @@ def _select_blocks(scores, cand, k: int):
         cid[:, :, None] * _SEL_CHUNK + jnp.arange(_SEL_CHUNK)[None, None]
     ).reshape(b_pad, k_chunks * _SEL_CHUNK)
     block_cand = jnp.take_along_axis(cand, flat_pos, axis=1)
-    return flat, block_cand
+    return flat, block_cand, flat_pos
 
 
 def _probe_candidates(centroids, bucket_ids, tail_ids, tail_count, qf,
@@ -554,7 +557,7 @@ def _topk_over_candidates_int8(x_i8, x_scales, qf, cand, valid, k: int):
     ).astype(jnp.float32)                            # (B, n_cand)
     scores = int_dot * x_scales[safe] * q_scales[:, None]
     scores = jnp.where(valid, scores, -jnp.inf)
-    flat, block_cand = _select_blocks(scores, cand, k)
+    flat, block_cand, _ = _select_blocks(scores, cand, k)
     k_eff = min(k, flat.shape[1])
     top_s, pos = lax.top_k(flat, k_eff)
     top_ids = jnp.take_along_axis(block_cand, pos, axis=1)
@@ -584,8 +587,10 @@ def _topk_over_candidates_float(x, qf, cand, valid, k: int, n_valid, deleted):
     )
     approx = jnp.where(valid, approx, -jnp.inf)
     # Phase B: exact f32-HIGHEST rescore of the selected blocks only
-    # (k_chunks*128 rows per query).
-    _, block_cand = _select_blocks(approx, cand, k)
+    # (k_chunks*128 rows per query). Re-deriving range+tombstone here is
+    # equivalent to phase A's mask: every candidate in a query's row came
+    # from its own probes (no union/`own` dimension in this program).
+    _, block_cand, _ = _select_blocks(approx, cand, k)
     bvalid = (block_cand >= 0) & (block_cand < n_valid)
     bsafe = jnp.where(bvalid, block_cand, 0)
     if deleted is not None:
@@ -769,7 +774,7 @@ def _topk_over_union_int8(x_i8, x_scales, qf, cand, valid, own, k: int):
     scores = int_dot * x_scales[safe][None, :] * q_scales[:, None]
     scores = jnp.where(valid[None, :] & own, scores, -jnp.inf)
     cand_b = jnp.broadcast_to(cand[None], scores.shape)
-    flat, block_cand = _select_blocks(scores, cand_b, k)
+    flat, block_cand, _ = _select_blocks(scores, cand_b, k)
     k_eff = min(k, flat.shape[1])
     top_s, pos = lax.top_k(flat, k_eff)
     top_ids = jnp.take_along_axis(block_cand, pos, axis=1)
@@ -795,8 +800,15 @@ def _topk_over_union_float(x, qf, cand, valid, own, k: int, n_valid,
     )                                                    # (B, n_cand)
     approx = jnp.where(valid[None, :] & own, approx, -jnp.inf)
     cand_b = jnp.broadcast_to(cand[None], approx.shape)
-    _, block_cand = _select_blocks(approx, cand_b, k)
-    bvalid = (block_cand >= 0) & (block_cand < n_valid)
+    _, block_cand, flat_pos = _select_blocks(approx, cand_b, k)
+    # Phase B must carry EVERY phase-A mask. Range+tombstones re-derive
+    # from block_cand, but own-probe membership does not: selected chunks
+    # can straddle bucket boundaries (cap % 128 != 0) and -inf filler
+    # chunks hold other queries' rows — without the gathered `own`, those
+    # rows re-enter at rescore and batched results diverge from B=1
+    # (observed: 5/8 queries differ at nprobe=2 on a 4096-row corpus).
+    bown = jnp.take_along_axis(own, flat_pos, axis=1)
+    bvalid = (block_cand >= 0) & (block_cand < n_valid) & bown
     bsafe = jnp.where(bvalid, block_cand, 0)
     if deleted is not None:
         bvalid &= deleted[bsafe, 0] == 0

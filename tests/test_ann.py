@@ -618,6 +618,29 @@ class TestBatchedSearcher:
                 np.sort(np.asarray(one.scores[0])),
             )
 
+    def test_batched_equals_single_bf16_small_nprobe(self, corpus, ivf):
+        """Regression (round-4 review): the union float program's phase-B
+        rescore dropped the own-probe mask, so at small nprobe (few own
+        finite chunks) other queries' bucket rows leaked genuine f32
+        scores through the -inf filler chunks and batched results
+        diverged from B=1 — 5/8 queries differed on this exact shape
+        before the fix (bf16 storage, nprobe=2, k=16)."""
+        x, q = corpus
+        state, _ = ivf
+        xd = jnp.asarray(x, jnp.bfloat16)
+        qb = jnp.asarray(q[:8])
+        got = ivf_topk(xd, state, qb, k=16, nprobe=2)
+        for i in range(8):
+            one = ivf_topk(xd, state, qb[i:i + 1], k=16, nprobe=2)
+            assert set(np.asarray(got.indices[i]).tolist()) == set(
+                np.asarray(one.indices[0]).tolist()
+            ), f"query {i}: batched candidate set differs from B=1"
+            np.testing.assert_allclose(
+                np.sort(np.asarray(got.scores[i])),
+                np.sort(np.asarray(one.scores[0])),
+                atol=1e-5,
+            )
+
     def test_batch_composition_invariance(self, corpus, ivf):
         """A query's results must not depend on WHICH other queries share
         its micro-batch (serving batches are arbitrary compositions)."""
