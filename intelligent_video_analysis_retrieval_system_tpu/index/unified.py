@@ -195,6 +195,11 @@ class UnifiedIndex:
         # delete/compact so result caches keyed on it can never serve stale
         # hits after the index changes
         self.generation = 0
+        # row-REMAP counter: bumps only when existing row ids change meaning
+        # (reload/compact/close). Appends grow n_valid without remapping and
+        # deletes only tombstone, so the off-lock build_ann install can
+        # reconcile those — a _rows_gen change forces a rebuild instead
+        self._rows_gen = 0
         # host metadata cache
         self._metadata: list[KeyframeMetadata] = []
         self._row_by_key: dict[tuple[str, str], int] = {}
@@ -253,6 +258,7 @@ class UnifiedIndex:
             self._ann = None
             self._n_valid = 0
             self._capacity = 0
+            self._rows_gen += 1
             self._metadata = []
             self._row_by_key = {}
 
@@ -270,6 +276,7 @@ class UnifiedIndex:
         n = self._container.num_rows
         self._n_valid = n
         self.generation += 1
+        self._rows_gen += 1
         self._dev_scales = None
         self._sharded = None
         self._ann = None
@@ -461,73 +468,106 @@ class UnifiedIndex:
         at nprobe=nlist (provably exact) and the build WARNS that ANN buys
         no latency on this corpus instead of silently serving bad recall.
         """
+        import logging
+
         from ..ops.ann import build_ivf
 
-        with self._lock:
-            if self._sharded is not None:
-                # mesh backend: build over the SHARDED buffer (GSPMD routes
-                # the k-means/assignment sweeps; no unsharded copy is ever
-                # materialized), then partition per shard
-                if self._sharded._x is None or self._n_valid == 0:
-                    raise RuntimeError("no device rows loaded")
-                scales = self._sharded._scales
-                state, report = build_ivf(
-                    self._sharded._x,
-                    n_rows=self._n_valid,
-                    x_scales=None if scales is None else scales.reshape(-1),
-                    nlist=nlist or self.config.ann_nlist,
-                    **build_kwargs,
-                )
-                self._ann = state
-                self._sharded.set_ann(state)
-            else:
-                if self._dev_x is None or self._n_valid == 0:
-                    raise RuntimeError("no device rows loaded")
-                state, report = build_ivf(
-                    self._dev_x,
-                    n_rows=self._n_valid,
-                    x_scales=self._dev_scales,
-                    nlist=nlist or self.config.ann_nlist,
-                    **build_kwargs,
-                )
-                self._ann = state
-            if persist and self._container is not None \
-                    and self._container.mode != "r":
-                self._persist_ann()
-            out = report._asdict()
-            target = self.config.ann_target_recall
-            if check_recall is None:
-                check_recall = bool(target)
-            if check_recall and target and self._container is not None:
-                import logging
-
-                log = logging.getLogger("ivars")
-                try:
-                    tune = self.tune_nprobe(target_recall=float(target))
-                    out["recall_check"] = tune
-                    nlist_built = int(self._ann.bucket_ids.shape[0])
-                    if tune["nprobe"] >= nlist_built:
-                        log.warning(
-                            "ANN recall check: this corpus shows weak "
-                            "cluster structure — nprobe climbed to nlist="
-                            "%d (equivalent to exact search with gather "
-                            "overhead; ladder: %s). ANN buys no latency "
-                            "here; consider index_type='exact'.",
-                            nlist_built, tune["ladder"],
-                        )
-                    else:
-                        log.info(
-                            "ANN recall check: recall@%d %.4f at tuned "
-                            "nprobe=%d (target %.2f)",
-                            tune["top_k"], tune["recall"], tune["nprobe"],
-                            float(target),
-                        )
-                except Exception:
-                    log.exception(
-                        "ANN recall check failed; keeping configured "
-                        "nprobe %d UNVERIFIED on this corpus",
-                        self.config.ann_nprobe,
+        log = logging.getLogger("ivars")
+        # The k-means build runs OFF the index lock over a snapshot of the
+        # device buffer (jax arrays are immutable values: an in-place append
+        # rebinds self._dev_x to a NEW array, the snapshot stays valid), so
+        # live searches keep serving during a rebuild — a lock-held build
+        # starved every request behind it for the build + recall-check
+        # duration (measured as 10s+ request timeouts in the serving soak).
+        # Install re-checks _rows_gen: appends since the snapshot ride the
+        # fresh state's tail, a remap (reload/compact/close) forces a retry.
+        report = None
+        for _attempt in range(3):
+            with self._lock:
+                sharded = self._sharded
+                if sharded is not None:
+                    # mesh backend: build over the SHARDED buffer (GSPMD
+                    # routes the k-means/assignment sweeps; no unsharded
+                    # copy is ever materialized), then partition per shard
+                    if sharded._x is None or self._n_valid == 0:
+                        raise RuntimeError("no device rows loaded")
+                    x = sharded._x
+                    scales = sharded._scales
+                    scales = None if scales is None else scales.reshape(-1)
+                else:
+                    if self._dev_x is None or self._n_valid == 0:
+                        raise RuntimeError("no device rows loaded")
+                    x = self._dev_x
+                    scales = self._dev_scales
+                snap_n = self._n_valid
+                snap_gen = self._rows_gen
+            state, report = build_ivf(
+                x,
+                n_rows=snap_n,
+                x_scales=scales,
+                nlist=nlist or self.config.ann_nlist,
+                **build_kwargs,
+            )
+            with self._lock:
+                if self._rows_gen != snap_gen:
+                    log.info(
+                        "build_ann: rows reloaded/remapped mid-build "
+                        "(attempt %d); rebuilding over the new buffer",
+                        _attempt + 1,
                     )
+                    continue
+                self._ann = state
+                if self._sharded is not None:
+                    self._sharded.set_ann(state)
+                if self._n_valid > snap_n:
+                    # rows appended mid-build: register them in the fresh
+                    # state's tail (drops ANN only on tail overflow)
+                    self._ann_register_append(snap_n, self._n_valid - snap_n)
+                if (
+                    self._ann is not None
+                    and persist
+                    and self._container is not None
+                    and self._container.mode != "r"
+                ):
+                    self._persist_ann()
+                break
+        else:
+            raise RuntimeError(
+                "build_ann: rows were reloaded mid-build on every attempt; "
+                "retry when the index stops being rebuilt concurrently"
+            )
+        out = report._asdict()
+        target = self.config.ann_target_recall
+        if check_recall is None:
+            check_recall = bool(target)
+        if check_recall and target and self._container is not None \
+                and self._ann is not None:
+            try:
+                tune = self.tune_nprobe(target_recall=float(target))
+                out["recall_check"] = tune
+                nlist_built = int(state.bucket_ids.shape[0])
+                if tune["nprobe"] >= nlist_built:
+                    log.warning(
+                        "ANN recall check: this corpus shows weak "
+                        "cluster structure — nprobe climbed to nlist="
+                        "%d (equivalent to exact search with gather "
+                        "overhead; ladder: %s). ANN buys no latency "
+                        "here; consider index_type='exact'.",
+                        nlist_built, tune["ladder"],
+                    )
+                else:
+                    log.info(
+                        "ANN recall check: recall@%d %.4f at tuned "
+                        "nprobe=%d (target %.2f)",
+                        tune["top_k"], tune["recall"], tune["nprobe"],
+                        float(target),
+                    )
+            except Exception:
+                log.exception(
+                    "ANN recall check failed; keeping configured "
+                    "nprobe %d UNVERIFIED on this corpus",
+                    self.config.ann_nprobe,
+                )
         return out
 
     def tune_nprobe(
@@ -555,7 +595,12 @@ class UnifiedIndex:
         traffic (``noise=0.0`` restores the optimistic variant).
 
         Cost: one exact sweep + a few small ANN sweeps over ``sample``
-        queries — seconds, not minutes, at any corpus size.
+        queries — seconds, not minutes, at any corpus size. The ladder runs
+        OFF the index lock (each search call locks itself) with a per-call
+        ``nprobe`` override rather than mutating the live config, so served
+        traffic neither blocks behind the tune nor observes fluctuating
+        probe counts. Mutations racing the ladder can skew the estimate; a
+        generation change is detected and reported in the result.
         """
         with self._lock:
             if self._ann is None:
@@ -593,60 +638,69 @@ class UnifiedIndex:
                     for r in picks
                 ]
             )
-            q = rows / np.maximum(
-                np.linalg.norm(rows, axis=1, keepdims=True), 1e-12
-            )
-            if noise > 0:
-                d = q.shape[1]
-                q = q + (noise / d**0.5) * rng.standard_normal(
-                    q.shape
-                ).astype(np.float32)
-                q /= np.maximum(
-                    np.linalg.norm(q, axis=1, keepdims=True), 1e-12
-                )
-            exact = self.search_vectors(q, top_k=top_k, exact=True)
-            exact_ids = [{h.metadata.row_id for h in hits}
-                         for hits in exact]
             nlist = int(self._ann.bucket_ids.shape[0])
-            saved = self.config.ann_nprobe
-            ladder: list[tuple[int, float]] = []
-            best = nlist
-            try:
-                nprobe = 4
-                while True:
-                    nprobe = min(nprobe, nlist)
-                    self.config.ann_nprobe = nprobe
-                    got: list[list] = []
-                    step = max(int(self.config.ann_max_batch), 1)
-                    for s in range(0, len(q), step):
-                        got.extend(
-                            self.search_vectors(q[s:s + step], top_k=top_k)
-                        )
-                    recall = float(
-                        np.mean(
-                            [
-                                len({h.metadata.row_id for h in hits}
-                                    & ids) / max(len(ids), 1)
-                                for hits, ids in zip(got, exact_ids)
-                            ]
-                        )
+            snap_gen = self.generation
+        q = rows / np.maximum(
+            np.linalg.norm(rows, axis=1, keepdims=True), 1e-12
+        )
+        if noise > 0:
+            d = q.shape[1]
+            q = q + (noise / d**0.5) * rng.standard_normal(
+                q.shape
+            ).astype(np.float32)
+            q /= np.maximum(
+                np.linalg.norm(q, axis=1, keepdims=True), 1e-12
+            )
+        exact = self.search_vectors(q, top_k=top_k, exact=True)
+        exact_ids = [{h.metadata.row_id for h in hits}
+                     for hits in exact]
+        ladder: list[tuple[int, float]] = []
+        best = nlist
+        nprobe = 4
+        while True:
+            nprobe = min(nprobe, nlist)
+            got: list[list] = []
+            step = max(int(self.config.ann_max_batch), 1)
+            for s in range(0, len(q), step):
+                got.extend(
+                    self.search_vectors(
+                        q[s:s + step], top_k=top_k, nprobe=nprobe
                     )
-                    ladder.append((nprobe, recall))
-                    if recall >= target_recall or nprobe >= nlist:
-                        best = nprobe
-                        break
-                    nprobe *= 2
-            finally:
-                self.config.ann_nprobe = saved
+                )
+            recall = float(
+                np.mean(
+                    [
+                        len({h.metadata.row_id for h in hits}
+                            & ids) / max(len(ids), 1)
+                        for hits, ids in zip(got, exact_ids)
+                    ]
+                )
+            )
+            ladder.append((nprobe, recall))
+            if recall >= target_recall or nprobe >= nlist:
+                best = nprobe
+                break
+            nprobe *= 2
+        raced = False
+        with self._lock:
+            raced = self.generation != snap_gen
             self.config.ann_nprobe = best
-            return {
-                "nprobe": best,
-                "recall": ladder[-1][1],
-                "target": target_recall,
-                "ladder": ladder,
-                "sample": len(q),
-                "top_k": top_k,
-            }
+        if raced:
+            import logging
+
+            logging.getLogger("ivars").warning(
+                "tune_nprobe: index mutated during the ladder; the recall "
+                "estimate may be skewed — re-run when mutations settle"
+            )
+        return {
+            "nprobe": best,
+            "recall": ladder[-1][1],
+            "target": target_recall,
+            "ladder": ladder,
+            "sample": len(q),
+            "top_k": top_k,
+            "raced_mutation": raced,
+        }
 
     def _persist_ann(self) -> None:
         assert self._container is not None and self._ann is not None
@@ -1004,13 +1058,16 @@ class UnifiedIndex:
         filter_fn: Callable[[KeyframeMetadata], bool] | None = None,
         over_fetch: int = 4,
         exact: bool = False,
+        nprobe: int | None = None,
     ) -> list[list[SearchResult]]:
         """Top-k per query vector. Returns ranked SearchResults.
 
         Exact by default; when the IVF ANN mode is active (``config.ann`` /
         :meth:`build_ann`) small batches (<= ``config.ann_max_batch``) use
         approximate probing instead — pass ``exact=True`` to force the
-        dense sweep for a call.
+        dense sweep for a call, or ``nprobe`` to override the configured
+        probe count for THIS call only (``tune_nprobe`` walks its ladder
+        this way instead of mutating the live config under traffic).
 
         ``filter_fn``: metadata predicate applied post-search with
         ``over_fetch``x candidates (reference enrich+filter semantics,
@@ -1044,11 +1101,12 @@ class UnifiedIndex:
                 and self._ann is not None
                 and len(q) <= self.config.ann_max_batch
             )
+            nprobe_eff = int(nprobe) if nprobe else self.config.ann_nprobe
             if use_ann and self._sharded is not None:
                 # sharded IVF latency mode (parallel.sharded_ann): equal to
                 # the single-device ANN result for the same state
                 result: TopKResult = self._sharded.search_ann(
-                    q, fetch, nprobe=self.config.ann_nprobe
+                    q, fetch, nprobe=nprobe_eff
                 )
             elif use_ann:  # IVF latency mode (single-device backends)
                 from ..ops.ann import ivf_topk
@@ -1058,7 +1116,7 @@ class UnifiedIndex:
                     self._ann,
                     jnp.asarray(q, jnp.float32),
                     fetch,
-                    nprobe=self.config.ann_nprobe,
+                    nprobe=nprobe_eff,
                     n_valid=self._n_valid,
                     deleted=self._dev_deleted,
                     x_scales=self._dev_scales,

@@ -296,6 +296,10 @@ def _entity_label(span_tokens: list[str], prev_lower: str) -> str:
     """Type a PROPN span: PERSON (honorific before or leading the span),
     EVENT/ORG (typing final word outranks a gazetteer hit: "Hanoi
     University" is an ORG), then GPE (gazetteer), else MISC."""
+    if not span_tokens:
+        # a span can be connector-only after filtering ("De" alone tags
+        # PROPN, then the of/the/de/da strip empties it) — hypothesis find
+        return "MISC"
     lowered = [t.lower() for t in span_tokens]
     if prev_lower in _HONORIFICS or (
         len(lowered) >= 2 and lowered[0] in _HONORIFICS

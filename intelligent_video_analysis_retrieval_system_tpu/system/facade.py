@@ -328,9 +328,15 @@ class EnhancedRetrievalSystem:
             ann_max_batch=int(sec.get("ann_max_batch", 16)),
             # None in the config section means "use the dataclass default"
             # (0.95, the default-on build-time recall guard); set an
-            # explicit number to retune, or 0/false to disable
+            # explicit number to retune, or 0/false to disable. NB: the
+            # default must come from __dataclass_fields__ — class-attribute
+            # access on a slots=True dataclass returns the member
+            # DESCRIPTOR (truthy, not float()-able), which made the guard
+            # error out and silently skip on every facade-built index
             ann_target_recall=(
-                UnifiedIndexConfig.ann_target_recall
+                UnifiedIndexConfig.__dataclass_fields__[
+                    "ann_target_recall"
+                ].default
                 if sec.get("ann_target_recall") is None
                 else (float(sec["ann_target_recall"])
                       or None)

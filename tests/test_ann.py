@@ -552,6 +552,121 @@ class TestUnifiedIndexANN:
         idx.close()
 
 
+class TestOffLockBuild:
+    """Round-4 serving fix: build_ann runs the k-means OFF the index lock
+    (snapshot -> build -> generation-checked install) so live searches
+    keep serving during a rebuild. These tests drive the reconcile paths
+    deterministically by patching ``ops.ann.build_ivf`` with wrappers
+    that mutate the index mid-build (same thread, no lock held — exactly
+    the window a concurrent request would use)."""
+
+    def _patch_build(self, monkeypatch, side_effect):
+        from intelligent_video_analysis_retrieval_system_tpu.ops import (
+            ann as ann_mod,
+        )
+
+        real = ann_mod.build_ivf
+        calls = []
+
+        def wrapper(*args, **kwargs):
+            calls.append(1)
+            side_effect(len(calls))
+            return real(*args, **kwargs)
+
+        monkeypatch.setattr(ann_mod, "build_ivf", wrapper)
+        return calls
+
+    def test_append_during_build_rides_tail(self, tmp_path, big_corpus,
+                                            monkeypatch):
+        """Rows appended between the snapshot and the install are
+        registered in the FRESH state's tail — searchable via ANN
+        immediately, no dense fallback, no lost rows."""
+        x, _ = big_corpus
+        # leave spare padded capacity: at exactly-full capacity an append
+        # becomes a reload (the REMAP path, tested separately)
+        x = x[: len(x) - 16]
+        idx = _make_index(tmp_path, x)
+        assert idx._capacity > len(x) + 3, "need in-place append headroom"
+        rng = np.random.default_rng(17)
+        new = _normed(rng, 3, x.shape[1])
+
+        def mid_build_append(call_no):
+            if call_no == 1:
+                idx.incremental_update(
+                    new,
+                    [{"folder": "mid", "image": f"m{i}.jpg", "frame_id": i}
+                     for i in range(3)],
+                )
+
+        calls = self._patch_build(monkeypatch, mid_build_append)
+        idx.build_ann(check_recall=False)
+        assert len(calls) == 1  # no retry: appends reconcile in place
+        assert idx.ann_active
+        assert int(idx._ann.tail_count) >= 3
+        hits = idx.search_vectors(new, top_k=1)  # ANN path (B=3 <= max)
+        assert [h[0].metadata.row_id for h in hits] == [
+            len(x) + i for i in range(3)
+        ]
+        idx.close()
+
+    def test_remap_during_build_retries(self, tmp_path, big_corpus,
+                                        monkeypatch):
+        """A row remap (reload/compact) mid-build makes the built state's
+        ids stale: the install must detect it and rebuild."""
+        x, _ = big_corpus
+        idx = _make_index(tmp_path, x)
+
+        def bump_once(call_no):
+            if call_no == 1:
+                idx._rows_gen += 1
+
+        calls = self._patch_build(monkeypatch, bump_once)
+        idx.build_ann(check_recall=False)
+        assert len(calls) == 2  # first build discarded, second installed
+        assert idx.ann_active
+        idx.close()
+
+    def test_persistent_remap_raises_and_keeps_old_state(
+        self, tmp_path, big_corpus, monkeypatch
+    ):
+        x, _ = big_corpus
+        idx = _make_index(tmp_path, x)
+        old_state = idx._ann
+        assert old_state is not None
+
+        calls = self._patch_build(monkeypatch, lambda _n: setattr(
+            idx, "_rows_gen", idx._rows_gen + 1
+        ))
+        with pytest.raises(RuntimeError, match="mid-build"):
+            idx.build_ann(check_recall=False)
+        assert len(calls) == 3
+        assert idx._ann is old_state  # previous structure still serving
+        idx.close()
+
+    def test_nprobe_override_does_not_touch_config(self, tmp_path,
+                                                   big_corpus):
+        """The per-call nprobe override (tune_nprobe's ladder mechanism)
+        must leave the live config untouched and equal exact at
+        nprobe=nlist."""
+        x, q = big_corpus
+        # ann_target_recall=None: the on-load recall check would itself
+        # retune ann_nprobe, which is exactly the machinery under test
+        idx = _make_index(tmp_path, x, ann_nprobe=1, ann_target_recall=None)
+        assert idx.config.ann_nprobe == 1
+        nlist = int(idx._ann.bucket_ids.shape[0])
+        got = idx.search_vectors(q, top_k=5, nprobe=nlist)
+        exact = idx.search_vectors(q, top_k=5, exact=True)
+        for g_hits, e_hits in zip(got, exact):
+            assert {h.metadata.row_id for h in g_hits} == {
+                h.metadata.row_id for h in e_hits
+            }
+        assert idx.config.ann_nprobe == 1  # override never installed
+        rep = idx.tune_nprobe(target_recall=0.9, sample=8, top_k=5)
+        assert rep["raced_mutation"] is False
+        assert idx.config.ann_nprobe == rep["nprobe"]
+        idx.close()
+
+
 class TestBatchedSearcher:
     """The batched union-dedup program (`_build_ivf_batch_searcher`,
     round 4): per-query results must be IDENTICAL to the B=1 program

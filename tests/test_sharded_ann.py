@@ -555,6 +555,32 @@ class TestShardedBatchComposition:
                 atol=1e-5,
             )
 
+    def test_batch_vs_single_query_small_nprobe(self, placed, corpus, mesh):
+        """Regression (round-4): the union float program's phase-B rescore
+        dropped the own-probe mask; at small nprobe most of a query's
+        candidate row is -inf filler whose chunks hold OTHER queries'
+        bucket rows, so those leaked genuine f32 scores at rescore and
+        batched sharded results diverged from B=1. nprobe=2 keeps the
+        finite fraction small enough to exercise the leak on every shard."""
+        _, x_sh, _, sivf, _ = placed
+        _, q = corpus
+        batch = sharded_ivf_topk(
+            mesh, x_sh, sivf, jnp.asarray(q), 10, nprobe=2, n_valid=N
+        )
+        for i in range(len(q)):
+            one = sharded_ivf_topk(
+                mesh, x_sh, sivf, jnp.asarray(q[i:i + 1]), 10, nprobe=2,
+                n_valid=N,
+            )
+            assert set(np.asarray(batch.indices[i]).tolist()) == set(
+                np.asarray(one.indices[0]).tolist()
+            ), f"query {i}: sharded batched candidate set differs from B=1"
+            np.testing.assert_allclose(
+                np.sort(np.asarray(batch.scores[i])),
+                np.sort(np.asarray(one.scores[0])),
+                atol=1e-5,
+            )
+
     def test_composition_invariance(self, placed, corpus, mesh):
         _, x_sh, _, sivf, _ = placed
         _, q = corpus

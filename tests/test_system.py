@@ -697,6 +697,40 @@ class TestIndexTypeMapping:
             assert s2.index.ann_active is expect, index_type
             s2.cleanup()
 
+    def test_default_target_recall_is_the_dataclass_default(self,
+                                                            tmp_path):
+        """Regression: `UnifiedIndexConfig.ann_target_recall` accessed on
+        the CLASS returns the slots member descriptor (truthy, not
+        float()-able) — the facade used it as "the default", so the
+        default-on recall guard raised TypeError and silently skipped on
+        every facade-built index. The default must come from
+        __dataclass_fields__."""
+        from intelligent_video_analysis_retrieval_system_tpu.index import (
+            UnifiedIndexConfig,
+        )
+
+        cfg = Config(config_file=None, base_dir=tmp_path, create_dirs=True)
+        system = EnhancedRetrievalSystem(cfg, embedder=tiny_embedder())
+        got = system._index_config().ann_target_recall
+        want = UnifiedIndexConfig().ann_target_recall  # instance default
+        assert isinstance(got, float) and got == want
+        system.cleanup()
+
+    def test_facade_build_runs_recall_check(self, tmp_path):
+        """The build-time recall guard must actually RUN through the
+        facade path (it errored out before the descriptor fix): after an
+        ANN build with the default target, the tuned nprobe is installed
+        and the structure stays active."""
+        system = self._system(tmp_path, "IndexIVFFlat")
+        assert system.index.ann_active
+        # with the pre-fix TypeError the check raised before the ladder
+        # and the report carried no recall_check key
+        rep = system.index.build_ann(nlist=4)
+        assert "recall_check" in rep, "recall guard did not run"
+        assert isinstance(rep["recall_check"]["recall"], float)
+        assert system.index.config.ann_nprobe == rep["recall_check"]["nprobe"]
+        system.cleanup()
+
     def test_target_recall_self_tunes(self, tmp_path):
         """index.ann_target_recall makes the facade auto-pick nprobe on
         build (and load): config's ann_nprobe is only the starting point."""
