@@ -474,13 +474,21 @@ class UnifiedIndex:
 
         log = logging.getLogger("ivars")
         # The k-means build runs OFF the index lock over a snapshot of the
-        # device buffer (jax arrays are immutable values: an in-place append
-        # rebinds self._dev_x to a NEW array, the snapshot stays valid), so
-        # live searches keep serving during a rebuild — a lock-held build
-        # starved every request behind it for the build + recall-check
-        # duration (measured as 10s+ request timeouts in the serving soak).
-        # Install re-checks _rows_gen: appends since the snapshot ride the
-        # fresh state's tail, a remap (reload/compact/close) forces a retry.
+        # device buffer, so live searches keep serving during a rebuild — a
+        # lock-held build starved every request behind it for the build +
+        # recall-check duration (measured as 10s+ request timeouts in the
+        # serving soak). Two snapshot-invalidation paths exist:
+        #   - single-device backends append via eager dynamic_update_slice,
+        #     which rebinds self._dev_x to a NEW array — the snapshot stays
+        #     a valid (stale) value, and install re-checks _rows_gen:
+        #     appends since the snapshot ride the fresh state's tail, a
+        #     remap (reload/compact/close) forces a retry;
+        #   - the MESH backend's append DONATES the old sharded buffer
+        #     (parallel/sharded_search.py donate_argnums=(0,), avoiding a
+        #     2x memory spike at 10M rows), which DELETES the very array
+        #     the snapshot holds — the next build dispatch raises
+        #     "Array has been deleted". That is caught below and treated
+        #     like a remap: re-snapshot and retry.
         report = None
         for _attempt in range(3):
             with self._lock:
@@ -501,13 +509,25 @@ class UnifiedIndex:
                     scales = self._dev_scales
                 snap_n = self._n_valid
                 snap_gen = self._rows_gen
-            state, report = build_ivf(
-                x,
-                n_rows=snap_n,
-                x_scales=scales,
-                nlist=nlist or self.config.ann_nlist,
-                **build_kwargs,
-            )
+            try:
+                state, report = build_ivf(
+                    x,
+                    n_rows=snap_n,
+                    x_scales=scales,
+                    nlist=nlist or self.config.ann_nlist,
+                    **build_kwargs,
+                )
+            except RuntimeError as e:
+                if "deleted" not in str(e).lower():
+                    raise
+                # mesh backend: a concurrent append donated (deleted) the
+                # snapshotted buffer mid-build — retry over the fresh one
+                log.info(
+                    "build_ann: snapshot buffer donated by a concurrent "
+                    "append (attempt %d); rebuilding over the new buffer",
+                    _attempt + 1,
+                )
+                continue
             with self._lock:
                 if self._rows_gen != snap_gen:
                     log.info(
@@ -546,7 +566,13 @@ class UnifiedIndex:
                 tune = self.tune_nprobe(target_recall=float(target))
                 out["recall_check"] = tune
                 nlist_built = int(state.bucket_ids.shape[0])
-                if tune["nprobe"] >= nlist_built:
+                if tune.get("raced_mutation"):
+                    log.warning(
+                        "ANN recall check raced a concurrent mutation; "
+                        "the estimate was discarded — run tune_ann when "
+                        "mutations settle"
+                    )
+                elif tune["nprobe"] >= nlist_built:
                     log.warning(
                         "ANN recall check: this corpus shows weak "
                         "cluster structure — nprobe climbed to nlist="
@@ -599,8 +625,11 @@ class UnifiedIndex:
         OFF the index lock (each search call locks itself) with a per-call
         ``nprobe`` override rather than mutating the live config, so served
         traffic neither blocks behind the tune nor observes fluctuating
-        probe counts. Mutations racing the ladder can skew the estimate; a
-        generation change is detected and reported in the result.
+        probe counts. Mutations racing the ladder can skew the estimate
+        (a compact remaps row ids, deflating recall toward random
+        overlap); a generation change is detected, the skewed result is
+        NOT installed into the config, and ``raced_mutation=True`` is
+        reported so callers can re-run.
         """
         with self._lock:
             if self._ann is None:
@@ -684,13 +713,17 @@ class UnifiedIndex:
         raced = False
         with self._lock:
             raced = self.generation != snap_gen
-            self.config.ann_nprobe = best
+            if not raced:
+                self.config.ann_nprobe = best
         if raced:
             import logging
 
             logging.getLogger("ivars").warning(
-                "tune_nprobe: index mutated during the ladder; the recall "
-                "estimate may be skewed — re-run when mutations settle"
+                "tune_nprobe: index mutated during the ladder (row ids may "
+                "have remapped, deflating the recall estimate toward random "
+                "overlap); the measured nprobe=%d was NOT installed — "
+                "config keeps nprobe=%d. Re-run when mutations settle.",
+                best, self.config.ann_nprobe,
             )
         return {
             "nprobe": best,
@@ -1101,7 +1134,12 @@ class UnifiedIndex:
                 and self._ann is not None
                 and len(q) <= self.config.ann_max_batch
             )
-            nprobe_eff = int(nprobe) if nprobe else self.config.ann_nprobe
+            if nprobe is None:
+                nprobe_eff = self.config.ann_nprobe
+            elif int(nprobe) <= 0:
+                raise ValueError(f"nprobe must be positive, got {nprobe}")
+            else:
+                nprobe_eff = int(nprobe)
             if use_ann and self._sharded is not None:
                 # sharded IVF latency mode (parallel.sharded_ann): equal to
                 # the single-device ANN result for the same state

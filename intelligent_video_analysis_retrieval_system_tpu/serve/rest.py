@@ -212,9 +212,10 @@ class RetrievalServer:
         """Optional auth gate for the mutation surface (/api/open,
         /api/maintenance, /api/build).
 
-        These endpoints can load arbitrary readable .rvdb paths and hold
-        the index lock for minutes (compact/build_ann) — a larger
-        unauthenticated surface than search. When ``api.admin_token`` is
+        These endpoints can load arbitrary readable .rvdb paths, hold
+        the index lock for minutes (compact), or burn chip-minutes of
+        k-means (build_ann, off-lock) — a larger unauthenticated surface
+        than search. When ``api.admin_token`` is
         configured, requests must carry it in ``X-Admin-Token`` or
         ``Authorization: Bearer``; unset keeps the reference's LAN-trust
         model (documented in docs/DEPLOYMENT.md).
@@ -643,8 +644,9 @@ class RetrievalServer:
             elif action == "build_ann":
                 # build/rebuild the IVF latency structure (ops.ann) on a
                 # live server; persists in the container when writable.
-                # NOTE: the build holds the index lock (searches queue
-                # behind it) — run in a maintenance window under traffic.
+                # The k-means runs OFF the index lock (snapshot → build →
+                # generation-checked install), so searches keep serving;
+                # only compact still wants a maintenance window.
                 index = self.system.index
                 if index is None:
                     return web.json_response(

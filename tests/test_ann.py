@@ -666,6 +666,81 @@ class TestOffLockBuild:
         assert idx.config.ann_nprobe == rep["nprobe"]
         idx.close()
 
+    def test_donated_snapshot_retries(self, tmp_path, big_corpus,
+                                      monkeypatch):
+        """The MESH backend's in-place append DONATES the old device
+        buffer (parallel/sharded_search.py donate_argnums=(0,)) — the
+        very array the off-lock build snapshotted. Simulate that here
+        (CPU jax ignores donation, so: append via the public API — which
+        rebinds the live buffer — then .delete() the snapshotted arg):
+        build_ann must treat the deleted-array error like a remap and
+        rebuild over the fresh buffer, appends included."""
+        from intelligent_video_analysis_retrieval_system_tpu.ops import (
+            ann as ann_mod,
+        )
+
+        x, _ = big_corpus
+        x = x[: len(x) - 16]  # headroom for the in-place append
+        idx = _make_index(tmp_path, x)
+        rng = np.random.default_rng(23)
+        new = _normed(rng, 3, x.shape[1])
+        real = ann_mod.build_ivf
+        calls = []
+
+        def wrapper(snap_x, *args, **kwargs):
+            calls.append(1)
+            if len(calls) == 1:
+                idx.incremental_update(
+                    new,
+                    [{"folder": "mid", "image": f"d{i}.jpg", "frame_id": i}
+                     for i in range(3)],
+                )
+                assert idx._dev_x is not snap_x  # append rebound the live buffer
+                snap_x.delete()  # what donation does to the old one
+            return real(snap_x, *args, **kwargs)
+
+        monkeypatch.setattr(ann_mod, "build_ivf", wrapper)
+        idx.build_ann(check_recall=False)
+        assert len(calls) == 2  # deleted-array build retried once
+        assert idx.ann_active
+        hits = idx.search_vectors(new, top_k=1)
+        assert [h[0].metadata.row_id for h in hits] == [
+            len(x) + i for i in range(3)
+        ]
+        idx.close()
+
+    def test_raced_tune_does_not_install(self, tmp_path, big_corpus,
+                                         monkeypatch):
+        """A remap racing tune_nprobe's ladder deflates the recall
+        estimate (stale exact ids vs new row ids) — the skewed nprobe
+        must be DISCARDED, not installed with a warning."""
+        x, _ = big_corpus
+        idx = _make_index(tmp_path, x, ann_nprobe=4, ann_target_recall=None)
+        before = idx.config.ann_nprobe
+        real = idx.search_vectors
+        state = {"bumped": False}
+
+        def racing_search(*args, **kwargs):
+            out = real(*args, **kwargs)
+            if not state["bumped"]:
+                state["bumped"] = True
+                idx.generation += 1  # what a compact/reload does
+            return out
+
+        monkeypatch.setattr(idx, "search_vectors", racing_search)
+        rep = idx.tune_nprobe(target_recall=0.9, sample=8, top_k=5)
+        assert rep["raced_mutation"] is True
+        assert idx.config.ann_nprobe == before  # skewed value not installed
+        idx.close()
+
+    def test_nprobe_zero_rejected(self, tmp_path, big_corpus):
+        """nprobe=0 must error, not silently fall back to the config."""
+        x, q = big_corpus
+        idx = _make_index(tmp_path, x, ann_target_recall=None)
+        with pytest.raises(ValueError, match="nprobe"):
+            idx.search_vectors(q[:1], top_k=5, nprobe=0)
+        idx.close()
+
 
 class TestBatchedSearcher:
     """The batched union-dedup program (`_build_ivf_batch_searcher`,
