@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import threading
 from pathlib import Path
 from typing import Any, Callable, Iterable, Iterator, Sequence
 
@@ -177,18 +178,30 @@ class LazyRowByKey(dict):
         super().__init__()
         self._metas = metas
         self._filled = False
+        self._fill_lock = threading.Lock()
 
     def _ensure(self) -> None:
+        # _filled flips True only AFTER the map is fully populated, and
+        # the O(n) fill runs under a lock: key lookups from concurrent
+        # request threads (REST pool reads with no index lock) either
+        # see the complete map or wait for it — never a partial one.
         if self._filled:
             return
-        self._filled = True
-        explicit = dict(self)
-        base: dict[tuple[str, str], int] = {
-            key: i for i, key in enumerate(self._metas.iter_keys())
-        }
-        base.update(explicit)
-        dict.clear(self)
-        dict.update(self, base)
+        with self._fill_lock:
+            if self._filled:
+                return
+            base: dict[tuple[str, str], int] = {
+                key: i for i, key in enumerate(self._metas.iter_keys())
+            }
+            # Explicit pre-fill writes (live appends) win over the scan;
+            # no clear() — the dict is only ever added to, so readers
+            # racing the final update still see their key once present.
+            # NB: dict(self) would call the OVERRIDDEN keys() (CPython's
+            # merge path for dict subclasses) and re-enter _ensure on the
+            # non-reentrant lock — snapshot via the C-level view instead.
+            base.update(dict.items(self))
+            dict.update(self, base)
+            self._filled = True
 
     def get(self, key, default=None):
         self._ensure()
@@ -202,8 +215,8 @@ class LazyRowByKey(dict):
         self._ensure()
         return dict.__contains__(self, key)
 
-    # NB: ``dict(lazy)`` copies the C-level storage and CANNOT trigger
-    # the fill — iterate via items()/keys() (or use get) instead.
+    # NB: CPython's ``dict(lazy)`` merge path calls the overridden
+    # ``keys()`` for dict subclasses, so it DOES trigger the fill.
     def __iter__(self):
         self._ensure()
         return dict.__iter__(self)

@@ -187,6 +187,12 @@ class UnifiedIndex:
         self._dev_deleted = None    # (cap, 1) int8 device mask (lazy)
         # IVF structure (ops.ann.IVFState) when the ANN mode is active
         self._ann = None
+        # ANN-STATE generation: bumps whenever self._ann is replaced
+        # (build install, drop, restore, tail registration). Row mutations
+        # bump self.generation but ANN swaps do NOT — tune_nprobe must
+        # watch this too, or a build_ann/drop_ann landing mid-ladder mixes
+        # measurements from two structures into one installed nprobe.
+        self._ann_gen = 0
         # set while an overflow-append reload runs: suppresses the ANN
         # AUTO-BUILD (persisted-state restore still happens) so appends
         # never block on a synchronous k-means rebuild
@@ -256,6 +262,7 @@ class UnifiedIndex:
             self._dev_scales = None
             self._sharded = None
             self._ann = None
+            self._ann_gen += 1
             self._n_valid = 0
             self._capacity = 0
             self._rows_gen += 1
@@ -280,6 +287,7 @@ class UnifiedIndex:
         self._dev_scales = None
         self._sharded = None
         self._ann = None
+        self._ann_gen += 1
         if n == 0:
             self._dev_x = None
             self._capacity = 0
@@ -349,6 +357,7 @@ class UnifiedIndex:
         additionally partitioned over the shards (``parallel.sharded_ann``)
         — the persisted format is backend-portable."""
         self._ann = None
+        self._ann_gen += 1
         if self._dev_x is None and self._sharded is None:
             return
         restored = self._restore_persisted_ann()
@@ -425,6 +434,7 @@ class UnifiedIndex:
                 pass
             return False
         self._ann = state
+        self._ann_gen += 1
         if self._sharded is not None:
             self._sharded.set_ann(state)
         if not self.config.ann:
@@ -490,7 +500,29 @@ class UnifiedIndex:
         #     "Array has been deleted". That is caught below and treated
         #     like a remap: re-snapshot and retry.
         report = None
-        for _attempt in range(3):
+        # separate retry budgets: donated snapshots (mesh appends delete
+        # the buffer we hold — routine under steady serving traffic, so it
+        # gets more headroom) vs row remaps (reload/compact mid-build —
+        # rare, an operator-driven event). A shared budget let append
+        # traffic exhaust the remap budget and then blame "reloads".
+        donated_retries = 0
+        remap_retries = 0
+        max_donated, max_remap = 5, 3
+        while True:
+            if donated_retries >= max_donated or remap_retries >= max_remap:
+                cause = (
+                    "concurrent appends kept donating (deleting) the "
+                    "snapshot buffer (%d retries); pause appends and retry "
+                    "build_ann" % donated_retries
+                    if donated_retries >= max_donated
+                    else "rows were reloaded/remapped mid-build on every "
+                    "attempt (%d retries); retry when the index stops "
+                    "being rebuilt concurrently" % remap_retries
+                )
+                raise RuntimeError(
+                    "build_ann gave up: %s (the previous ANN structure, "
+                    "if any, is still serving)" % cause
+                )
             with self._lock:
                 sharded = self._sharded
                 if sharded is not None:
@@ -522,21 +554,24 @@ class UnifiedIndex:
                     raise
                 # mesh backend: a concurrent append donated (deleted) the
                 # snapshotted buffer mid-build — retry over the fresh one
+                donated_retries += 1
                 log.info(
                     "build_ann: snapshot buffer donated by a concurrent "
-                    "append (attempt %d); rebuilding over the new buffer",
-                    _attempt + 1,
+                    "append (retry %d/%d); rebuilding over the new buffer",
+                    donated_retries, max_donated,
                 )
                 continue
             with self._lock:
                 if self._rows_gen != snap_gen:
+                    remap_retries += 1
                     log.info(
                         "build_ann: rows reloaded/remapped mid-build "
-                        "(attempt %d); rebuilding over the new buffer",
-                        _attempt + 1,
+                        "(retry %d/%d); rebuilding over the new buffer",
+                        remap_retries, max_remap,
                     )
                     continue
                 self._ann = state
+                self._ann_gen += 1
                 if self._sharded is not None:
                     self._sharded.set_ann(state)
                 if self._n_valid > snap_n:
@@ -551,11 +586,6 @@ class UnifiedIndex:
                 ):
                     self._persist_ann()
                 break
-        else:
-            raise RuntimeError(
-                "build_ann: rows were reloaded mid-build on every attempt; "
-                "retry when the index stops being rebuilt concurrently"
-            )
         out = report._asdict()
         target = self.config.ann_target_recall
         if check_recall is None:
@@ -669,6 +699,10 @@ class UnifiedIndex:
             )
             nlist = int(self._ann.bucket_ids.shape[0])
             snap_gen = self.generation
+            # ANN swaps (build_ann install, drop_ann) do NOT bump
+            # self.generation — both now run off the index lock, so a
+            # ladder can straddle two IVF structures; watch _ann_gen too
+            snap_ann_gen = self._ann_gen
         q = rows / np.maximum(
             np.linalg.norm(rows, axis=1, keepdims=True), 1e-12
         )
@@ -712,7 +746,8 @@ class UnifiedIndex:
             nprobe *= 2
         raced = False
         with self._lock:
-            raced = self.generation != snap_gen
+            raced = (self.generation != snap_gen
+                     or self._ann_gen != snap_ann_gen)
             if not raced:
                 self.config.ann_nprobe = best
         if raced:
@@ -764,6 +799,7 @@ class UnifiedIndex:
         with self._lock:
             was_active = self._ann is not None
             self._ann = None
+            self._ann_gen += 1
             if self._sharded is not None:
                 self._sharded.clear_ann()
             dropped = False
@@ -787,6 +823,7 @@ class UnifiedIndex:
 
         try:
             self._ann = tail_append(self._ann, list(range(start, start + count)))
+            self._ann_gen += 1
         except OverflowError:
             import logging
 
@@ -795,6 +832,7 @@ class UnifiedIndex:
                 "until build_ann() is called again"
             )
             self._ann = None
+            self._ann_gen += 1
             if self._sharded is not None:
                 self._sharded.clear_ann()
             return

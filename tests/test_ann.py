@@ -733,6 +733,83 @@ class TestOffLockBuild:
         assert idx.config.ann_nprobe == before  # skewed value not installed
         idx.close()
 
+    def test_ann_swap_mid_ladder_detected(self, tmp_path, big_corpus,
+                                          monkeypatch):
+        """build_ann installing a NEW IVF structure mid-ladder does not
+        bump self.generation (ANN swaps aren't row mutations) — the
+        tune must still detect it via the ANN-state generation and
+        discard the mixed-structure measurement."""
+        x, _ = big_corpus
+        idx = _make_index(tmp_path, x, ann_nprobe=4, ann_target_recall=None)
+        before = idx.config.ann_nprobe
+        real = idx.search_vectors
+        state = {"swapped": False}
+
+        def racing_search(*args, **kwargs):
+            out = real(*args, **kwargs)
+            if not state["swapped"]:
+                state["swapped"] = True
+                idx.build_ann(check_recall=False)  # concurrent rebuild
+            return out
+
+        monkeypatch.setattr(idx, "search_vectors", racing_search)
+        rep = idx.tune_nprobe(target_recall=0.9, sample=8, top_k=5)
+        assert rep["raced_mutation"] is True
+        assert idx.config.ann_nprobe == before
+        idx.close()
+
+    def test_drop_ann_mid_ladder_detected(self, tmp_path, big_corpus,
+                                          monkeypatch):
+        """drop_ann mid-ladder makes the remaining rungs exact
+        (recall=1.0), terminating the ladder at its first rung — the
+        optimistic nprobe must be discarded, not installed."""
+        x, _ = big_corpus
+        idx = _make_index(tmp_path, x, ann_nprobe=8, ann_target_recall=None)
+        before = idx.config.ann_nprobe
+        real = idx.search_vectors
+        state = {"dropped": False}
+
+        def racing_search(*args, **kwargs):
+            out = real(*args, **kwargs)
+            if not state["dropped"]:
+                state["dropped"] = True
+                idx.drop_ann()
+            return out
+
+        monkeypatch.setattr(idx, "search_vectors", racing_search)
+        rep = idx.tune_nprobe(target_recall=0.99, sample=8, top_k=5)
+        assert rep["raced_mutation"] is True
+        assert idx.config.ann_nprobe == before
+        idx.close()
+
+    def test_persistent_donation_raises_accurate_error(
+        self, tmp_path, big_corpus, monkeypatch
+    ):
+        """Steady append traffic on a mesh donates (deletes) every
+        snapshot: build_ann must exhaust its OWN donation budget and
+        name appends as the cause — not blame 'reloads' — while the
+        previous structure keeps serving."""
+        from intelligent_video_analysis_retrieval_system_tpu.ops import (
+            ann as ann_mod,
+        )
+
+        x, _ = big_corpus
+        idx = _make_index(tmp_path, x)
+        old_state = idx._ann
+        assert old_state is not None
+        calls = []
+
+        def always_donated(*args, **kwargs):
+            calls.append(1)
+            raise RuntimeError("Array has been deleted.")
+
+        monkeypatch.setattr(ann_mod, "build_ivf", always_donated)
+        with pytest.raises(RuntimeError, match="donating"):
+            idx.build_ann(check_recall=False)
+        assert len(calls) == 5  # donation budget, wider than remap's 3
+        assert idx._ann is old_state  # previous structure still serving
+        idx.close()
+
     def test_nprobe_zero_rejected(self, tmp_path, big_corpus):
         """nprobe=0 must error, not silently fall back to the config."""
         x, q = big_corpus

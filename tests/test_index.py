@@ -1280,6 +1280,43 @@ class TestMetaSidecar:
         assert list(idx2._metadata)[0].folder == "v0"
         idx2.close()
 
+    def test_lazy_row_by_key_concurrent_fill(self):
+        """_filled must flip only AFTER the map is populated: a reader
+        landing mid-fill previously saw a near-empty dict and returned
+        false misses for keys that exist (REST threads do key lookups
+        with no index lock)."""
+        import threading
+        import time
+
+        from intelligent_video_analysis_retrieval_system_tpu.index.metacols import (
+            LazyRowByKey,
+        )
+
+        keys = [("f", f"img_{i:05d}.jpg") for i in range(400)]
+
+        class SlowMetas:
+            def iter_keys(self):
+                for k in keys:
+                    time.sleep(0.0002)  # stretch the fill window
+                    yield k
+
+        lazy = LazyRowByKey(SlowMetas())
+        got: list = []
+        started = threading.Event()
+
+        def filler():
+            started.set()
+            lazy.get(keys[0])  # triggers the O(n) fill
+
+        t = threading.Thread(target=filler)
+        t.start()
+        started.wait()
+        time.sleep(0.005)  # land mid-fill
+        got.append(lazy.get(keys[-1]))  # must block, never false-miss
+        t.join()
+        assert got == [len(keys) - 1]
+        assert len(lazy) == len(keys)
+
     def test_below_threshold_no_sidecar(self, tmp_path, monkeypatch):
         from intelligent_video_analysis_retrieval_system_tpu.index import (
             metacols,
