@@ -404,3 +404,148 @@ ShardedSearcherMachine.TestCase.settings = settings(
     max_examples=8, stateful_step_count=10, deadline=None
 )
 TestShardedSearcherStateful = ShardedSearcherMachine.TestCase
+
+
+class UnifiedANNMaintenanceMachine(RuleBasedStateMachine):
+    """Interleaves the round-4 off-lock ANN maintenance surface
+    (build_ann / tune_nprobe / drop_ann / close+reopen) with row
+    mutations (append / delete / compact) on a real container-backed
+    UnifiedIndex, asserting after EVERY rule that whenever ANN is
+    active its full-probe search equals the exact dense path
+    positionally, and that the maintenance flags stay consistent.
+
+    The thread-race half of this surface is covered by the serving soak
+    and the targeted raced-tune/donation tests; this machine covers the
+    SEQUENCING half — generation counters, tail registration,
+    persistence across compact/reopen — under arbitrary interleavings.
+    """
+
+    def __init__(self):
+        super().__init__()
+        import shutil
+        import tempfile
+
+        self._shutil = shutil
+        self._ws = tempfile.mkdtemp(prefix="annmachine_")
+        self.idx = None
+
+    def teardown(self):
+        if self.idx is not None:
+            self.idx.close()
+        self._shutil.rmtree(self._ws, ignore_errors=True)
+
+    @initialize(seed=st.integers(0, 2**16), n=st.integers(48, 128))
+    def load(self, seed, n):
+        from pathlib import Path
+
+        from intelligent_video_analysis_retrieval_system_tpu.index.container import (
+            IndexContainer,
+        )
+        from intelligent_video_analysis_retrieval_system_tpu.index.unified import (
+            UnifiedIndex,
+            UnifiedIndexConfig,
+        )
+
+        self._cfg_cls = UnifiedIndexConfig
+        self._idx_cls = UnifiedIndex
+        rng = np.random.default_rng(seed)
+        centers = rng.standard_normal((8, _DIM)).astype(np.float32)
+        x = centers[rng.integers(0, 8, n)] + 0.1 * rng.standard_normal(
+            (n, _DIM)
+        ).astype(np.float32)
+        self.path = Path(self._ws) / "m.rvdb"
+        with IndexContainer(self.path, "w", dim=_DIM,
+                            dtype="float32") as c:
+            c.append_embeddings(x)
+            c.append_metadata(
+                [{"folder": "v", "image": f"{i}.jpg", "frame_id": i,
+                  "row_id": i} for i in range(n)]
+            )
+            c.flush_checkpoint()
+        self._seed = seed
+        self.next_frame = n
+        self.idx = self._make().load_unified_index(self.path, mode="a")
+
+    def _make(self):
+        # ann=True: loads auto-build (or restore) the IVF structure
+        cfg = self._cfg_cls(ann=True, ann_nlist=8, ann_nprobe=8,
+                            ann_target_recall=None)
+        return self._idx_cls(cfg)
+
+    @rule(seed=st.integers(0, 2**16), m=st.integers(1, 10))
+    def append(self, seed, m):
+        rng = np.random.default_rng(seed)
+        new = rng.standard_normal((m, _DIM)).astype(np.float32)
+        metas = [{"folder": "v", "image": f"a{self.next_frame + i}.jpg",
+                  "frame_id": self.next_frame + i} for i in range(m)]
+        self.next_frame += m
+        self.idx.incremental_update(new, metas)
+        # appends ride the IVF tail; on overflow ANN may legally drop
+
+    @precondition(lambda self: self.idx is not None
+                  and self.idx.ntotal - self.idx.num_deleted > 10)
+    @rule(seed=st.integers(0, 2**16))
+    def delete_some(self, seed):
+        rng = np.random.default_rng(seed)
+        live = [r for r in range(self.idx.ntotal)
+                if r not in self.idx.deleted_rows]
+        picks = rng.choice(live, size=min(4, len(live) - 5),
+                           replace=False)
+        self.idx.delete_rows([int(r) for r in picks])
+
+    @precondition(lambda self: self.idx is not None
+                  and self.idx.num_deleted > 0)
+    @rule()
+    def compact(self):
+        rep = self.idx.compact()
+        assert rep["compacted"] > 0
+        assert self.idx.num_deleted == 0
+
+    @rule()
+    def build(self):
+        self.idx.build_ann(check_recall=False)
+        assert self.idx.ann_active
+
+    @precondition(lambda self: self.idx is not None and self.idx.ann_active)
+    @rule()
+    def tune(self):
+        rep = self.idx.tune_nprobe(target_recall=0.9, sample=6, top_k=5)
+        # sequential machine: nothing races, the tune must always install
+        assert rep["raced_mutation"] is False
+        assert self.idx.config.ann_nprobe == rep["nprobe"]
+
+    @rule()
+    def drop(self):
+        self.idx.drop_ann()
+        assert not self.idx.ann_active
+
+    @rule()
+    def reopen(self):
+        self.idx.close()
+        self.idx = self._make().load_unified_index(self.path, mode="a")
+
+    @invariant()
+    def ann_equals_exact(self):
+        if self.idx is None or not self.idx.is_loaded:
+            return
+        live = self.idx.ntotal - self.idx.num_deleted
+        if live <= 0:
+            return
+        self._seed += 1
+        rng = np.random.default_rng(self._seed)
+        q = rng.standard_normal((2, _DIM)).astype(np.float32)
+        exact = self.idx.search_vectors(q, top_k=5, exact=True)
+        assert all(len(h) == min(5, live) for h in exact)
+        if self.idx.ann_active:
+            nlist = int(self.idx._ann.bucket_ids.shape[0])
+            approx = self.idx.search_vectors(q, top_k=5, nprobe=nlist)
+            for a_hits, e_hits in zip(approx, exact):
+                assert [h.metadata.row_id for h in a_hits] == [
+                    h.metadata.row_id for h in e_hits
+                ], "ANN full probe diverged from the exact path"
+
+
+UnifiedANNMaintenanceMachine.TestCase.settings = settings(
+    max_examples=8, stateful_step_count=12, deadline=None
+)
+TestUnifiedANNMaintenanceStateful = UnifiedANNMaintenanceMachine.TestCase
