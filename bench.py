@@ -1045,20 +1045,24 @@ def _run(result: dict) -> None:
                         1e-12,
                     )
 
+                # consume ALL rows of the (B, k) result: slicing one
+                # element lets XLA narrow the GEMM to query 0's row and
+                # the other B-1 queries' work is DCE'd (CLAUDE.md probe
+                # discipline — measured on the int8 sweep)
                 @jax.jit
                 def q_ivf_b(tp, x10, s10, cent, bid, tid, tcnt,
                             tokens_bx, salt, _s=ivf_b):
                     emb = _encode_b(tp, tokens_bx, salt)
                     res = _s(x10, s10, cent, bid, tid, tcnt, emb,
                              jnp.int32(N10), None)
-                    return res.scores[0, 0]
+                    return res.scores.sum()
 
                 @jax.jit
                 def q_dense_b(tp, x10, s10, dead10, tokens_bx, salt,
                               _s=dense_b):
                     emb = _encode_b(tp, tokens_bx, salt)
                     res = _s(x10, s10, emb, jnp.int32(N10), dead10)
-                    return res.scores[0, 0]
+                    return res.scores.sum()
 
                 log(f"compiling batched IVF + dense (B={b_x})...")
                 float(q_ivf_b(
