@@ -1,12 +1,17 @@
 #!/bin/bash
-# Sequential chip-run queue for the outage-gated round-4 measurements.
+# Sequential chip-run queue for the outage-gated measurements (rounds 4-5).
 #
 # The TPU tunnel has multi-hour outages (CLAUDE.md); this script is meant
-# to be launched ONCE the bounded probe says the backend is back, and runs
-# every gated measurement in priority order — most artifact-critical first,
-# so a re-outage mid-queue still lands the important numbers. Never run
+# to be launched ONCE the bounded probe says the backend is back — either
+# by hand or by benchmarks/tunnel_watcher.sh — and runs every gated
+# measurement in priority order, most artifact-critical first, so a
+# re-outage mid-queue still lands the important numbers. Never run
 # anything else (tests, probes) concurrently: the chip is time-shared and
 # the host has one core.
+#
+# Steps that completed (rc=0) write "$OUT/<name>.OK" and are SKIPPED on
+# re-invocation with the same outdir, so the watcher can resume a queue
+# that a mid-run outage cut short without redoing finished work.
 #
 # Usage:  bash benchmarks/run_chip_queue.sh [outdir]
 set -u
@@ -23,15 +28,21 @@ if ! probe; then
   echo "TPU backend DOWN (probe hung/failed) — aborting queue" | tee "$OUT/ABORTED"
   exit 3
 fi
+rm -f "$OUT/ABORTED"
 echo "probe OK: $(cat "$OUT/probe.log")"
 
 run() {
   local name=$1 tmo=$2; shift 2
+  if [ -e "$OUT/$name.OK" ]; then
+    echo "=== $name already OK — skipping"
+    return 0
+  fi
   echo "=== $name (timeout ${tmo}s): $*"
   local t0=$SECONDS
   timeout "$tmo" "$@" >"$OUT/$name.log" 2>&1
   local rc=$?
   echo "=== $name rc=$rc elapsed=$((SECONDS-t0))s"
+  [ $rc -eq 0 ] && touch "$OUT/$name.OK"
   # re-probe between steps so a mid-queue outage is named, not mistaken
   # for a slow script on the next step
   if ! probe; then
@@ -41,13 +52,19 @@ run() {
   return $rc
 }
 
-# 1. The artifact backbone: every headline key RESULTS.md cites.
-run bench 1800 python bench.py
+# 1. The artifact backbone: every headline key RESULTS.md cites
+#    (incl. served-QPS 1M, IVF 10M, served-10M ANN-vs-dense sections).
+run bench 2400 env IVARS_BENCH_FULL=1 python bench.py
 
-# 2. Batched-IVF crossover at 10M (VERDICT item 2's chip evidence).
+# 2. Batched-IVF crossover at 10M (VERDICT r4 #1/#3 chip evidence:
+#    dense-vs-IVF per B, feeds the self-configuring ann_max_batch).
 run ivf10m 1900 python benchmarks/exp_ivf_10m.py
 
-# 3. ViT-L per-stage profile + patch-embed GEMM + remat (VERDICT item 4).
+# 3. ViT-L per-stage profile + patch-embed GEMM + remat (VERDICT r4 #2).
 run vitl 1500 python benchmarks/exp_vitl_profile.py
+
+# 4. Batched QPS sweep over 10M int8 (refresh the round-2 2,683 QPS
+#    number on current code).
+run qps10m 900 python benchmarks/exp_qps_10m.py
 
 echo "queue complete: $OUT"

@@ -558,6 +558,14 @@ class IndexContainer:
         for key, val in attrs.items():
             grp.attrs[key] = val
 
+    def update_ann_attrs(self, attrs: dict[str, Any]) -> None:
+        """Update scalar attrs on an existing ann group in place (tuned
+        nprobe, measured crossover batch) without rewriting the arrays."""
+        if "ann" in self._f and self.mode != "r":
+            grp = self._f["ann"]
+            for key, val in attrs.items():
+                grp.attrs[key] = val
+
     def get_ann(self) -> tuple[dict[str, np.ndarray], dict[str, Any]] | None:
         if "ann" not in self._f:
             return None

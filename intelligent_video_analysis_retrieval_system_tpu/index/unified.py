@@ -193,6 +193,10 @@ class UnifiedIndex:
         # watch this too, or a build_ann/drop_ann landing mid-ladder mixes
         # measurements from two structures into one installed nprobe.
         self._ann_gen = 0
+        # True once config.ann_max_batch comes from a crossover MEASUREMENT
+        # (measure_ann_crossover here, or restored from a container whose
+        # builder measured it) rather than the dataclass default
+        self._ann_crossover_measured = False
         # set while an overflow-append reload runs: suppresses the ANN
         # AUTO-BUILD (persisted-state restore still happens) so appends
         # never block on a synchronous k-means rebuild
@@ -435,6 +439,15 @@ class UnifiedIndex:
             return False
         self._ann = state
         self._ann_gen += 1
+        # restore the runtime knobs tuned/measured on this corpus (older
+        # containers lack the attrs: keep the config values)
+        if "nprobe" in attrs:
+            self.config.ann_nprobe = int(attrs["nprobe"])
+        if "max_batch" in attrs:
+            self.config.ann_max_batch = int(attrs["max_batch"])
+            self._ann_crossover_measured = bool(
+                attrs.get("max_batch_measured", False)
+            )
         if self._sharded is not None:
             self._sharded.set_ann(state)
         if not self.config.ann:
@@ -750,6 +763,11 @@ class UnifiedIndex:
                      or self._ann_gen != snap_ann_gen)
             if not raced:
                 self.config.ann_nprobe = best
+                if (self._container is not None
+                        and self._container.mode != "r"):
+                    # travel with the structure: a reopened index serves
+                    # at the tuned probe count (see _persist_ann)
+                    self._container.update_ann_attrs({"nprobe": int(best)})
         if raced:
             import logging
 
@@ -770,6 +788,112 @@ class UnifiedIndex:
             "raced_mutation": raced,
         }
 
+    def measure_ann_crossover(
+        self,
+        batch_sizes: tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64),
+        top_k: int = 10,
+        repeats: int = 3,
+        persist: bool = True,
+    ) -> dict[str, Any]:
+        """Measure the IVF/dense crossover batch size on THIS corpus and
+        backend, install it as ``config.ann_max_batch``, and persist it
+        with the ANN structure so a reopened index serves with the
+        measured cap instead of the compiled-in guess (VERDICT r4 #3).
+
+        Why it matters: serving batches above ``ann_max_batch`` silently
+        fall back to the dense sweep — the round-3 failure mode where
+        ANN's headline latency win vanished exactly under load. The
+        crossover depends on corpus size, dtype, nprobe, and the backend
+        (the batched union program amortizes the bucket gather across the
+        batch, so it moved the crossover from ~4 to >=16 on CPU smoke
+        runs) — a hardcoded default can't be right everywhere.
+
+        Method: walk ``batch_sizes`` in order; at each B time the ANN
+        path (explicit ``nprobe=`` forces probing past the current cap)
+        against the exact dense sweep — fresh random queries every timed
+        call (same-input repeats hit result caching below the dispatch
+        layer and report impossible speeds; CLAUDE.md), min over
+        ``repeats``. The crossover is the last B before IVF first loses
+        (monotone-crossing assumption: the union GEMM grows with B while
+        the dense sweep's row traffic is B-independent). ``0`` means IVF
+        never won — the batcher then applies NO ANN micro-batch cap and
+        every real batch serves dense.
+
+        Runs OFF the index lock like :meth:`tune_nprobe` (each search
+        call locks itself); a mutation or ANN swap racing the ladder
+        discards the result (``raced_mutation=True``) instead of
+        installing a number measured across two structures.
+
+        Reference analog: FAISS IVF's batch behavior is tuned by hand per
+        deployment; here the index measures its own (``core.py:1213-1216``
+        accepted whatever index type was handed in).
+        """
+        with self._lock:
+            if self._ann is None:
+                raise RuntimeError("ANN not active; call build_ann() first")
+            if self._dev_x is None and self._sharded is None:
+                raise RuntimeError("no device rows loaded")
+            snap_gen = self.generation
+            snap_ann_gen = self._ann_gen
+            nprobe = int(self.config.ann_nprobe)
+            d = self.dim
+        rng = np.random.default_rng(0)
+        ladder: list[dict[str, Any]] = []
+        crossover = 0
+        for b in batch_sizes:
+            if b > self._n_valid:
+                break
+            # warm both programs (compile) before timing
+            warm = rng.standard_normal((b, d)).astype(np.float32)
+            self.search_vectors(warm, top_k=top_k, nprobe=nprobe)
+            self.search_vectors(warm, top_k=top_k, exact=True)
+            t_ann = t_dense = float("inf")
+            for _ in range(repeats):
+                q = rng.standard_normal((b, d)).astype(np.float32)
+                t0 = time.perf_counter()
+                self.search_vectors(q, top_k=top_k, nprobe=nprobe)
+                t_ann = min(t_ann, time.perf_counter() - t0)
+                q = rng.standard_normal((b, d)).astype(np.float32)
+                t0 = time.perf_counter()
+                self.search_vectors(q, top_k=top_k, exact=True)
+                t_dense = min(t_dense, time.perf_counter() - t0)
+            ladder.append(
+                {"batch": b, "ann_ms": round(t_ann * 1e3, 3),
+                 "dense_ms": round(t_dense * 1e3, 3)}
+            )
+            if t_ann < t_dense:
+                crossover = b
+            else:
+                break
+        raced = False
+        with self._lock:
+            raced = (self.generation != snap_gen
+                     or self._ann_gen != snap_ann_gen)
+            if not raced:
+                self.config.ann_max_batch = crossover
+                self._ann_crossover_measured = True
+                if (persist and self._container is not None
+                        and self._container.mode != "r"):
+                    self._container.update_ann_attrs(
+                        {"max_batch": int(crossover),
+                         "max_batch_measured": True}
+                    )
+        if raced:
+            import logging
+
+            logging.getLogger("ivars").warning(
+                "measure_ann_crossover: index mutated during the ladder; "
+                "the measured crossover=%d was NOT installed — config "
+                "keeps ann_max_batch=%d. Re-run when mutations settle.",
+                crossover, self.config.ann_max_batch,
+            )
+        return {
+            "max_batch": crossover,
+            "nprobe": nprobe,
+            "ladder": ladder,
+            "raced_mutation": raced,
+        }
+
     def _persist_ann(self) -> None:
         assert self._container is not None and self._ann is not None
         state = self._ann
@@ -784,6 +908,14 @@ class UnifiedIndex:
                 "tail_count": int(state.tail_count),
                 "dim": self.dim,
                 "nlist": int(state.bucket_ids.shape[0]),
+                # runtime knobs measured on THIS corpus travel with the
+                # structure (FAISS persists nprobe inside the index file
+                # too): a restored index serves with the tuned probe count
+                # and the measured IVF/dense crossover cap, not the
+                # compiled-in defaults (VERDICT r4 #3)
+                "nprobe": int(self.config.ann_nprobe),
+                "max_batch": int(self.config.ann_max_batch),
+                "max_batch_measured": bool(self._ann_crossover_measured),
                 "version": 1,
             },
         )
@@ -1167,10 +1299,15 @@ class UnifiedIndex:
                     self._n_valid,
                     fetch * max(int(self.config.int8_rescore_factor), 1),
                 )
+            # an explicit per-call nprobe is an explicit request for the
+            # IVF path: it bypasses the ann_max_batch gate (tune_nprobe's
+            # ladder and measure_ann_crossover time batches ABOVE the
+            # current cap this way; ordinary traffic never passes nprobe)
             use_ann = (
                 not exact
                 and self._ann is not None
-                and len(q) <= self.config.ann_max_batch
+                and (nprobe is not None
+                     or len(q) <= self.config.ann_max_batch)
             )
             if nprobe is None:
                 nprobe_eff = self.config.ann_nprobe
@@ -1606,6 +1743,8 @@ class UnifiedIndex:
                 "nlist": int(self._ann.bucket_ids.shape[0]),
                 "bucket_cap": int(self._ann.bucket_ids.shape[1]),
                 "nprobe": self.config.ann_nprobe,
+                "max_batch": self.config.ann_max_batch,
+                "max_batch_measured": self._ann_crossover_measured,
                 "tail_count": int(self._ann.tail_count),
                 "ann_rows": self._ann.ann_rows,
             }

@@ -672,8 +672,6 @@ def _build_ivf_batch_searcher(
     import jax.numpy as jnp
     from jax import lax
 
-    import jax
-
     if int8:
 
         def search(x_i8, x_scales, centroids, bucket_ids, tail_ids,

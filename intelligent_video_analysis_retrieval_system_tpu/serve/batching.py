@@ -122,8 +122,14 @@ class QueryBatcher:
         index = getattr(self.system, "index", None)
         if index is not None and getattr(index, "ann_active", False):
             try:
-                return max(1, min(self.max_batch,
-                                  int(index.config.ann_max_batch)))
+                cap = int(index.config.ann_max_batch)
+                if cap <= 0:
+                    # measured crossover said IVF NEVER wins on this
+                    # corpus (measure_ann_crossover -> 0): every batch
+                    # serves dense, so don't shrink micro-batches for an
+                    # ANN path that won't engage
+                    return self.max_batch
+                return max(1, min(self.max_batch, cap))
             except Exception:  # pragma: no cover — config shape drift
                 pass
         return self.max_batch

@@ -526,6 +526,86 @@ class TestUnifiedIndexANN:
         assert not re2.ann_active
         re2.close()
 
+    def test_tuned_nprobe_persists_across_reopen(self, tmp_path,
+                                                 big_corpus):
+        """The tuned probe count travels with the persisted structure
+        (FAISS stores nprobe inside the index file too): a default-config
+        reopen serves at the tuned value, not the dataclass default."""
+        x, _ = big_corpus
+        idx = _make_index(tmp_path, x, ann_nprobe=1)
+        rep = idx.tune_nprobe(target_recall=0.95, sample=12, top_k=5,
+                              seed=4)
+        assert not rep["raced_mutation"]
+        tuned = rep["nprobe"]
+        idx.close()
+        re = UnifiedIndex().load_unified_index(tmp_path / "ann.rvdb")
+        assert re.ann_active
+        assert re.config.ann_nprobe == tuned
+        re.close()
+
+    def test_measure_crossover_installs_and_persists(self, tmp_path,
+                                                     big_corpus):
+        """measure_ann_crossover times IVF vs dense per batch size,
+        installs the crossover as config.ann_max_batch, and persists it so
+        a reopened index serves with the MEASURED cap (VERDICT r4 #3).
+
+        CPU timings at this corpus size are noisy, so the test pins the
+        mechanics (ladder shape, install, persistence round-trip), not the
+        crossover value itself."""
+        x, _ = big_corpus
+        idx = _make_index(tmp_path, x, ann_nprobe=4)
+        rep = idx.measure_ann_crossover(batch_sizes=(1, 2, 4), repeats=1)
+        assert not rep["raced_mutation"]
+        assert rep["nprobe"] == 4
+        assert 0 <= rep["max_batch"] <= 4
+        assert idx.config.ann_max_batch == rep["max_batch"]
+        assert idx._ann_crossover_measured
+        for rung in rep["ladder"]:
+            assert rung["ann_ms"] > 0 and rung["dense_ms"] > 0
+        # the last winning rung IS the installed crossover
+        wins = [r["batch"] for r in rep["ladder"]
+                if r["ann_ms"] < r["dense_ms"]]
+        assert rep["max_batch"] == (wins[-1] if wins else 0)
+        idx.close()
+        re = UnifiedIndex().load_unified_index(tmp_path / "ann.rvdb")
+        assert re.ann_active
+        assert re.config.ann_max_batch == rep["max_batch"]
+        assert re._ann_crossover_measured
+        re.close()
+
+    def test_measure_crossover_requires_ann(self, tmp_path, big_corpus):
+        x, _ = big_corpus
+        idx = _make_index(tmp_path, x, ann=False)
+        with pytest.raises(RuntimeError, match="ANN not active"):
+            idx.measure_ann_crossover()
+        idx.close()
+
+    def test_explicit_nprobe_bypasses_batch_cap(self, tmp_path,
+                                                big_corpus, monkeypatch):
+        """An explicit per-call nprobe is an explicit request for the IVF
+        path: it must probe even for batches above ann_max_batch (this is
+        how measure_ann_crossover times B > cap without mutating the live
+        config)."""
+        import intelligent_video_analysis_retrieval_system_tpu.ops.ann as ann_mod
+
+        x, _ = big_corpus
+        idx = _make_index(tmp_path, x, ann_max_batch=2)
+        rng = np.random.default_rng(3)
+        qs = x[rng.choice(len(x), 6, replace=False)]
+        calls = []
+        real = ann_mod.ivf_topk
+        monkeypatch.setattr(
+            ann_mod, "ivf_topk",
+            lambda *a, **kw: (calls.append(1), real(*a, **kw))[1],
+        )
+        idx.search_vectors(qs, top_k=3)          # 6 > cap 2: dense
+        assert calls == []
+        idx.search_vectors(qs, top_k=3, nprobe=64)   # explicit: probes
+        assert len(calls) == 1
+        idx.search_vectors(qs, top_k=3, exact=True)  # exact always wins
+        assert len(calls) == 1
+        idx.close()
+
     def test_overflow_append_defers_ann_rebuild(self, tmp_path, big_corpus):
         """A capacity-overflow append must NOT run a synchronous k-means
         rebuild under the lock: with no restorable persisted state, ANN

@@ -1134,6 +1134,11 @@ class TestQueryBatcher:
             assert batcher._effective_max_batch() == 16
             _AnnIndex.config.ann_max_batch = 128  # crossover above cap
             assert batcher._effective_max_batch() == 64
+            # measured crossover 0 = IVF never wins here: every batch
+            # serves dense, so no ANN micro-batch cap applies
+            _AnnIndex.config.ann_max_batch = 0
+            assert batcher._effective_max_batch() == 64
+            _AnnIndex.config.ann_max_batch = 16
             _AnnIndex.ann_active = False
             assert batcher._effective_max_batch() == 64
         finally:
