@@ -562,8 +562,14 @@ class UnifiedIndex:
                     nlist=nlist or self.config.ann_nlist,
                     **build_kwargs,
                 )
-            except RuntimeError as e:
-                if "deleted" not in str(e).lower():
+            except (RuntimeError, ValueError) as e:
+                # single-controller jax raises RuntimeError("Array has
+                # been deleted"); the multi-controller runtime surfaces
+                # the same condition as ValueError("Invalid buffer ...
+                # deleted or donated") at Execute() time (found by
+                # tests/test_distributed_multiproc.py's race stage)
+                msg = str(e).lower()
+                if "deleted" not in msg and "donated" not in msg:
                     raise
                 # mesh backend: a concurrent append donated (deleted) the
                 # snapshotted buffer mid-build — retry over the fresh one

@@ -345,6 +345,19 @@ def build_ivf(
     """
     import jax.numpy as jnp
 
+    # Fail FAST on a donated/deleted input instead of dispatching: on a
+    # single controller a failed Execute is harmless (the caller's retry
+    # path catches it), but on a MULTI-CONTROLLER mesh the failed launch
+    # desyncs the collective stream and the next collective deadlocks
+    # (found by tests/test_distributed_multiproc.py's maintenance-race
+    # stage). The host-side check raises the same canonical error the
+    # retry paths already catch, without touching the runtime.
+    for buf in (x, x_scales):
+        if buf is not None and getattr(buf, "is_deleted", lambda: False)():
+            raise RuntimeError(
+                "Array has been deleted (donated by a concurrent append "
+                "before the build dispatched)"
+            )
     x = jnp.asarray(x)
     n_pad_src = int(x.shape[0])
     n = n_pad_src if n_rows is None else int(n_rows)

