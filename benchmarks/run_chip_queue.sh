@@ -67,4 +67,14 @@ run vitl 1500 python benchmarks/exp_vitl_profile.py
 #    number on current code).
 run qps10m 900 python benchmarks/exp_qps_10m.py
 
+# 5. Cold-start soak serve phase (VERDICT r4 #4): needs the 10M on-disk
+#    container the host-side build phase produces (exp_coldstart_10m.py
+#    --phase build/open run OUTSIDE the queue — they are tunnel-free and
+#    take ~1 h of host time; logs/coldstart_build.OK marks completion).
+if [ -e logs/coldstart_build.OK ]; then
+  run coldstart 1900 python benchmarks/exp_coldstart_10m.py --phase serve
+else
+  echo "=== coldstart: skipped (10M container not built yet)"
+fi
+
 echo "queue complete: $OUT"

@@ -258,6 +258,51 @@ class IndexContainer:
             ds[start:] = stored
         return start, start + len(rows)
 
+    def append_quantized(
+        self, rows_i8: np.ndarray, scales: np.ndarray
+    ) -> tuple[int, int]:
+        """Append PRE-QUANTIZED int8 rows + per-row scales verbatim
+        (int8 containers only; returns (start_row, end_row)).
+
+        ``append_embeddings`` re-quantizes f32 input, which is not
+        idempotent for rows that did not originate from this quantizer
+        (the max-abs scale is recomputed) — external quantizers, exact
+        replication across deployments, and bit-exact device-twin
+        benchmarking (benchmarks/exp_coldstart_10m.py) need the stored
+        bytes to be EXACTLY the caller's. When the container carries the
+        full-precision copy (``keep_fp``), the bf16 rows are the
+        dequantized int8 values — the best reconstruction available
+        without the original f32 rows.
+        """
+        if self.dtype != "int8":
+            raise ValueError("append_quantized requires an int8 container")
+        rows_i8 = np.asarray(rows_i8, np.int8)
+        scales = np.asarray(scales, np.float32).reshape(-1)
+        if rows_i8.ndim != 2 or rows_i8.shape[1] != self.dim:
+            raise ValueError(
+                f"expected (M, {self.dim}), got {rows_i8.shape}"
+            )
+        if len(scales) != len(rows_i8):
+            raise ValueError(
+                f"{len(scales)} scales for {len(rows_i8)} rows"
+            )
+        ds = self._f["embeddings"]
+        start = ds.shape[0]
+        ds.resize((start + len(rows_i8), self.dim))
+        ds[start:] = rows_i8
+        sds = self._f["embedding_scales"]
+        sds.resize((start + len(rows_i8),))
+        sds[start:] = scales
+        if "embeddings_fp" in self._f:
+            from .. import native
+
+            fp = self._f["embeddings_fp"]
+            fp.resize((start + len(rows_i8), self.dim))
+            fp[start:] = native.f32_to_bf16(np.ascontiguousarray(
+                rows_i8.astype(np.float32) * scales[:, None], np.float32
+            ))
+        return start, start + len(rows_i8)
+
     def read_quantized(
         self, start: int = 0, end: int | None = None
     ) -> tuple[np.ndarray, np.ndarray]:

@@ -669,6 +669,56 @@ class TestDeletion:
 
 
 class TestInt8Mode:
+    def test_append_quantized_verbatim(self, tmp_path, rng):
+        """append_quantized stores the caller's exact int8 bytes + scales
+        (append_embeddings re-quantizes, which is not idempotent for rows
+        from an external quantizer), and the keep_fp copy holds the
+        dequantized values."""
+        from intelligent_video_analysis_retrieval_system_tpu.index.container import (
+            IndexContainer,
+        )
+
+        rows = rng.integers(-127, 128, (64, 32)).astype(np.int8)
+        scales = (rng.uniform(0.9, 1.1, 64) / 127.0).astype(np.float32)
+        path = tmp_path / "q.rvdb"
+        with IndexContainer(path, "w", dim=32, dtype="int8",
+                            keep_fp=True) as c:
+            c.append_quantized(rows[:40], scales[:40])
+            c.append_quantized(rows[40:], scales[40:])  # resumable chunks
+            c.append_metadata(
+                [{"folder": "v", "image": f"{i}.jpg", "frame_id": i}
+                 for i in range(64)]
+            )
+            c.flush_checkpoint()
+            got_rows, got_scales = c.read_quantized()
+            np.testing.assert_array_equal(got_rows, rows)
+            np.testing.assert_array_equal(got_scales, scales)
+            fp = c.read_fp_rows(np.arange(64))
+            np.testing.assert_allclose(
+                fp, rows.astype(np.float32) * scales[:, None],
+                rtol=1e-2, atol=1e-3,  # bf16 storage granularity
+            )
+        with IndexContainer(path, "r") as c:  # survives reopen
+            got_rows, got_scales = c.read_quantized()
+            np.testing.assert_array_equal(got_rows, rows)
+            np.testing.assert_array_equal(got_scales, scales)
+
+    def test_append_quantized_rejects_bad_input(self, tmp_path, rng):
+        from intelligent_video_analysis_retrieval_system_tpu.index.container import (
+            IndexContainer,
+        )
+
+        with IndexContainer(tmp_path / "f.rvdb", "w", dim=8,
+                            dtype="float32") as c:
+            with pytest.raises(ValueError, match="int8 container"):
+                c.append_quantized(np.zeros((2, 8), np.int8), np.ones(2))
+        with IndexContainer(tmp_path / "q.rvdb", "w", dim=8,
+                            dtype="int8") as c:
+            with pytest.raises(ValueError, match="scales"):
+                c.append_quantized(np.zeros((2, 8), np.int8), np.ones(3))
+            with pytest.raises(ValueError, match="expected"):
+                c.append_quantized(np.zeros((2, 4), np.int8), np.ones(2))
+
     def test_quantize_roundtrip(self, rng):
         from intelligent_video_analysis_retrieval_system_tpu.ops.quant import (
             dequantize_rows_int8,
