@@ -319,12 +319,40 @@ def phase_serve(path: Path, rows: int) -> None:
             _ = ids[b][order]
         t_host.append(time.perf_counter() - t0)
     host_ms = float(np.percentile(t_host, 50)) * 1e3
+
+    # RAM-cache variant (config int8_rescore_cache): stream the fp bits
+    # into host RAM once, then the same gather+rescore loop against the
+    # resident array — quantifies what the cache buys at 10M scale
+    from intelligent_video_analysis_retrieval_system_tpu import native
+
+    t0 = time.perf_counter()
+    n_fp = cont.num_rows
+    cache = np.empty((n_fp, D), np.uint16)
+    for cs in range(0, n_fp, 262_144):
+        ce = min(cs + 262_144, n_fp)
+        cache[cs:ce] = cont.read_fp_bits(cs, ce)
+    t_cache_build = time.perf_counter() - t0
+    t_host_c = []
+    for i in range(24):
+        qi = qpool[i % 8, :8]
+        t0 = time.perf_counter()
+        for b in range(8):
+            fp = native.bf16_to_f32(np.ascontiguousarray(cache[ids[b]]))
+            sc = fp @ qi[b]
+            order = np.argsort(-sc)[:k]
+            _ = ids[b][order]
+        t_host_c.append(time.perf_counter() - t0)
+    host_cached_ms = float(np.percentile(t_host_c, 50)) * 1e3
     out("rescore_delta", {
         "plain_b8_p50_ms": round(t_k, 2),
         "widened_b8_p50_ms": round(t_wide, 2),
         "host_gather_rescore_b8_ms": round(host_ms, 2),
         "delta_b8_ms": round((t_wide - t_k) + host_ms, 2),
+        "cache_build_s": round(t_cache_build, 1),
+        "host_gather_cached_b8_ms": round(host_cached_ms, 3),
+        "delta_cached_b8_ms": round((t_wide - t_k) + host_cached_ms, 2),
     })
+    del cache
     cont.close()
 
 

@@ -140,6 +140,15 @@ class UnifiedIndexConfig:
     # 1204-1212 forces exact Flat.
     int8_rescore: bool = False
     int8_rescore_factor: int = 4
+    # opt-in (round 5, VERDICT r4 #8): keep the bf16 rescore rows resident
+    # in HOST RAM instead of gathering them from disk per query. DEVICE
+    # residency would be self-defeating at capacity scale (the bf16 copy
+    # of a 10M corpus is 15.4 GB — it doesn't fit v5e HBM next to the
+    # int8 rows, and if it did you'd serve the bf16 exact path instead);
+    # host RAM kills the h5py seek cost without spending a byte of HBM.
+    # Costs 2 bytes/dim/row of RAM (15.4 GB at 10M x 768) + one streaming
+    # read at load. Appends extend the cache in place (amortized growth).
+    int8_rescore_cache: bool = False
     # Default-on recall guard (round 4): every build_ann() samples recall
     # at the configured nprobe and climbs the tune_nprobe ladder to this
     # target — on corpora without cluster structure (where IVF recall at
@@ -193,6 +202,10 @@ class UnifiedIndex:
         # watch this too, or a build_ann/drop_ann landing mid-ladder mixes
         # measurements from two structures into one installed nprobe.
         self._ann_gen = 0
+        # host-RAM bf16-bits cache of the rescore rows (uint16 (cap, dim);
+        # config.int8_rescore_cache) — None when the mode is off
+        self._fp_cache = None
+        self._fp_cache_n = 0
         # True once config.ann_max_batch comes from a crossover MEASUREMENT
         # (measure_ann_crossover here, or restored from a container whose
         # builder measured it) rather than the dataclass default
@@ -245,6 +258,7 @@ class UnifiedIndex:
                 self._container.repair_to_consistent()
             self._load_metadata_cache()
             self._upload_embeddings()
+            self._maybe_build_fp_cache()
         self.load_time_s = time.perf_counter() - t0
         return self
 
@@ -255,6 +269,7 @@ class UnifiedIndex:
             self.path = container.path
             self._load_metadata_cache()
             self._upload_embeddings()
+            self._maybe_build_fp_cache()
         return self
 
     def close(self) -> None:
@@ -272,6 +287,8 @@ class UnifiedIndex:
             self._rows_gen += 1
             self._metadata = []
             self._row_by_key = {}
+            self._fp_cache = None
+            self._fp_cache_n = 0
 
     # -- device state -------------------------------------------------------
 
@@ -292,6 +309,8 @@ class UnifiedIndex:
         self._sharded = None
         self._ann = None
         self._ann_gen += 1
+        self._fp_cache = None
+        self._fp_cache_n = 0
         if n == 0:
             self._dev_x = None
             self._capacity = 0
@@ -1223,6 +1242,62 @@ class UnifiedIndex:
 
     # -- search ---------------------------------------------------------------
 
+    def _maybe_build_fp_cache(self) -> None:
+        """Stream the container's bf16 rescore rows into host RAM
+        (``config.int8_rescore_cache``). Caller holds the index lock."""
+        self._fp_cache = None
+        self._fp_cache_n = 0
+        if not (
+            self.config.int8_rescore
+            and self.config.int8_rescore_cache
+            and self._container is not None
+            and getattr(self._container, "has_fp_rows", False)
+        ):
+            return
+        n = self._n_valid
+        if n == 0:
+            return
+        import logging
+
+        chunk = 262_144
+        cap = _ceil_to(n, chunk)
+        cache = np.empty((cap, self.dim), np.uint16)
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            cache[s:e] = self._container.read_fp_bits(s, e)
+        self._fp_cache = cache
+        self._fp_cache_n = n
+        logging.getLogger("ivars").info(
+            "int8_rescore_cache: %d bf16 rows resident in host RAM "
+            "(%.2f GB) — per-query rescore gathers skip the disk",
+            n, cache.nbytes / 1e9,
+        )
+
+    def _fp_cache_append(self, rows_f32: np.ndarray) -> None:
+        """Extend the resident rescore cache with freshly appended rows
+        (same bf16 bits the container's fp copy stores). Caller holds the
+        index lock; amortized growth, no per-append full copy."""
+        if self._fp_cache is None or len(rows_f32) == 0:
+            return
+        if self._fp_cache_n >= self._n_valid:
+            # a capacity-overflow append reloads the index, which rebuilds
+            # the cache from the container (new rows included) — appending
+            # again here would duplicate them
+            return
+        from .. import native
+
+        bits = native.f32_to_bf16(np.ascontiguousarray(rows_f32, np.float32))
+        n0, m = self._fp_cache_n, len(bits)
+        if n0 + m > self._fp_cache.shape[0]:
+            grown = np.empty(
+                (max(_ceil_to(n0 + m, 262_144), int(n0 * 1.5)), self.dim),
+                np.uint16,
+            )
+            grown[:n0] = self._fp_cache[:n0]
+            self._fp_cache = grown
+        self._fp_cache[n0:n0 + m] = bits
+        self._fp_cache_n = n0 + m
+
     def _rescore_fp_host(
         self,
         q: np.ndarray,
@@ -1247,9 +1322,17 @@ class UnifiedIndex:
             return scores, indices
         finite = np.isfinite(scores)
         safe = np.where(finite, indices, 0)
-        rows = self._container.read_fp_rows(safe.reshape(-1)).reshape(
-            b, k_dev, -1
-        )
+        if self._fp_cache is not None:
+            from .. import native
+
+            bits = np.ascontiguousarray(
+                self._fp_cache[safe.reshape(-1)]
+            )
+            rows = native.bf16_to_f32(bits).reshape(b, k_dev, -1)
+        else:
+            rows = self._container.read_fp_rows(safe.reshape(-1)).reshape(
+                b, k_dev, -1
+            )
         new = np.einsum(
             "bd,bkd->bk", q.astype(np.float32), rows, optimize=True
         ).astype(np.float32)
@@ -1574,6 +1657,7 @@ class UnifiedIndex:
                 self._row_by_key[meta.key] = meta.row_id
             self.generation += 1
             self._append_device_rows(rows)
+            self._fp_cache_append(rows)
         return {"appended": len(rows), "ntotal": self._n_valid}
 
     # -- deletion (tombstones + compaction) ------------------------------------

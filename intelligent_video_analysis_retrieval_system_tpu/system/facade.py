@@ -343,6 +343,7 @@ class EnhancedRetrievalSystem:
             ),
             int8_rescore=bool(sec.get("int8_rescore", False)),
             int8_rescore_factor=int(sec.get("int8_rescore_factor", 4)),
+            int8_rescore_cache=bool(sec.get("int8_rescore_cache", False)),
             # "exact" (native spelling) forces exact-only serving even if
             # the container carries a persisted ANN; reference FAISS
             # names keep FAISS's the-file-is-the-index-type behavior

@@ -100,6 +100,7 @@ DEFAULT_CONFIG: dict[str, Any] = {
         # the exact bf16 ranking; HBM capacity win untouched)
         "int8_rescore": False,
         "int8_rescore_factor": 4,
+        "int8_rescore_cache": False,
     },
     "ingest": {
         "dedup_threshold": 0.98,     # video_frame_filter.py:63-70

@@ -1146,6 +1146,52 @@ class TestInt8Rescore:
         plain.close()
         rescored.close()
 
+    def test_rescore_cache_equals_disk_path(self, tmp_path, rng):
+        """int8_rescore_cache keeps the bf16 rescore rows resident in
+        host RAM; results must be IDENTICAL to the disk-gather path
+        (same bits, same f32 arithmetic), across appends too."""
+        x = self._near_tie_corpus(rng)
+        q = x[:4] + 0.001
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        disk = self._build(tmp_path, x, "rc_disk", int8_rescore=True)
+        cached = self._build(tmp_path, x, "rc_ram", int8_rescore=True,
+                             int8_rescore_cache=True)
+        assert disk._fp_cache is None
+        assert cached._fp_cache is not None
+        assert cached._fp_cache_n == len(x)
+
+        def snap(idx):
+            return [
+                [(h.metadata.row_id, h.similarity_score) for h in hits]
+                for hits in idx.search_vectors(q, top_k=5)
+            ]
+
+        assert snap(cached) == snap(disk)
+        # appends extend the cache in place and stay consistent
+        new = self._near_tie_corpus(rng, n=24)[:8]
+        metas = [{"folder": "w", "image": f"n{i}.jpg", "frame_id": i}
+                 for i in range(len(new))]
+        disk.incremental_update(new, metas)
+        cached.incremental_update(new, metas)
+        assert cached._fp_cache_n == len(x) + len(new)
+        assert snap(cached) == snap(disk)
+        qn = new[:2]
+        got_c = cached.search_vectors(qn, top_k=1)
+        got_d = disk.search_vectors(qn, top_k=1)
+        assert [h[0].metadata.row_id for h in got_c] == [
+            h[0].metadata.row_id for h in got_d
+        ]
+        disk.close()
+        cached.close()
+        # cache survives (rebuilds on) reopen with the same config
+        re = UnifiedIndex(
+            UnifiedIndexConfig(dtype="int8", int8_rescore=True,
+                               int8_rescore_cache=True)
+        ).load_unified_index(tmp_path / "rc_ram.rvdb")
+        assert re._fp_cache is not None
+        assert re._fp_cache_n == len(x) + len(new)
+        re.close()
+
     def test_rescore_respects_deletes(self, tmp_path, rng):
         x = self._near_tie_corpus(rng, n=128)
         idx = self._build(tmp_path, x, "del", int8_rescore=True)
