@@ -240,7 +240,7 @@ def main() -> None:
     # must keep IVF under the dense sweep at the serving batcher's real
     # batch sizes (8-16); the round-3 per-query batching lost above B=4
     # (21.5 vs 13.7 ms/batch at B=8, kept here as the legacy point).
-    for b in (8, 16):
+    for b in (4, 8, 16, 32):
         dense_b = make_dense(b)
         ivf_b = make_ivf(b, 32)
         dense_b(0); ivf_b(0)

@@ -131,6 +131,20 @@ def _build_parser() -> argparse.ArgumentParser:
     cp = sub.add_parser("compact", help="drop tombstoned rows from an index")
     cp.add_argument("index_path")
 
+    tu = sub.add_parser(
+        "tune",
+        help="self-tune the index's ANN runtime knobs ON ITS OWN corpus "
+        "and persist them: nprobe to a recall target (tune_nprobe) and "
+        "the IVF/dense crossover batch cap (measure_ann_crossover). "
+        "A reopened index serves with the tuned values.",
+    )
+    tu.add_argument("index_path")
+    tu.add_argument("--target-recall", type=float, default=0.95)
+    tu.add_argument("--skip-crossover", action="store_true",
+                    help="only tune nprobe")
+    tu.add_argument("--build", action="store_true",
+                    help="build the IVF structure first if absent")
+
     ev = sub.add_parser(
         "evaluate",
         help="retrieval quality on YOUR corpus: the index's device "
@@ -471,6 +485,51 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_tune(args) -> int:
+    """Tune + persist the ANN runtime knobs on the index's own corpus.
+
+    The reference left nprobe/batching to hand-tuning per deployment
+    (FAISS norms); here the index measures its own (unified.tune_nprobe /
+    measure_ann_crossover) and the values travel with the container.
+    """
+    from .index import UnifiedIndex
+
+    index = UnifiedIndex()
+    index.load_unified_index(args.index_path, mode="a")
+    try:
+        if not index.ann_active:
+            if not args.build:
+                print("ANN not active on this index; pass --build to "
+                      "build the IVF structure first")
+                return 1
+            rep = index.build_ann()
+            print(f"built IVF: nlist={rep['nlist']}")
+        tune = index.tune_nprobe(target_recall=args.target_recall)
+        if tune.get("raced_mutation"):
+            print("tune raced a concurrent mutation; re-run when the "
+                  "index is quiescent")
+            return 1
+        print(f"nprobe={tune['nprobe']} at recall@{tune['top_k']} "
+              f"{tune['recall']:.4f} (target {args.target_recall}); "
+              f"ladder {tune['ladder']}")
+        if not args.skip_crossover:
+            cx = index.measure_ann_crossover()
+            if cx.get("raced_mutation"):
+                print("crossover measurement raced a mutation; cap "
+                      "unchanged")
+                return 1
+            rungs = ", ".join(
+                f"B={r['batch']}: ivf {r['ann_ms']} / dense "
+                f"{r['dense_ms']} ms" for r in cx["ladder"]
+            )
+            print(f"ann_max_batch={cx['max_batch']} "
+                  f"({'IVF never wins — serving stays dense' if cx['max_batch'] == 0 else 'persisted'}); {rungs}")
+        print("tuned values persisted; reopened indexes serve with them")
+        return 0
+    finally:
+        index.close()
+
+
 def cmd_stats(args) -> int:
     from .index import UnifiedIndex
 
@@ -627,6 +686,7 @@ _COMMANDS = {
     "validate": cmd_validate,
     "stats": cmd_stats,
     "compact": cmd_compact,
+    "tune": cmd_tune,
     "evaluate": cmd_evaluate,
     "parity": cmd_parity,
 }

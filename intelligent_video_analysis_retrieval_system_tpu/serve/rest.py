@@ -684,11 +684,36 @@ class RetrievalServer:
                     return web.json_response(
                         error_envelope(str(exc), 409), status=409
                     )
+            elif action == "measure_crossover":
+                # measure the IVF/dense crossover batch size on THIS
+                # corpus and install+persist it as ann_max_batch — the
+                # batcher's micro-batch cap stops being a compiled-in
+                # guess (index.measure_ann_crossover; round 5)
+                index = self.system.index
+                if index is None:
+                    return web.json_response(
+                        error_envelope("no index loaded", 404), status=404
+                    )
+                kwargs = {}
+                if payload.get("batch_sizes"):
+                    kwargs["batch_sizes"] = tuple(
+                        int(b) for b in payload["batch_sizes"]
+                    )
+                if payload.get("repeats"):
+                    kwargs["repeats"] = int(payload["repeats"])
+                try:
+                    report = await self._run_sync(
+                        lambda: index.measure_ann_crossover(**kwargs)
+                    )
+                except RuntimeError as exc:
+                    return web.json_response(
+                        error_envelope(str(exc), 409), status=409
+                    )
             else:
                 return web.json_response(
                     error_envelope(
                         "action must be optimize | compact | clear_cache"
-                        " | build_ann | tune_ann"
+                        " | build_ann | tune_ann | measure_crossover"
                     ),
                     status=400,
                 )
@@ -1323,7 +1348,8 @@ _CONSOLE_HTML = """<!doctype html>
   <button class="go" onclick="doMaint('compact')">Compact index</button>
   <button class="go" onclick="doMaint('clear_cache')">Clear cache</button>
   <button class="go" onclick="doMaint('build_ann')">Build ANN (IVF)</button>
-  <button class="go" onclick="doMaint('tune_ann')">Tune ANN recall</button></div>
+  <button class="go" onclick="doMaint('tune_ann')">Tune ANN recall</button>
+  <button class="go" onclick="doMaint('measure_crossover')">Measure ANN crossover</button></div>
  <pre id="statout">loading…</pre></section>
 </main>
 <div id="zoom" style="display:none;position:fixed;inset:0;z-index:50;

@@ -87,6 +87,48 @@ class TestCLI:
         stats = json.loads(capsys.readouterr().out)
         assert stats["ntotal"] == 4
 
+    def test_tune_command(self, tmp_path, capsys):
+        """cli tune builds (--build), tunes nprobe + the crossover cap,
+        and persists both; a default-config reopen serves with them."""
+        from intelligent_video_analysis_retrieval_system_tpu.index import (
+            IndexContainer, UnifiedIndex,
+        )
+
+        rng = np.random.default_rng(3)
+        cents = rng.standard_normal((16, 32)).astype(np.float32)
+        x = cents[rng.integers(0, 16, 1024)] + 0.05 * rng.standard_normal(
+            (1024, 32)
+        ).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        path = tmp_path / "t.rvdb"
+        with IndexContainer(path, "w", dim=32, dtype="float32") as c:
+            c.append_embeddings(x)
+            c.append_metadata(
+                [{"folder": "v", "image": f"{i}.jpg", "frame_id": i}
+                 for i in range(len(x))]
+            )
+            c.flush_checkpoint()
+        rc = cli_main(["tune", str(path), "--target-recall", "0.9",
+                       "--build"])
+        out = capsys.readouterr().out
+        assert rc == 0, out
+        assert "nprobe=" in out and "ann_max_batch=" in out
+        re = UnifiedIndex().load_unified_index(path)
+        assert re.ann_active and re._ann_crossover_measured
+        re.close()
+        # without --build on an ANN-less index: actionable failure
+        with IndexContainer(tmp_path / "n.rvdb", "w", dim=32,
+                            dtype="float32") as c:
+            c.append_embeddings(x[:64])
+            c.append_metadata(
+                [{"folder": "v", "image": f"{i}.jpg", "frame_id": i}
+                 for i in range(64)]
+            )
+            c.flush_checkpoint()
+        rc = cli_main(["tune", str(tmp_path / "n.rvdb")])
+        assert rc == 1
+        assert "--build" in capsys.readouterr().out
+
     def test_unknown_command_exits(self):
         with pytest.raises(SystemExit):
             cli_main(["not-a-command"])

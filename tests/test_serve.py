@@ -415,6 +415,18 @@ class TestConsoleBuildAndNetworkPanel:
             rep = out["report"]
             assert rep["nprobe"] >= 1 and rep["ladder"]
             assert system.index.config.ann_nprobe == rep["nprobe"]
+            # measure the IVF/dense crossover on the live server; the
+            # result installs AND persists as ann_max_batch (round 5)
+            code, out = http_json(
+                f"{base}/api/maintenance",
+                {"action": "measure_crossover", "batch_sizes": [1, 2],
+                 "repeats": 1},
+            )
+            assert code == 200
+            rep = out["report"]
+            assert 0 <= rep["max_batch"] <= 2 and rep["ladder"]
+            assert system.index.config.ann_max_batch == rep["max_batch"]
+            assert system.index._ann_crossover_measured
             code, _ = http_json(f"{base}/api/maintenance",
                                 {"action": "bogus"})
             assert code == 400
