@@ -207,9 +207,10 @@ def bench_served_qps(xd, n_valid: int, embedder=None, *, scales=None,
     Reference baseline: ~0.14 QPS e2e (performance.log:8).
 
     ``scales`` switches the index to int8 capacity mode (``xd`` int8 rows
-    + per-row scales); ``ann_state`` attaches a built IVF structure so
-    the served path runs the round-4 batched ANN program (the batcher is
-    ANN-aware and caps micro-batches at ``ann_max_batch``). Key names
+    + per-row scales); ``ann_state`` attaches a built IVF structure;
+    batches at/below the measured ``ann_max_batch`` crossover route to
+    the batched IVF program, larger ones to the dense sweep (round 5:
+    the batcher no longer shrinks micro-batches to force IVF). Key names
     carry ``key_suffix`` (the original 1M run keeps its round-3 names).
 
     Metadata is synthesized lazily per hit (only top-k rows materialize),
@@ -1129,12 +1130,14 @@ def _run(result: dict) -> None:
         except Exception as exc:
             fail("served_qps", exc)
 
-    # -- served QPS at 10M int8: ANN engaged under load vs the dense path
-    # (round 4, VERDICT r3 #2 done-criteria). Runs AFTER the 1M serve so
-    # the established served_qps_1M key is never starved; reuses the IVF
-    # section's 10M buffers + built state. The batcher is ANN-aware
-    # (micro-batches capped at ann_max_batch=16), so the served path runs
-    # the batched union program at concurrency 16.
+    # -- served QPS at 10M int8: ANN attached vs the dense path (round 4,
+    # VERDICT r3 #2 done-criteria). Runs AFTER the 1M serve so the
+    # established served_qps_1M key is never starved; reuses the IVF
+    # section's 10M buffers + built state. Round 5: the batcher no longer
+    # shrinks micro-batches to force IVF (the 2026-08-19 capture measured
+    # that policy at 92 QPS vs 127 uncapped); batches route per-batch by
+    # the measured ann_max_batch crossover, so at saturation BOTH keys
+    # should now read ~equal — this A/B is the regression gate for that.
     keep = state.pop("ivf_keep", None)
     if (
         keep is not None

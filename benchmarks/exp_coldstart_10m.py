@@ -266,7 +266,7 @@ def phase_serve(path: Path, rows: int) -> None:
          "bucket_ids": np.asarray(state.bucket_ids, np.int32),
          "tail_ids": np.asarray(state.tail_ids, np.int32)},
         {"ann_rows": rows, "tail_count": int(state.tail_count),
-         "dim": D, "nlist": nlist, "nprobe": 32, "max_batch": 16,
+         "dim": D, "nlist": nlist, "nprobe": 32, "max_batch": 4,
          "max_batch_measured": False, "version": 1},
     )
     log("serve: ANN persisted into the container (cold reopen restores it)")

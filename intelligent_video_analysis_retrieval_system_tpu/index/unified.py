@@ -122,13 +122,17 @@ class UnifiedIndexConfig:
     # one shared row gather, one GEMM) replaced the round-3 per-query
     # batching (which materialized B duplicated candidate tensors and
     # lost to dense above B=4: 21.5 vs 13.7 ms/batch at B=8 over 10M);
-    # the crossover default is 16 (serving concurrency 16 forms batches
-    # <= 16, so ANN now stays engaged under load; re-measured in
-    # benchmarks/exp_ivf_10m.py).
+    # the crossover default is 4 — CHIP-MEASURED at 10M rows (round 5,
+    # benchmarks/exp_ivf_10m.py on the real v5e): the union program wins
+    # 2.15x at B=4, is break-even at B=8 on a clustered corpus (and
+    # LOSES 0.81x at B=8 on the uniform bench corpus), and loses 0.63x /
+    # 0.43x at B=16 — the round-4 CPU smoke that suggested >=16 did not
+    # transfer to the chip. Per-index measure_ann_crossover() overrides
+    # this static guess with the corpus's own measured crossover.
     ann: bool = False
     ann_nlist: int | None = None     # None = ops.ann.default_nlist(n)
     ann_nprobe: int = 32
-    ann_max_batch: int = 16
+    ann_max_batch: int = 4
     # int8 exact-rescore mode (round 4): containers built with this flag
     # keep a bf16 copy of every row on DISK (embeddings_fp; HBM keeps the
     # 2x int8 capacity win), and searches rescore the int8 top
@@ -825,13 +829,14 @@ class UnifiedIndex:
         with the ANN structure so a reopened index serves with the
         measured cap instead of the compiled-in guess (VERDICT r4 #3).
 
-        Why it matters: serving batches above ``ann_max_batch`` silently
-        fall back to the dense sweep — the round-3 failure mode where
-        ANN's headline latency win vanished exactly under load. The
-        crossover depends on corpus size, dtype, nprobe, and the backend
-        (the batched union program amortizes the bucket gather across the
-        batch, so it moved the crossover from ~4 to >=16 on CPU smoke
-        runs) — a hardcoded default can't be right everywhere.
+        Why it matters: ``ann_max_batch`` is the IVF/dense ROUTING
+        threshold — batches at/below it probe, larger ones take the dense
+        sweep (which amortizes one corpus pass over the whole batch, so
+        above the crossover dense is genuinely faster, not a fallback).
+        The crossover depends on corpus size, dtype, nprobe, and the
+        backend: round-4 CPU smoke runs suggested >=16, but the round-5
+        chip measurement at 10M pinned it at 4-8 (exp_ivf_10m.py) — a
+        hardcoded default can't be right everywhere, so measure it.
 
         Method: walk ``batch_sizes`` in order; at each B time the ANN
         path (explicit ``nprobe=`` forces probing past the current cap)
@@ -841,8 +846,7 @@ class UnifiedIndex:
         ``repeats``. The crossover is the last B before IVF first loses
         (monotone-crossing assumption: the union GEMM grows with B while
         the dense sweep's row traffic is B-independent). ``0`` means IVF
-        never won — the batcher then applies NO ANN micro-batch cap and
-        every real batch serves dense.
+        never won — every batch then routes to the dense sweep.
 
         Runs OFF the index lock like :meth:`tune_nprobe` (each search
         call locks itself); a mutation or ANN swap racing the ladder

@@ -108,31 +108,22 @@ class QueryBatcher:
         return pending.results or []
 
     # -- worker --------------------------------------------------------------
-
-    def _effective_max_batch(self) -> int:
-        """ANN-aware micro-batch cap.
-
-        When the index serves in IVF latency mode, batches above
-        ``config.ann_max_batch`` (the measured IVF/dense crossover) would
-        silently fall back to the dense sweep — the round-3 failure mode
-        where ANN's headline win vanished exactly under load. Capping the
-        micro-batch keeps ANN engaged; the device pipelines the extra
-        micro-batches FIFO.
-        """
-        index = getattr(self.system, "index", None)
-        if index is not None and getattr(index, "ann_active", False):
-            try:
-                cap = int(index.config.ann_max_batch)
-                if cap <= 0:
-                    # measured crossover said IVF NEVER wins on this
-                    # corpus (measure_ann_crossover -> 0): every batch
-                    # serves dense, so don't shrink micro-batches for an
-                    # ANN path that won't engage
-                    return self.max_batch
-                return max(1, min(self.max_batch, cap))
-            except Exception:  # pragma: no cover — config shape drift
-                pass
-        return self.max_batch
+    #
+    # ANN note (round 5): the batcher deliberately does NOT shrink
+    # micro-batches to keep the IVF path engaged. Rounds 3-4 capped the
+    # micro-batch at ``config.ann_max_batch`` so batches stayed under the
+    # IVF/dense crossover; the round-5 chip measurement at 10M rows
+    # (benchmarks/exp_ivf_10m.py + bench.py served A/B) showed that policy
+    # is dominated everywhere by per-batch routing:
+    #   - light load: batches are naturally small (<= crossover) and route
+    #     to IVF inside ``search_vectors`` anyway (p50 1.8 ms vs 14.6 dense);
+    #   - heavy load: the dense sweep amortizes ONE corpus pass over the
+    #     whole batch (B=16: 17.5 ms = 1.1 ms/query vs capped-IVF 4x6.6 ms
+    #     FIFO = 26 ms for the same 16 queries), so forcing IVF under load
+    #     LOWERED served QPS at 10M: 92 QPS capped vs 127 uncapped
+    #     (bench keys served_qps_10M_int8_{ann,dense}, 2026-08-19).
+    # Routing lives in UnifiedIndex.search_vectors: batches above the
+    # (measured, persisted) ``ann_max_batch`` crossover serve dense.
 
     def _collect(self) -> list[_Pending]:
         try:
@@ -141,8 +132,7 @@ class QueryBatcher:
             return []
         batch = [first]
         deadline = time.monotonic() + self.window_s
-        max_batch = self._effective_max_batch()
-        while len(batch) < max_batch:
+        while len(batch) < self.max_batch:
             remaining = deadline - time.monotonic()
             if remaining <= 0:
                 break

@@ -687,8 +687,8 @@ class RetrievalServer:
             elif action == "measure_crossover":
                 # measure the IVF/dense crossover batch size on THIS
                 # corpus and install+persist it as ann_max_batch — the
-                # batcher's micro-batch cap stops being a compiled-in
-                # guess (index.measure_ann_crossover; round 5)
+                # search path's IVF/dense routing threshold stops being
+                # a compiled-in guess (index.measure_ann_crossover)
                 index = self.system.index
                 if index is None:
                     return web.json_response(

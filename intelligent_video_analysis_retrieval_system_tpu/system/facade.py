@@ -325,7 +325,7 @@ class EnhancedRetrievalSystem:
             ann=self._resolve_index_type(sec.get("index_type", "flat")),
             ann_nlist=sec.get("ann_nlist"),
             ann_nprobe=int(sec.get("ann_nprobe", 32)),
-            ann_max_batch=int(sec.get("ann_max_batch", 16)),
+            ann_max_batch=int(sec.get("ann_max_batch", 4)),
             # None in the config section means "use the dataclass default"
             # (0.95, the default-on build-time recall guard); set an
             # explicit number to retune, or 0/false to disable. NB: the

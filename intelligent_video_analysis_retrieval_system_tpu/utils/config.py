@@ -88,9 +88,10 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "ann_nlist": None,           # None = ops.ann.default_nlist(n)
         "ann_nprobe": 32,
         # dense/IVF crossover: batches above it fall back to the dense
-        # sweep (round-4 batched union program; serving concurrency 16
-        # forms batches <= 16 so ANN stays engaged under load)
-        "ann_max_batch": 16,
+        # sweep. Chip-measured at 10M (round 5, exp_ivf_10m): IVF wins
+        # 2.15x at B=4, break-even-to-losing at B=8, loses at B>=16.
+        # measure_ann_crossover() replaces this guess per index.
+        "ann_max_batch": 4,
         # None = the default-on build-time recall guard at 0.95
         # (UnifiedIndexConfig.ann_target_recall); a number retargets the
         # guard AND makes the facade retune on every load; 0 disables

@@ -1121,38 +1121,35 @@ class TestQueryBatcher:
         with pytest.raises(RuntimeError):
             batcher.search("x")
 
-    def test_ann_aware_micro_batch_cap(self, served_system):
-        """With an ANN-active index the batcher must cap micro-batches at
-        config.ann_max_batch (the IVF/dense crossover) so ANN stays
-        engaged under load — the round-3 gap where the latency mode
-        silently disengaged exactly when the server got busy."""
+    def test_no_ann_micro_batch_shrinking(self, served_system):
+        """The batcher must NOT shrink micro-batches below max_batch when
+        ANN is active. Rounds 3-4 capped micro-batches at ann_max_batch to
+        keep IVF engaged under load; the round-5 chip measurement showed
+        per-batch routing dominates (dense amortizes one corpus pass over
+        the whole batch: served 127 QPS uncapped vs 92 capped at 10M), so
+        batches grow to max_batch and UnifiedIndex.search_vectors routes
+        each whole batch by the measured crossover."""
         from intelligent_video_analysis_retrieval_system_tpu.serve.batching import (
             QueryBatcher,
+            _Pending,
         )
 
         _, system, _ = served_system
-        batcher = QueryBatcher(system, max_batch=64)
-        assert batcher._effective_max_batch() == 64  # no ANN: full batch
 
         class _AnnIndex:
             ann_active = True
 
             class config:
-                ann_max_batch = 16
+                ann_max_batch = 4
 
         real = system.index
         system.index = _AnnIndex()
+        batcher = QueryBatcher(system, max_batch=64, window_ms=50.0)
         try:
-            assert batcher._effective_max_batch() == 16
-            _AnnIndex.config.ann_max_batch = 128  # crossover above cap
-            assert batcher._effective_max_batch() == 64
-            # measured crossover 0 = IVF never wins here: every batch
-            # serves dense, so no ANN micro-batch cap applies
-            _AnnIndex.config.ann_max_batch = 0
-            assert batcher._effective_max_batch() == 64
-            _AnnIndex.config.ann_max_batch = 16
-            _AnnIndex.ann_active = False
-            assert batcher._effective_max_batch() == 64
+            for i in range(9):  # 9 > the ANN crossover of 4
+                batcher._queue.put(_Pending(query=f"q{i}", top_k=5))
+            batch = batcher._collect()
+            assert len(batch) == 9  # grew past ann_max_batch
         finally:
             system.index = real
 
