@@ -65,7 +65,9 @@ run vitl 1500 python benchmarks/exp_vitl_profile.py
 
 # 4. Batched QPS sweep over 10M int8 (refresh the round-2 2,683 QPS
 #    number on current code).
-run qps10m 900 python benchmarks/exp_qps_10m.py
+# (timeout raised 900 -> 1800 after the 2026-08-19 fire lost this step
+# to compile-service congestion during DB gen)
+run qps10m 1800 python benchmarks/exp_qps_10m.py
 
 # 5. Cold-start soak serve phase (VERDICT r4 #4): needs the 10M on-disk
 #    container the host-side build phase produces (exp_coldstart_10m.py
