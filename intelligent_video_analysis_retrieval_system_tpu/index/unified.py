@@ -327,9 +327,9 @@ class UnifiedIndex:
             if self._container.dtype == "int8":
                 # quantized capacity mode on a mesh: int8 rows + per-row
                 # scales shard together; normalization folds into the scale
-                rows, scales = self._container.read_quantized()
-                if self.config.normalize:
-                    scales = _fold_norm_into_scales(rows, scales)
+                rows = np.empty((n, self._container.dim), np.int8)
+                scales = np.empty((n,), np.float32)
+                self._quantized_into(rows, scales)
                 self._sharded = ShardedIndexSearcher(self.mesh)
                 self._sharded.load_int8(rows, scales,
                                         deleted_rows=self._deleted)
@@ -349,15 +349,12 @@ class UnifiedIndex:
         if self._container.dtype == "int8":
             # int8 fast path: upload quantized rows directly; row
             # normalization folds into the per-row scale (dividing a row by
-            # its norm == dividing its scale by the norm)
-            rows, scales = self._container.read_quantized()
-            if self.config.normalize:
-                scales = _fold_norm_into_scales(rows, scales)
+            # its norm == dividing its scale by the norm). The sidecar
+            # read streams straight into the padded staging buffers.
             cap = _ceil_to(n, TILE_N)
-            host = np.zeros((cap, rows.shape[1]), np.int8)
-            host[:n] = rows
+            host = np.zeros((cap, self._container.dim), np.int8)
             host_s = np.zeros((cap,), np.float32)
-            host_s[:n] = scales
+            self._quantized_into(host[:n], host_s[:n])
             self._dev_x = jnp.asarray(host)
             self._dev_scales = jnp.asarray(host_s)
             self._capacity = cap
@@ -1015,6 +1012,68 @@ class UnifiedIndex:
                 mask[row, 0] = 1
         self._dev_deleted = jnp.asarray(mask)
 
+    # write the .flat8 sidecar only above this many rows: tiny corpora
+    # open instantly either way (same spirit as metacols.SIDECAR_MIN_ROWS)
+    _FLAT8_MIN_ROWS = 10_000
+
+    def _fresh_flat8(self):
+        """A header-validated ``native.FlatInt8File`` matching this
+        container's (rows, dim, normalize) — or None (missing / stale /
+        normalize-config mismatch / unreadable)."""
+        if self.path is None or self._container is None:
+            return None
+        p = self.path.with_name(self.path.name + ".flat8")
+        if not p.is_file():
+            return None
+        try:
+            from .. import native
+
+            f = native.FlatInt8File(p)
+            n, d, norm = f.header()
+            if (n == self._container.num_rows and d == self._container.dim
+                    and norm == bool(self.config.normalize)):
+                return f
+        except Exception:  # unreadable sidecar = just use the blob
+            pass
+        return None
+
+    def _quantized_into(self, rows_out: np.ndarray,
+                        scales_out: np.ndarray) -> None:
+        """Fill caller-owned ``(n, d)`` int8 rows + ``(n,)`` f32 serving
+        scales, cheapest path first.
+
+        Fresh ``.flat8`` sidecar (``native.FlatInt8File``): one buffered
+        sequential pass straight into the output buffers, scales already
+        normalization-folded. Otherwise the container blob — measured
+        71 MB/s at 10M rows, because the int8 chunks interleave with the
+        keep_fp blob on disk — plus the fold, then a best-effort sidecar
+        write so the NEXT open takes the fast path (the metacols
+        lazy-write pattern; round 5, 10M reopen 130 s -> 26 s)."""
+        assert self._container is not None
+        n = rows_out.shape[0]
+        f8 = self._fresh_flat8()
+        if f8 is not None:
+            try:
+                f8.read_into(rows_out, scales_out)
+                return
+            except Exception:  # torn mid-read (raced mutation): blob wins
+                pass
+        rows, scales = self._container.read_quantized()
+        if self.config.normalize:
+            scales = _fold_norm_into_scales(rows, scales)
+        rows_out[:] = rows
+        scales_out[:] = scales
+        if self.path is not None and n >= self._FLAT8_MIN_ROWS:
+            try:
+                from .. import native
+
+                native.FlatInt8File.write(
+                    self.path.with_name(self.path.name + ".flat8"),
+                    rows, scales, normalized=bool(self.config.normalize),
+                )
+            except Exception:  # read-only dir etc. — never a load failure
+                pass
+
     def _read_rows_raw(self, n: int) -> np.ndarray:
         """Rows in their cheapest host form: f32 from the mmap sidecar when
         fresh, else RAW storage (u16 bf16 bits / f16 / f32) — no host
@@ -1119,6 +1178,7 @@ class UnifiedIndex:
     def _invalidate_sidecar(self) -> None:
         if self.path is not None:
             self.path.with_name(self.path.name + ".flat").unlink(missing_ok=True)
+            self.path.with_name(self.path.name + ".flat8").unlink(missing_ok=True)
             self.path.with_name(
                 self.path.name + ".meta.npz"
             ).unlink(missing_ok=True)

@@ -135,3 +135,48 @@ class TestFlatFile:
         f = native.FlatEmbeddingFile(p)
         with pytest.raises(IOError):
             f.open()
+
+
+class TestFlatInt8File:
+    """Quantized flat sidecar (round 5): int8 rows + folded scales in one
+    mmap'd file — the capacity-mode fast-open path."""
+
+    def test_roundtrip_bit_exact(self, tmp_path, rng):
+        rows = rng.integers(-127, 128, (64, 24), dtype=np.int8)
+        scales = (rng.uniform(0.9, 1.1, 64) / 127.0).astype(np.float32)
+        path = tmp_path / "q.flat8"
+        native.FlatInt8File.write(path, rows, scales, normalized=True)
+        with native.FlatInt8File(path) as f:
+            assert f.normalized is True
+            np.testing.assert_array_equal(f.rows, rows)
+            np.testing.assert_array_equal(f.scales, scales)
+
+    def test_normalized_flag_persists(self, tmp_path, rng):
+        rows = rng.integers(-127, 128, (4, 8), dtype=np.int8)
+        scales = np.ones(4, np.float32)
+        path = tmp_path / "raw.flat8"
+        native.FlatInt8File.write(path, rows, scales, normalized=False)
+        with native.FlatInt8File(path) as f:
+            assert f.normalized is False
+
+    def test_bad_magic_rejected(self, tmp_path):
+        p = tmp_path / "junk.flat8"
+        p.write_bytes(b"NOTMAGIC" + b"\x00" * 64)
+        with pytest.raises(IOError):
+            native.FlatInt8File(p).open()
+
+    def test_truncation_rejected(self, tmp_path, rng):
+        rows = rng.integers(-127, 128, (32, 8), dtype=np.int8)
+        scales = np.ones(32, np.float32)
+        p = tmp_path / "t.flat8"
+        native.FlatInt8File.write(p, rows, scales, normalized=True)
+        p.write_bytes(p.read_bytes()[:-8])  # chop the scale tail
+        with pytest.raises(IOError):
+            native.FlatInt8File(p).open()
+
+    def test_shape_validation(self, tmp_path, rng):
+        rows = rng.integers(-127, 128, (8, 8), dtype=np.int8)
+        with pytest.raises(ValueError):
+            native.FlatInt8File.write(
+                tmp_path / "x.flat8", rows, np.ones(7, np.float32), True
+            )
