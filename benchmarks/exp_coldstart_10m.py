@@ -6,12 +6,16 @@ measured where this environment can measure it honestly:
   PHASE build (host, forced CPU — run in the background, no tunnel needed)
       Stream-build the 10M-row int8 .rvdb container with the keep_fp
       rescore copy: rows are jax threefry int8 (the EXACT generator
-      bench.py's ``gen_db_int8_device`` runs on chip — threefry is
-      bit-deterministic across backends, so the serve phase can
-      materialize the identical corpus ON DEVICE and skip the
-      7.7 GB host->device upload the tunnel makes pathological:
-      ~25 min/1.5 GB measured, CLAUDE.md). Reports build throughput,
-      wall time, and on-disk bytes.
+      bench.py's ``gen_db_int8_device`` runs on chip), so the serve
+      phase can materialize a statistically identical corpus ON DEVICE
+      and skip the 7.7 GB host->device upload the tunnel makes
+      pathological (~25 min/1.5 GB measured, CLAUDE.md). NB the round-5
+      run MEASURED the twin gate NEGATIVE: ``jax.random.randint`` int8
+      output is NOT bit-identical CPU-vs-TPU on this stack (the raw
+      threefry bits may be; the int conversion path differs), so the
+      serve phase's timings are valid but bit-identity claims are not —
+      the gate reports it honestly. Reports build throughput, wall
+      time, and on-disk bytes.
 
   PHASE open (host, forced CPU)
       The round-4 metacols sidecar at its design scale: time the blob
@@ -141,8 +145,10 @@ def phase_open(path: Path) -> None:
     )
 
     side = sidecar_path(path)
-    if side.exists():
-        side.unlink()  # force the blob path first
+    flat8 = path.with_name(path.name + ".flat8")  # round-5 rows sidecar
+    for p in (side, flat8):
+        if p.exists():
+            p.unlink()  # force the full blob path first
 
     t0 = time.perf_counter()
     idx = UnifiedIndex(device_put=False).load_unified_index(path)
@@ -150,6 +156,8 @@ def phase_open(path: Path) -> None:
     n = idx.ntotal
     idx.close()
     assert side.exists(), "blob open did not write the sidecar"
+    if n >= 10_000:
+        assert flat8.exists(), "blob open did not write the .flat8 sidecar"
 
     t0 = time.perf_counter()
     idx = UnifiedIndex(device_put=False).load_unified_index(path)
