@@ -1012,9 +1012,10 @@ class UnifiedIndex:
                 mask[row, 0] = 1
         self._dev_deleted = jnp.asarray(mask)
 
-    # write the .flat8 sidecar only above this many rows: tiny corpora
-    # open instantly either way (same spirit as metacols.SIDECAR_MIN_ROWS)
-    _FLAT8_MIN_ROWS = 10_000
+    # write the .flat/.flat8 rows sidecars only above this many rows: tiny
+    # corpora open instantly either way (same spirit as
+    # metacols.SIDECAR_MIN_ROWS)
+    _FLAT_MIN_ROWS = 10_000
 
     def _fresh_flat8(self):
         """A header-validated ``native.FlatInt8File`` matching this
@@ -1063,7 +1064,7 @@ class UnifiedIndex:
             scales = _fold_norm_into_scales(rows, scales)
         rows_out[:] = rows
         scales_out[:] = scales
-        if self.path is not None and n >= self._FLAT8_MIN_ROWS:
+        if self.path is not None and n >= self._FLAT_MIN_ROWS:
             try:
                 from .. import native
 
@@ -1075,22 +1076,52 @@ class UnifiedIndex:
                 pass
 
     def _read_rows_raw(self, n: int) -> np.ndarray:
-        """Rows in their cheapest host form: f32 from the mmap sidecar when
-        fresh, else RAW storage (u16 bf16 bits / f16 / f32) — no host
-        dtype conversion."""
-        assert self._container is not None
-        if self.path is not None:
-            flat_path = self.path.with_name(self.path.name + ".flat")
-            if flat_path.is_file():
-                try:
-                    from .. import native
+        """Rows in their cheapest host form: RAW storage bits (u16 bf16 /
+        f32) from the ``.flat`` sidecar when fresh — one buffered
+        sequential pass, half the bytes of the old mmap+f32 conversion —
+        else the container blob, with a lazy best-effort sidecar write
+        for the next open.
 
-                    with native.FlatEmbeddingFile(flat_path) as flat:
-                        if flat.rows.shape == (n, self._container.dim):
-                            return np.array(flat.as_float32())
-                except Exception:
-                    pass
-        return self._container.read_embeddings(0, n)
+        Why (round-5 measurement): on a thumbnail-bearing container the
+        embedding chunks interleave with the blob sections on disk, so the
+        dataset-order h5py read streams at **87 MB/s** against the disk's
+        ~1 GB/s sequential rate — the same pathology (and the same fix) as
+        the int8 ``.flat8`` sidecar."""
+        assert self._container is not None
+        d = self._container.dim
+        store = self._container.dtype
+        flat_dtype = "bfloat16" if store == "bfloat16" else "float32"
+        p = (self.path.with_name(self.path.name + ".flat")
+             if self.path is not None else None)
+        if p is not None and p.is_file():
+            try:
+                from .. import native
+
+                f = native.FlatEmbeddingFile(p)
+                fn, fd, fname = f.header()
+                if fn == n and fd == d and fname == flat_dtype:
+                    out = np.empty(
+                        (n, d),
+                        np.uint16 if fname == "bfloat16" else np.float32,
+                    )
+                    f.read_into(out)
+                    return out
+            except Exception:  # stale/torn sidecar: the blob path wins
+                pass
+        host = self._container.read_embeddings(0, n)
+        if store == "float16":
+            # f16 containers keep the raw blob path (the builder-written
+            # sidecar converts to f32 at finalize; a lazy write here would
+            # double the bytes for a rare storage mode)
+            return host
+        if p is not None and n >= self._FLAT_MIN_ROWS:
+            try:
+                from .. import native
+
+                native.FlatEmbeddingFile.write_raw(p, host, flat_dtype)
+            except Exception:  # read-only dir etc. — never a load failure
+                pass
+        return host
 
     # full-corpus single-device staging is allowed below this many bytes;
     # larger corpora stream chunk-normalized rows to host instead of

@@ -282,6 +282,76 @@ class FlatEmbeddingFile:
             raise IOError(f"flat write failed rc={rc}")
         return path
 
+    @staticmethod
+    def write_raw(path: str | Path, data: np.ndarray, dtype: str) -> Path:
+        """Atomic write of an ALREADY-storage-dtype payload (u16 bf16 bits
+        or f32) — the lazy-on-load writer's path; :meth:`write` converts
+        from f32 instead."""
+        import struct
+
+        path = Path(path)
+        want = np.uint16 if dtype == "bfloat16" else np.float32
+        data = np.ascontiguousarray(data)
+        if data.ndim != 2 or data.dtype != want:
+            raise ValueError(f"payload must be 2-D {want} for {dtype}")
+        fd, tmp = tempfile.mkstemp(dir=str(path.parent),
+                                   prefix=path.name, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(b"IVARSFLT")
+                f.write(struct.pack("<qii", data.shape[0], data.shape[1],
+                                    _DTYPE_CODES[dtype]))
+                f.write(data.tobytes())
+            os.replace(tmp, path)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+        return path
+
+    def header(self) -> tuple[int, int, str]:
+        """Validate magic + size; returns ``(n, d, dtype_name)``."""
+        import struct
+
+        with open(self.path, "rb") as f:
+            h = f.read(24)
+        if h[:8] != b"IVARSFLT":
+            raise IOError(f"not a flat embedding file: {self.path}")
+        n, d, code = struct.unpack("<qii", h[8:24])
+        np_dtype = _CODE_DTYPES.get(code)
+        if np_dtype is None:
+            raise IOError(f"unknown dtype code {code} in {self.path}")
+        if self.path.stat().st_size != 24 + n * d * np.dtype(np_dtype).itemsize:
+            raise IOError(f"truncated flat embedding file: {self.path}")
+        self.dtype_name = "bfloat16" if code == 0 else "float32"
+        return n, d, self.dtype_name
+
+    def read_into(self, out: np.ndarray) -> str:
+        """Stream the raw payload (u16 bf16 bits / f32) into a caller-owned
+        buffer with buffered sequential ``readinto`` — see
+        ``FlatInt8File.read_into`` for why bulk loads read rather than
+        map. Returns the dtype name."""
+        n, d, name = self.header()
+        want = np.uint16 if name == "bfloat16" else np.float32
+        if (out.shape != (n, d) or out.dtype != want
+                or not out.flags.c_contiguous):
+            raise ValueError(f"out must be C-contiguous {want} (n, d)")
+        CH = 64 << 20
+        with open(self.path, "rb") as f:
+            f.seek(24)
+            mv = memoryview(out).cast("B")
+            off, total = 0, out.nbytes
+            while off < total:
+                take = min(CH, total - off)
+                if f.readinto(mv[off:off + take]) != take:
+                    raise IOError(
+                        f"short read in flat embedding file: {self.path}"
+                    )
+                off += take
+        return name
+
     def open(self) -> np.ndarray:
         """Map the file; returns the (N, D) raw-bits view."""
         lib = _load()

@@ -1439,7 +1439,7 @@ class TestFlat8Sidecar:
 
     @pytest.fixture(autouse=True)
     def _small_threshold(self, monkeypatch):
-        monkeypatch.setattr(UnifiedIndex, "_FLAT8_MIN_ROWS", 8)
+        monkeypatch.setattr(UnifiedIndex, "_FLAT_MIN_ROWS", 8)
 
     def _build(self, tmp_path, n=48, dim=16):
         rng = np.random.default_rng(7)
@@ -1532,4 +1532,90 @@ class TestFlat8Sidecar:
         p.write_bytes(p.read_bytes()[:40])  # truncate mid-rows
         idx = UnifiedIndex(UnifiedIndexConfig()).load_unified_index(path)
         assert idx.ntotal == 48  # blob fallback served
+        idx.close()
+
+
+class TestFlatBf16LazySidecar:
+    """Round 5: bf16/f32 containers lazily write the .flat rows sidecar on
+    first load (the builder only wrote it at finalize), and loads read it
+    back with sequential readinto — thumbnail-bearing containers measured
+    87 MB/s on the interleaved blob path."""
+
+    @pytest.fixture(autouse=True)
+    def _small_threshold(self, monkeypatch):
+        monkeypatch.setattr(UnifiedIndex, "_FLAT_MIN_ROWS", 8)
+
+    def _build(self, tmp_path, n=40, dim=16, dtype="bfloat16"):
+        rng = np.random.default_rng(5)
+        path = tmp_path / "b.rvdb"
+        with IndexContainer(path, "w", dim=dim, dtype=dtype) as c:
+            c.append_embeddings(
+                rng.standard_normal((n, dim)).astype(np.float32)
+            )
+            c.append_metadata(
+                [{"folder": "v", "image": f"{i}.jpg", "frame_id": i}
+                 for i in range(n)]
+            )
+            c.flush_checkpoint()
+        return path
+
+    def _results(self, idx, dim):
+        q = np.random.default_rng(9).standard_normal((2, dim))
+        q = (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float32)
+        res = idx.search_vectors(q, top_k=5)
+        return [
+            [(h.metadata.frame_id, round(float(h.similarity_score), 4))
+             for h in per]
+            for per in res
+        ]
+
+    @pytest.mark.parametrize("dtype", ["bfloat16", "float32"])
+    def test_lazy_write_and_reuse(self, tmp_path, monkeypatch, dtype):
+        path = self._build(tmp_path, dtype=dtype)
+        flat = path.with_name(path.name + ".flat")
+        idx = UnifiedIndex(UnifiedIndexConfig()).load_unified_index(path)
+        want = self._results(idx, 16)
+        idx.close()
+        assert flat.is_file()
+
+        from intelligent_video_analysis_retrieval_system_tpu.index.container import (
+            IndexContainer as IC,
+        )
+
+        def _boom(self, *a, **k):  # pragma: no cover - must not run
+            raise AssertionError("blob path used despite fresh sidecar")
+
+        monkeypatch.setattr(IC, "read_embeddings", _boom)
+        idx2 = UnifiedIndex(UnifiedIndexConfig()).load_unified_index(path)
+        got = self._results(idx2, 16)
+        idx2.close()
+        assert got == want  # raw storage bits are identical either path
+
+    def test_append_invalidates_and_rebuilds(self, tmp_path):
+        path = self._build(tmp_path)
+        flat = path.with_name(path.name + ".flat")
+        idx = UnifiedIndex(UnifiedIndexConfig()).load_unified_index(
+            path, mode="a"
+        )
+        assert flat.is_file()
+        idx.incremental_update(
+            np.random.default_rng(1).standard_normal((3, 16)).astype(
+                np.float32
+            ),
+            [{"folder": "v", "image": f"n{i}.jpg", "frame_id": 90 + i}
+             for i in range(3)],
+        )
+        assert not flat.is_file()
+        idx.close()
+        idx2 = UnifiedIndex(UnifiedIndexConfig()).load_unified_index(path)
+        assert idx2.ntotal == 43 and flat.is_file()
+        idx2.close()
+
+    def test_corrupt_sidecar_falls_back(self, tmp_path):
+        path = self._build(tmp_path)
+        UnifiedIndex(UnifiedIndexConfig()).load_unified_index(path).close()
+        flat = path.with_name(path.name + ".flat")
+        flat.write_bytes(flat.read_bytes()[:30])
+        idx = UnifiedIndex(UnifiedIndexConfig()).load_unified_index(path)
+        assert idx.ntotal == 40
         idx.close()

@@ -180,3 +180,45 @@ class TestFlatInt8File:
             native.FlatInt8File.write(
                 tmp_path / "x.flat8", rows, np.ones(7, np.float32), True
             )
+
+
+class TestFlatFileRaw:
+    """Round-5 additions to FlatEmbeddingFile: raw-payload writes and
+    sequential read_into (the lazy-on-load sidecar path)."""
+
+    def test_write_raw_bf16_roundtrip(self, tmp_path, rng):
+        bits = rng.integers(0, 2**16, (32, 8)).astype(np.uint16)
+        p = tmp_path / "raw.flat"
+        native.FlatEmbeddingFile.write_raw(p, bits, "bfloat16")
+        f = native.FlatEmbeddingFile(p)
+        n, d, name = f.header()
+        assert (n, d, name) == (32, 8, "bfloat16")
+        out = np.empty((32, 8), np.uint16)
+        assert f.read_into(out) == "bfloat16"
+        np.testing.assert_array_equal(out, bits)
+        # layout-compatible with the classic mmap open
+        with native.FlatEmbeddingFile(p) as g:
+            np.testing.assert_array_equal(np.asarray(g.rows), bits)
+
+    def test_write_raw_f32_roundtrip(self, tmp_path, rng):
+        rows = rng.standard_normal((16, 4)).astype(np.float32)
+        p = tmp_path / "raw32.flat"
+        native.FlatEmbeddingFile.write_raw(p, rows, "float32")
+        out = np.empty((16, 4), np.float32)
+        native.FlatEmbeddingFile(p).read_into(out)
+        np.testing.assert_array_equal(out, rows)
+
+    def test_write_raw_dtype_mismatch(self, tmp_path, rng):
+        with pytest.raises(ValueError):
+            native.FlatEmbeddingFile.write_raw(
+                tmp_path / "x.flat",
+                rng.standard_normal((4, 4)).astype(np.float32), "bfloat16",
+            )
+
+    def test_header_truncation_rejected(self, tmp_path, rng):
+        bits = rng.integers(0, 2**16, (8, 4)).astype(np.uint16)
+        p = tmp_path / "t.flat"
+        native.FlatEmbeddingFile.write_raw(p, bits, "bfloat16")
+        p.write_bytes(p.read_bytes()[:-4])
+        with pytest.raises(IOError):
+            native.FlatEmbeddingFile(p).header()
