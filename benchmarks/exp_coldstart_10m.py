@@ -125,6 +125,9 @@ def phase_build(path: Path, rows: int) -> None:
         c.flush_checkpoint()
     t_write = time.perf_counter() - t0
     size = path.stat().st_size
+    # completion marker the chip queue gates its serve phase on (the gate
+    # used to test a file nothing wrote — found by review)
+    Path(str(path) + ".build.OK").touch()
     out("build", {
         "rows": rows, "gen_s": round(t_gen, 1),
         "write_s": round(t_write, 1),

@@ -72,11 +72,26 @@ run qps10m 1800 python benchmarks/exp_qps_10m.py
 # 5. Cold-start soak serve phase (VERDICT r4 #4): needs the 10M on-disk
 #    container the host-side build phase produces (exp_coldstart_10m.py
 #    --phase build/open run OUTSIDE the queue — they are tunnel-free and
-#    take ~1 h of host time; logs/coldstart_build.OK marks completion).
-if [ -e logs/coldstart_build.OK ]; then
+#    take ~1 h of host time; the build phase writes the .build.OK marker
+#    itself on success).
+EXPECT="bench ivf10m vitl qps10m"
+if [ -e logs/coldstart_10m.rvdb.build.OK ] || [ -e logs/coldstart_build.OK ]; then
+  EXPECT="$EXPECT coldstart"
   run coldstart 1900 python benchmarks/exp_coldstart_10m.py --phase serve
 else
   echo "=== coldstart: skipped (10M container not built yet)"
 fi
 
+# A step that failed for a NON-outage reason (own timeout, crash) has no
+# .OK marker but did not abort the queue — exit nonzero so the watcher
+# keeps watching and a later re-fire resumes the lost step instead of
+# marking the round DONE with measurements missing (found by review).
+MISSING=""
+for s in $EXPECT; do
+  [ -e "$OUT/$s.OK" ] || MISSING="$MISSING $s"
+done
+if [ -n "$MISSING" ]; then
+  echo "queue INCOMPLETE (no .OK):$MISSING — exit 5 so the watcher re-fires"
+  exit 5
+fi
 echo "queue complete: $OUT"

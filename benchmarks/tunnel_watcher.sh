@@ -44,8 +44,10 @@ while true; do
       note "queue complete — watcher exiting"
       exit 0
     fi
-    # rc=3 (down again before start) or rc=4 (lost mid-queue): keep
-    # watching; finished steps are .OK-marked and will be skipped.
+    # rc=3 (down again before start), rc=4 (lost mid-queue), or rc=5
+    # (a step failed without an outage — own timeout/crash): keep
+    # watching; finished steps are .OK-marked and will be skipped, the
+    # failed step gets retried on the next fire.
   else
     note "tunnel down"
   fi

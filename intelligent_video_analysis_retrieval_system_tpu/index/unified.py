@@ -460,10 +460,19 @@ class UnifiedIndex:
         self._ann = state
         self._ann_gen += 1
         # restore the runtime knobs tuned/measured on this corpus (older
-        # containers lack the attrs: keep the config values)
-        if "nprobe" in attrs:
+        # containers lack the attrs: keep the config values) — but ONLY
+        # where the live config still holds the dataclass default: an
+        # operator who explicitly set ann_nprobe/ann_max_batch must not
+        # have a restart silently clobber it with stale build-time values
+        # (found by review, round 5). Explicitly setting the default value
+        # is indistinguishable from not setting it — the per-query
+        # nprobe= argument escapes that corner.
+        defaults = type(self.config)()
+        if ("nprobe" in attrs
+                and self.config.ann_nprobe == defaults.ann_nprobe):
             self.config.ann_nprobe = int(attrs["nprobe"])
-        if "max_batch" in attrs:
+        if ("max_batch" in attrs
+                and self.config.ann_max_batch == defaults.ann_max_batch):
             self.config.ann_max_batch = int(attrs["max_batch"])
             self._ann_crossover_measured = bool(
                 attrs.get("max_batch_measured", False)
@@ -1280,6 +1289,12 @@ class UnifiedIndex:
             self._upload_embeddings()
         finally:
             self._ann_autobuild_suppressed = False
+        # _upload_embeddings clears the resident rescore cache; rebuild it
+        # here (the container already holds the new rows' fp bits) or the
+        # cache mode silently degrades to per-query disk gathers for the
+        # rest of the process lifetime (found by review, round 5) — the
+        # _fp_cache_n >= _n_valid guard in _fp_cache_append relies on this
+        self._maybe_build_fp_cache()
         if self.config.ann and self._ann is None:
             import logging
 

@@ -294,21 +294,12 @@ class FlatEmbeddingFile:
         data = np.ascontiguousarray(data)
         if data.ndim != 2 or data.dtype != want:
             raise ValueError(f"payload must be 2-D {want} for {dtype}")
-        fd, tmp = tempfile.mkstemp(dir=str(path.parent),
-                                   prefix=path.name, suffix=".tmp")
-        try:
-            with os.fdopen(fd, "wb") as f:
-                f.write(b"IVARSFLT")
-                f.write(struct.pack("<qii", data.shape[0], data.shape[1],
-                                    _DTYPE_CODES[dtype]))
-                f.write(data.tobytes())
-            os.replace(tmp, path)
-        except BaseException:
-            try:
-                os.unlink(tmp)
-            except OSError:
-                pass
-            raise
+        _atomic_write(path, [
+            b"IVARSFLT",
+            struct.pack("<qii", data.shape[0], data.shape[1],
+                        _DTYPE_CODES[dtype]),
+            data.tobytes(),
+        ])
         return path
 
     def header(self) -> tuple[int, int, str]:
@@ -338,18 +329,7 @@ class FlatEmbeddingFile:
         if (out.shape != (n, d) or out.dtype != want
                 or not out.flags.c_contiguous):
             raise ValueError(f"out must be C-contiguous {want} (n, d)")
-        CH = 64 << 20
-        with open(self.path, "rb") as f:
-            f.seek(24)
-            mv = memoryview(out).cast("B")
-            off, total = 0, out.nbytes
-            while off < total:
-                take = min(CH, total - off)
-                if f.readinto(mv[off:off + take]) != take:
-                    raise IOError(
-                        f"short read in flat embedding file: {self.path}"
-                    )
-                off += take
+        _stream_into(self.path, 24, (out,))
         return name
 
     def open(self) -> np.ndarray:
@@ -419,6 +399,47 @@ class FlatEmbeddingFile:
 
 
 # ---------------------------------------------------------------------------
+# Shared flat-sidecar I/O helpers (FlatEmbeddingFile + FlatInt8File)
+# ---------------------------------------------------------------------------
+
+_STREAM_CHUNK = 64 << 20
+
+
+def _atomic_write(path: Path, chunks: list[bytes]) -> None:
+    """tmp-in-same-dir + os.replace: readers never see a torn file."""
+    fd, tmp = tempfile.mkstemp(dir=str(path.parent),
+                               prefix=path.name, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            for c in chunks:
+                f.write(c)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def _stream_into(path: Path, offset: int, arrays: tuple) -> None:
+    """Buffered sequential ``readinto`` of consecutive payloads into
+    caller-owned contiguous arrays — bulk sidecar loads READ rather than
+    mmap (fault-driven streaming measured 66 MB/s on this virtio disk vs
+    ~800 MB/s for plain reads)."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        for out in arrays:
+            mv = memoryview(out).cast("B")
+            off, total = 0, out.nbytes
+            while off < total:
+                take = min(_STREAM_CHUNK, total - off)
+                if f.readinto(mv[off:off + take]) != take:
+                    raise IOError(f"short read in flat sidecar: {path}")
+                off += take
+
+
+# ---------------------------------------------------------------------------
 # Quantized flat sidecar (int8 rows + per-row scales, mmap)
 # ---------------------------------------------------------------------------
 
@@ -465,22 +486,13 @@ class FlatInt8File:
         scales = np.ascontiguousarray(scales, np.float32)
         if rows.ndim != 2 or scales.shape != (rows.shape[0],):
             raise ValueError("rows must be (n, d) with scales (n,)")
-        fd, tmp = tempfile.mkstemp(dir=str(path.parent),
-                                   prefix=path.name, suffix=".tmp")
-        try:
-            with os.fdopen(fd, "wb") as f:
-                f.write(_FLAT8_MAGIC)
-                f.write(struct.pack("<qii", rows.shape[0], rows.shape[1],
-                                    1 if normalized else 0))
-                f.write(rows.tobytes())
-                f.write(scales.tobytes())
-            os.replace(tmp, path)
-        except BaseException:
-            try:
-                os.unlink(tmp)
-            except OSError:
-                pass
-            raise
+        _atomic_write(path, [
+            _FLAT8_MAGIC,
+            struct.pack("<qii", rows.shape[0], rows.shape[1],
+                        1 if normalized else 0),
+            rows.tobytes(),
+            scales.tobytes(),
+        ])
         return path
 
     def header(self) -> tuple[int, int, bool]:
@@ -511,20 +523,7 @@ class FlatInt8File:
         if (scales_out.shape != (n,) or scales_out.dtype != np.float32
                 or not scales_out.flags.c_contiguous):
             raise ValueError("scales_out must be contiguous f32 (n,)")
-        CH = 64 << 20
-        with open(self.path, "rb") as f:
-            f.seek(24)
-            for out in (rows_out, scales_out):
-                mv = memoryview(out).cast("B")
-                off, total = 0, out.nbytes
-                while off < total:
-                    take = min(CH, total - off)
-                    got = f.readinto(mv[off:off + take])
-                    if got != take:
-                        raise IOError(
-                            f"short read in flat int8 sidecar: {self.path}"
-                        )
-                    off += take
+        _stream_into(self.path, 24, (rows_out, scales_out))
 
     def open(self) -> tuple[np.ndarray, np.ndarray]:
         """Map the file; returns ``(rows_i8_view, scales_f32_view)``.

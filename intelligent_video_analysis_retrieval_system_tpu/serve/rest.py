@@ -696,14 +696,40 @@ class RetrievalServer:
                     )
                 kwargs = {}
                 if payload.get("batch_sizes"):
-                    kwargs["batch_sizes"] = tuple(
-                        int(b) for b in payload["batch_sizes"]
-                    )
+                    try:
+                        sizes = tuple(
+                            int(b) for b in payload["batch_sizes"]
+                        )
+                    except (TypeError, ValueError):
+                        sizes = ()
+                    # bound the ladder: a hostile/typo'd payload must not
+                    # compile giant programs or raise outside the handler
+                    if (not sizes or len(sizes) > 12
+                            or any(b < 1 or b > 1024 for b in sizes)):
+                        return web.json_response(
+                            error_envelope(
+                                "batch_sizes must be 1-12 ints in 1..1024"
+                            ),
+                            status=400,
+                        )
+                    kwargs["batch_sizes"] = sizes
                 if payload.get("repeats"):
-                    kwargs["repeats"] = int(payload["repeats"])
+                    reps = int(payload["repeats"])
+                    if reps < 1 or reps > 16:
+                        return web.json_response(
+                            error_envelope("repeats must be in 1..16"),
+                            status=400,
+                        )
+                    kwargs["repeats"] = reps
                 try:
+                    # warm-wrapped like build_ann/tune_ann: a measured
+                    # crossover above the old cap routes new batch sizes
+                    # to the IVF program — compile them here, not on the
+                    # first live micro-batch (found by review, round 5)
                     report = await self._run_sync(
-                        lambda: index.measure_ann_crossover(**kwargs)
+                        lambda: _with_ann_warm(
+                            index, index.measure_ann_crossover, **kwargs
+                        )
                     )
                 except RuntimeError as exc:
                     return web.json_response(

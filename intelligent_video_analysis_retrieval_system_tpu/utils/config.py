@@ -192,6 +192,20 @@ class Config:
                     raise ValueError(f"config file {path} must hold a JSON object")
                 self._data = _deep_merge(self._data, loaded)
         if overrides:
+            # warn on unknown top-level sections: create_system(storage=...)
+            # when the schema says paths.index_dir otherwise no-ops
+            # SILENTLY and builds land in the default location (a real
+            # debugging trap, found round 5). Warning not error — config
+            # files may carry extra sections on purpose.
+            unknown = [k for k in overrides if k not in DEFAULT_CONFIG]
+            if unknown:
+                import logging
+
+                logging.getLogger("ivars").warning(
+                    "config override section(s) %s not in the schema — "
+                    "they merge but nothing reads them (known sections: "
+                    "%s)", unknown, sorted(DEFAULT_CONFIG),
+                )
             self._data = _deep_merge(self._data, overrides)
         self.validate(auto_fix=True)
         if create_dirs:

@@ -1619,3 +1619,80 @@ class TestFlatBf16LazySidecar:
         idx = UnifiedIndex(UnifiedIndexConfig()).load_unified_index(path)
         assert idx.ntotal == 40
         idx.close()
+
+
+class TestReviewRegressionsRound5:
+    """Regression tests for the round-5 review findings."""
+
+    def test_fp_cache_survives_overflow_append(self, tmp_path):
+        """A capacity-overflow append reloads the device state; the
+        resident rescore cache must be REBUILT, not silently dropped for
+        the rest of the process (it used to stay None — every later query
+        paid the disk gather the cache exists to kill)."""
+        from intelligent_video_analysis_retrieval_system_tpu.ops.topk import (
+            TILE_N,
+        )
+
+        rng = np.random.default_rng(3)
+        n, dim = TILE_N, 16  # fills padded capacity exactly
+        x = rng.standard_normal((n, dim)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        path = tmp_path / "cap.rvdb"
+        with IndexContainer(path, "w", dim=dim, dtype="int8",
+                            keep_fp=True) as c:
+            c.append_embeddings(x)
+            c.append_metadata(
+                [{"folder": "v", "image": f"{i}.jpg", "frame_id": i}
+                 for i in range(n)]
+            )
+            c.flush_checkpoint()
+        cfg = UnifiedIndexConfig(dtype="int8", int8_rescore=True,
+                                 int8_rescore_cache=True)
+        idx = UnifiedIndex(cfg).load_unified_index(path, mode="a")
+        assert idx._fp_cache is not None and idx._fp_cache_n == n
+        assert idx._capacity == n  # full to the brim -> next append reloads
+        idx.incremental_update(
+            np.asarray(x[:3] + 0.01, np.float32),
+            [{"folder": "v", "image": f"o{i}.jpg", "frame_id": n + i}
+             for i in range(3)],
+        )
+        assert idx.ntotal == n + 3
+        assert idx._fp_cache is not None, "overflow reload dropped the cache"
+        assert idx._fp_cache_n == n + 3  # new rows included exactly once
+        idx.close()
+
+    def test_explicit_config_beats_persisted_ann_knobs(self, tmp_path):
+        """Persisted nprobe/max_batch restore ONLY into default configs: an
+        operator who explicitly set the knobs must not have a restart
+        silently clobber them with stale build-time values."""
+        rng = np.random.default_rng(4)
+        x = rng.standard_normal((512, 16)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        path = tmp_path / "k.rvdb"
+        with IndexContainer(path, "w", dim=16, dtype="float32") as c:
+            c.append_embeddings(x)
+            c.append_metadata(
+                [{"folder": "v", "image": f"{i}.jpg", "frame_id": i}
+                 for i in range(512)]
+            )
+            c.flush_checkpoint()
+        cfg = UnifiedIndexConfig(ann=True, ann_nlist=8, ann_nprobe=2,
+                                 ann_max_batch=2)
+        idx = UnifiedIndex(cfg).load_unified_index(path, mode="a")
+        assert idx.ann_active
+        # the build-time recall guard may tune nprobe up its ladder —
+        # whatever value it landed on is what got persisted
+        tuned = idx.config.ann_nprobe
+        idx.close()
+
+        # default config: persisted knobs restore (FAISS-like)
+        d = UnifiedIndex(UnifiedIndexConfig()).load_unified_index(path)
+        assert d.config.ann_nprobe == tuned and d.config.ann_max_batch == 2
+        d.close()
+
+        # explicit non-default config: the operator's values win
+        mine = UnifiedIndexConfig(ann_nprobe=7, ann_max_batch=9)
+        e = UnifiedIndex(mine).load_unified_index(path)
+        assert e.ann_active  # structure still restored
+        assert e.config.ann_nprobe == 7 and e.config.ann_max_batch == 9
+        e.close()

@@ -270,3 +270,24 @@ class TestLoggerRegistry:
         lb.info("hello")
         lb.log_performance("op", 0.01)
         assert (b / "performance.log").exists()
+
+
+def test_unknown_override_section_warns(caplog, tmp_path):
+    """create_system(storage={...}) when the schema key is paths.index_dir
+    used to merge silently and no-op — a real debugging trap (round 5)."""
+    import logging
+
+    from intelligent_video_analysis_retrieval_system_tpu.utils.config import (
+        Config,
+    )
+
+    with caplog.at_level(logging.WARNING, logger="ivars"):
+        Config(config_file=None, overrides={"storage": {"index_dir": "x"}},
+               base_dir=tmp_path)
+    assert any("storage" in r.message and "schema" in r.message
+               for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="ivars"):
+        Config(config_file=None, overrides={"paths": {"index_dir": "x"}},
+               base_dir=tmp_path)
+    assert not any("schema" in r.message for r in caplog.records)
