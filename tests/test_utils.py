@@ -281,13 +281,22 @@ def test_unknown_override_section_warns(caplog, tmp_path):
         Config,
     )
 
-    with caplog.at_level(logging.WARNING, logger="ivars"):
-        Config(config_file=None, overrides={"storage": {"index_dir": "x"}},
-               base_dir=tmp_path)
-    assert any("storage" in r.message and "schema" in r.message
-               for r in caplog.records)
-    caplog.clear()
-    with caplog.at_level(logging.WARNING, logger="ivars"):
-        Config(config_file=None, overrides={"paths": {"index_dir": "x"}},
-               base_dir=tmp_path)
-    assert not any("schema" in r.message for r in caplog.records)
+    # the package's logging setup flips propagate off once any test
+    # configures it; caplog needs records to reach the root handler
+    logger = logging.getLogger("ivars")
+    old_prop = logger.propagate
+    logger.propagate = True
+    try:
+        with caplog.at_level(logging.WARNING, logger="ivars"):
+            Config(config_file=None,
+                   overrides={"storage": {"index_dir": "x"}},
+                   base_dir=tmp_path)
+        assert any("storage" in r.message and "schema" in r.message
+                   for r in caplog.records)
+        caplog.clear()
+        with caplog.at_level(logging.WARNING, logger="ivars"):
+            Config(config_file=None, overrides={"paths": {"index_dir": "x"}},
+                   base_dir=tmp_path)
+        assert not any("schema" in r.message for r in caplog.records)
+    finally:
+        logger.propagate = old_prop
