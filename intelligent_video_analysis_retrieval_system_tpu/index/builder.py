@@ -158,7 +158,8 @@ class RAGBuilder:
             },
         )
         container.flush_checkpoint()
-        self._write_flat_sidecar(container, output_path)
+        self._write_flat_sidecar(container, output_path,
+                                 normalize=self.config.normalize)
 
         report.duration_s = time.perf_counter() - t0
         if report.duration_s > 0:
@@ -172,18 +173,42 @@ class RAGBuilder:
     # -- internals -----------------------------------------------------------
 
     @staticmethod
-    def _write_flat_sidecar(container: IndexContainer, output_path: Path) -> None:
-        """mmap-friendly flat embedding sidecar for instant cold loads
-        (consumed by UnifiedIndex when present and row-count fresh)."""
+    def _write_flat_sidecar(container: IndexContainer, output_path: Path,
+                            normalize: bool = True) -> None:
+        """Flat rows sidecar for instant cold loads (consumed by
+        UnifiedIndex when present and row-count fresh): ``.flat8`` (rows +
+        folded serving scales) for int8 containers, raw-bits ``.flat``
+        otherwise — matching what the load path actually reads. (The old
+        version wrote a dequantized-f32 ``.flat`` for int8 containers that
+        the int8 load path never consults, and round-tripped bf16 bits
+        through f32.)"""
         try:
             from .. import native
 
             if container.num_rows == 0:
                 return
-            rows = container.read_embeddings(as_float32=True)
+            if container.dtype == "int8":
+                from .unified import _fold_norm_into_scales
+
+                rows, scales = container.read_quantized()
+                if normalize:
+                    scales = _fold_norm_into_scales(rows, scales)
+                native.FlatInt8File.write(
+                    output_path.with_name(output_path.name + ".flat8"),
+                    rows, scales, normalized=normalize,
+                )
+                return
+            raw = container.read_embeddings()  # raw storage bits
+            if container.dtype == "float16":
+                # rare storage mode: keep the f32-converted classic write
+                native.FlatEmbeddingFile.write(
+                    output_path.with_name(output_path.name + ".flat"),
+                    container.read_embeddings(as_float32=True), "float32",
+                )
+                return
             dtype = "bfloat16" if container.dtype == "bfloat16" else "float32"
-            native.FlatEmbeddingFile.write(
-                output_path.with_name(output_path.name + ".flat"), rows, dtype
+            native.FlatEmbeddingFile.write_raw(
+                output_path.with_name(output_path.name + ".flat"), raw, dtype
             )
         except Exception:
             pass  # sidecar is an optimization, never a build failure

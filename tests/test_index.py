@@ -1696,3 +1696,39 @@ class TestReviewRegressionsRound5:
         assert e.ann_active  # structure still restored
         assert e.config.ann_nprobe == 7 and e.config.ann_max_batch == 9
         e.close()
+
+
+class TestBuilderSidecarDtypes:
+    """The builder's finalize-time sidecar must match what the load path
+    reads: .flat8 for int8 containers (the old dequantized-f32 .flat was
+    never consulted), raw-bits .flat for bf16/f32."""
+
+    def _build(self, tmp_path, dtype):
+        kf, _ = make_keyframes(tmp_path)
+        mp = make_maps(tmp_path)
+        builder = RAGBuilder(
+            fake_embed, DIM, input_size=32,
+            config=UnifiedIndexConfig(chunk_size=5, dtype=dtype,
+                                      thumbnail_size=32),
+        )
+        index, _ = builder.build_index(kf, tmp_path / "ix.rvdb", map_dir=mp)
+        index.close()
+        return tmp_path / "ix.rvdb"
+
+    def test_int8_build_writes_flat8(self, tmp_path):
+        path = self._build(tmp_path, "int8")
+        assert path.with_name(path.name + ".flat8").is_file()
+        assert not path.with_name(path.name + ".flat").is_file()
+        # and a reopen actually consumes it (sidecar scales are folded)
+        idx = UnifiedIndex(UnifiedIndexConfig(dtype="int8")).load_unified_index(path)
+        assert idx.ntotal > 0
+        idx.close()
+
+    def test_bf16_build_writes_raw_flat(self, tmp_path):
+        from intelligent_video_analysis_retrieval_system_tpu import native
+
+        path = self._build(tmp_path, "bfloat16")
+        flat = path.with_name(path.name + ".flat")
+        assert flat.is_file()
+        n, d, name = native.FlatEmbeddingFile(flat).header()
+        assert name == "bfloat16" and d == DIM
